@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query at sf0.01 in Spark AND its DuckDB oracle,
+then compares row count, sorted column names, and an order-insensitive
+canonical value multiset. Stricter than (or equal to) any reasonable
+hash comparison the driver does — if this passes, the driver's should.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonical form for one value, identical across engines."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, dt.datetime):
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    return f"s:{v}"
+
+
+def row_multiset(columns, rows):
+    """Order-insensitive canonical multiset, columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    sys.path.insert(0, "/root/repo")
+    from iceberg_by_example_spark.session import get_spark
+    from iceberg_by_example_spark.plans.registry import QUERY_REGISTRY, _load_all
+
+    _load_all()
+    spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    passed, failed = [], []
+    for name, spec in sorted(QUERY_REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name} (rows-only: {len(srows)} rows) {time.time()-t0:.1f}s")
+            passed.append(name)
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failed.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sm = row_multiset([c.lower() for c in scols], srows)
+            om = row_multiset([c.lower() for c in ocols], orows)
+            if sm != om:
+                diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)[:400]}")
+        else:
+            passed.append(name)
+            print(f"ok   {name} ({len(srows)} rows) {time.time()-t0:.1f}s")
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed")
+    for name, why in failed:
+        print(f"  FAIL {name}: {why[:300]}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
