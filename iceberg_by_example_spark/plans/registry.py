@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.plans.windows",
     "iceberg_by_example_spark.plans.setops",
     "iceberg_by_example_spark.plans.scalar",
+    "iceberg_by_example_spark.tables.demo",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Registry queries exercising VersionedTable semantics against the
+DuckDB oracle.
+
+MERGE and branch reads aren't DuckDB operations, but their *results*
+are SQL-expressible (a merge's final state is a full-outer-join
+projection; a branch count is a filtered count), so these queries run
+the real engine operators and let the oracle check the outcome —
+stronger than the rows-only fallback.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                        o_totalprice + 1000.0 AS o_totalprice,
+                        o_orderdate, o_orderpriority
+                 FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate
+                ELSE t.o_orderdate END AS o_orderdate,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                ELSE t.o_orderpriority END AS o_orderpriority
+    FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+    category="versioned",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (reference M1, LT:68-76) through the real
+    VersionedTable engine: even-keyed orders as the table state, every
+    third order (status→'U', price+1000) as the upsert source."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    loc = tempfile.mkdtemp(prefix="merge_upsert_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(target)
+        t.merge(src, on="o_orderkey")
+        result = t.read()
+        # materialize before the backing files are removed
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "versioned_branch_counts",
+    oracle="""
+    SELECT 'v1' AS branch, COUNT(*) AS cnt FROM orders WHERE o_orderkey < 5000
+    UNION ALL
+    SELECT 'main' AS branch, COUNT(*) AS cnt FROM orders
+    """,
+    category="versioned",
+)
+def versioned_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch creation + time-travel reads (reference D5/T1): load part
+    of orders, branch 'v1', append the rest to main, then count each
+    ref — v1 must still see only the first snapshot."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="branch_counts_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(orders.filter(F.col("o_orderkey") < 5000))
+        t.create_branch("v1")
+        t.append(orders.filter(F.col("o_orderkey") >= 5000))
+        rows = [
+            ("v1", t.read(branch="v1").count()),
+            ("main", t.read().count()),
+        ]
+        return spark.createDataFrame(rows, "branch string, cnt long")
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

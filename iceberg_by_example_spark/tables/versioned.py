@@ -1,0 +1,476 @@
+"""Spark-native versioned, partitioned, branch-ref table.
+
+Re-implements the Iceberg table semantics the reference demonstrates
+(`/root/reference/src/main/scala/com/github/skhatri/iceberg/*.scala`)
+directly over Parquet + a tiny JSON metadata log, driven entirely by
+the Spark DataFrame API:
+
+- snapshot-per-commit with named branch refs (LT:78-80, WI:14)
+- time-travel reads at a branch/snapshot (`VERSION AS OF`, LT:114)
+- MERGE upsert keyed on an id column (LT:68-76), executed as a
+  partition-granular copy-on-write join rewrite
+- write-audit-publish via staging branch + fast_forward (WI:20-87)
+- maintenance: sorted compaction, snapshot expiry, orphan-file GC
+  (LT:156-165)
+- metadata tables: snapshots / history / files / refs (LT:84-97)
+
+Design for scale
+----------------
+All data movement is DataFrame-planned (Catalyst optimizes the merge
+join; the partition column prunes rewrites). The metadata log is
+O(snapshots + files) JSON — the same order as Iceberg's avro manifests
+— and only file *lists*, never data, cross the driver. A merge touching
+k of N partitions reads and rewrites only those k partitions' files
+plus the source; untouched files carry over to the new snapshot by
+reference.
+
+Concurrency: single-writer (like the reference's local example);
+commits are atomic via write-to-temp + ``os.replace``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAIN = "main"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    timestamp_ms: int
+    operation: str  # append | merge | replace | expire
+    files: list[str]  # table-root-relative parquet file paths
+    summary: dict = field(default_factory=dict)
+
+
+class VersionedTable:
+    """A snapshot-versioned parquet table with branch refs."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self._meta_dir = os.path.join(self.location, "_meta")
+        self._data_dir = os.path.join(self.location, "data")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: str,
+        partition_by: str | None = None,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> "VersionedTable":
+        """CREATE TABLE (reference D2, LT:17-40): declared schema DDL,
+        partition column, free-form properties."""
+        t = cls(spark, location)
+        if os.path.exists(t._meta_dir):
+            if if_not_exists:
+                return t
+            raise ValueError(f"table already exists at {location}")
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        root = Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            parent_id=None,
+            timestamp_ms=int(time.time() * 1000),
+            operation="create",
+            files=[],
+        )
+        t._write_json("snapshots.json", [asdict(root)])
+        t._write_json("refs.json", {MAIN: root.snapshot_id})
+        t._write_json(
+            "table.json",
+            {
+                "schema": schema,
+                "partition_by": partition_by,
+                "properties": properties or {},
+            },
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "VersionedTable":
+        t = cls(spark, location)
+        if not os.path.exists(os.path.join(t._meta_dir, "table.json")):
+            raise ValueError(f"no table at {location}")
+        return t
+
+    def drop(self) -> None:
+        """DROP TABLE (reference D1/D4, LT:15/81)."""
+        shutil.rmtree(self.location, ignore_errors=True)
+
+    # -- metadata plumbing ---------------------------------------------------
+
+    def _write_json(self, name: str, obj) -> None:
+        tmp = os.path.join(self._meta_dir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, os.path.join(self._meta_dir, name))
+
+    def _read_json(self, name: str):
+        with open(os.path.join(self._meta_dir, name)) as f:
+            return json.load(f)
+
+    @property
+    def table_meta(self) -> dict:
+        return self._read_json("table.json")
+
+    def _snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._read_json("snapshots.json")]
+
+    def _refs(self) -> dict[str, str]:
+        return self._read_json("refs.json")
+
+    def _snapshot_by_id(self, sid: str) -> Snapshot:
+        for s in self._snapshots():
+            if s.snapshot_id == sid:
+                return s
+        raise ValueError(f"unknown snapshot {sid}")
+
+    def _current(self, branch: str = MAIN) -> Snapshot:
+        refs = self._refs()
+        if branch not in refs:
+            raise ValueError(f"unknown branch {branch!r}; have {sorted(refs)}")
+        return self._snapshot_by_id(refs[branch])
+
+    def _commit(
+        self, branch: str, operation: str, files: list[str], summary: dict
+    ) -> Snapshot:
+        parent = self._current(branch)
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            parent_id=parent.snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            files=files,
+            summary=summary,
+        )
+        snaps = self._read_json("snapshots.json")
+        snaps.append(asdict(snap))
+        self._write_json("snapshots.json", snaps)
+        refs = self._refs()
+        refs[branch] = snap.snapshot_id
+        self._write_json("refs.json", refs)
+        return snap
+
+    # -- write paths ----------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write a DataFrame as new immutable parquet files; return their
+        table-relative paths. Each commit gets its own subdirectory so
+        files are never overwritten (snapshot isolation)."""
+        commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._data_dir, commit_dir)
+        partition_by = self.table_meta.get("partition_by")
+        writer = df.write.mode("append").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.save(out)
+        rel = []
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel.append(
+                        os.path.relpath(os.path.join(root, n), self.location)
+                    )
+        return sorted(rel)
+
+    def append(self, df: DataFrame, branch: str = MAIN) -> Snapshot:
+        """Append (reference S6, LT:64-67: DataFrameWriterV2.append)."""
+        new_files = self._write_data(df)
+        cur = self._current(branch)
+        return self._commit(
+            branch,
+            "append",
+            cur.files + new_files,
+            {"added-files": len(new_files)},
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_cols: list[str] | None = None,
+        branch: str = MAIN,
+    ) -> Snapshot:
+        """MERGE INTO … ON target.<on> = source.<on>
+        WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
+        (reference M1, LT:68-76).
+
+        Partition-granular copy-on-write: only partitions containing a
+        matched key (or receiving an inserted/migrated row) are
+        rewritten; every other file carries over by reference. The
+        matched/unmatched routing is one outer join, planned by
+        Catalyst (broadcast when the source is small — the common
+        upsert case)."""
+        cur = self._current(branch)
+        target = self._read_snapshot(cur)
+        partition_by = self.table_meta.get("partition_by")
+        cols = target.columns if cur.files else source.columns
+        update_cols = update_cols or [c for c in cols if c != on]
+
+        if not cur.files:
+            new_files = self._write_data(source.select(*cols))
+            return self._commit(
+                branch, "merge", new_files, {"matched": 0, "inserted": "all"}
+            )
+
+        if partition_by:
+            # Partitions holding matched keys must be rewritten (rows
+            # change or migrate out); plus partitions of incoming rows.
+            src_keys = source.select(on).distinct()
+            affected_t = (
+                target.join(src_keys, on, "left_semi")
+                .select(partition_by)
+                .distinct()
+            )
+            affected_s = source.select(partition_by).distinct()
+            affected = [
+                r[0] for r in affected_t.union(affected_s).distinct().collect()
+            ]
+            in_scope = target.filter(F.col(partition_by).isin(affected))
+            out_of_scope_files = self._files_outside_partitions(cur, affected)
+        else:
+            in_scope = target
+            out_of_scope_files = []
+
+        # matched → updated columns from source (including NULLs, per
+        # MERGE UPDATE semantics); unmatched target → keep; unmatched
+        # source → insert all columns.
+        src = source.select(*cols)
+        t = in_scope.alias("t")
+        s = src.alias("s")
+        joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
+        s_present = F.col(f"s.{on}").isNotNull()
+        t_present = F.col(f"t.{on}").isNotNull()
+        merged = joined.select(
+            *[
+                F.when(
+                    s_present & t_present,
+                    F.col(f"s.{c}")
+                    if (c in update_cols or c == on)
+                    else F.col(f"t.{c}"),
+                )
+                .when(s_present & ~t_present, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        new_files = self._write_data(merged)
+        return self._commit(
+            branch,
+            "merge",
+            sorted(out_of_scope_files) + new_files,
+            {"rewritten-partitions": len(affected) if partition_by else "all"},
+        )
+
+    def _files_outside_partitions(
+        self, snap: Snapshot, partitions: list
+    ) -> list[str]:
+        """Files of `snap` not belonging to any of `partitions` —
+        decided from the hive-style path, no data read."""
+        partition_by = self.table_meta["partition_by"]
+        tokens = {f"{partition_by}={v}" for v in partitions}
+        keep = []
+        for f in snap.files:
+            parts = set(f.split(os.sep))
+            if not (parts & tokens):
+                keep.append(f)
+        return keep
+
+    # -- read paths -----------------------------------------------------------
+
+    def _read_snapshot(self, snap: Snapshot) -> DataFrame:
+        schema = self.table_meta["schema"]
+        if not snap.files:
+            return self.spark.createDataFrame([], schema=schema)
+        # Partition values live in hive-style paths *under each commit
+        # dir* (data/commit-X/txn_date=.../part.parquet). Spark's
+        # partition discovery needs a basePath with only k=v dirs below
+        # it, so scan per commit dir and union the (identical-schema)
+        # scans — the union is plan-level only, no data movement.
+        by_commit: dict[str, list[str]] = {}
+        for f in snap.files:
+            rel = os.path.relpath(f, "data")
+            commit = rel.split(os.sep, 1)[0]
+            by_commit.setdefault(commit, []).append(
+                os.path.join(self.location, f)
+            )
+        dfs = [
+            self.spark.read.option(
+                "basePath", os.path.join(self._data_dir, commit)
+            )
+            .schema(schema)
+            .parquet(*paths)
+            for commit, paths in sorted(by_commit.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(
+        self,
+        branch: str | None = None,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Table scan, optionally time-travelled (reference T1,
+        `VERSION AS OF 'day1'`, LT:114/129)."""
+        if snapshot_id is not None:
+            return self._read_snapshot(self._snapshot_by_id(snapshot_id))
+        return self._read_snapshot(self._current(branch or MAIN))
+
+    # -- branches (reference D5/D6, LT:78-80/167; WAP WI:14-87) ---------------
+
+    def create_branch(self, name: str, from_branch: str = MAIN) -> None:
+        """ALTER TABLE … CREATE OR REPLACE BRANCH (D5)."""
+        refs = self._refs()
+        refs[name] = refs[from_branch]
+        self._write_json("refs.json", refs)
+
+    def drop_branch(self, name: str) -> None:
+        """ALTER TABLE … DROP BRANCH (D6)."""
+        if name == MAIN:
+            raise ValueError("cannot drop main")
+        refs = self._refs()
+        refs.pop(name, None)
+        self._write_json("refs.json", refs)
+
+    def fast_forward(self, to_branch: str, from_branch: str) -> None:
+        """call system.fast_forward(tbl, 'main', 'feature_branch') (C5, WI:81)."""
+        refs = self._refs()
+        refs[to_branch] = refs[from_branch]
+        self._write_json("refs.json", refs)
+
+    def branches(self) -> dict[str, str]:
+        return self._refs()
+
+    # -- metadata tables (reference S5/W2, LT:84-97) ---------------------------
+
+    def snapshots(self) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.timestamp_ms,
+                s.operation,
+                len(s.files),
+                json.dumps(s.summary),
+            )
+            for s in self._snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent_id string, timestamp_ms long, "
+            "operation string, file_count int, summary string",
+        )
+
+    def history(self) -> DataFrame:
+        """Lineage of main: snapshot chain from the current ref back."""
+        by_id = {s.snapshot_id: s for s in self._snapshots()}
+        rows = []
+        cur = self._refs().get(MAIN)
+        while cur is not None:
+            s = by_id[cur]
+            rows.append((s.timestamp_ms, s.snapshot_id, s.parent_id, True))
+            cur = s.parent_id
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at long, snapshot_id string, parent_id string, "
+            "is_current_ancestor boolean",
+        )
+
+    def files(self, branch: str = MAIN) -> DataFrame:
+        snap = self._current(branch)
+        rows = [
+            (f, os.path.getsize(os.path.join(self.location, f)))
+            for f in snap.files
+        ]
+        return self.spark.createDataFrame(
+            rows if rows else [], "file_path string, file_size_bytes long"
+        )
+
+    def refs(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            list(self._refs().items()), "name string, snapshot_id string"
+        )
+
+    # -- maintenance (reference C1-C4, LT:156-165) -----------------------------
+
+    def rewrite_data_files(self, sort_order: list | None = None, branch: str = MAIN) -> Snapshot:
+        """Sorted compaction (C2, LT:159: strategy=>'sort'). Rewrites the
+        branch's data clustered by sort_order within each partition —
+        `sortWithinPartitions` so no global shuffle barrier."""
+        df = self.read(branch=branch)
+        if sort_order:
+            df = df.sortWithinPartitions(*sort_order)
+        new_files = self._write_data(df)
+        return self._commit(
+            branch, "replace", new_files, {"compacted-to": len(new_files)}
+        )
+
+    def rewrite_manifests(self) -> None:
+        """Manifest compaction (C3, LT:160): rewrite the snapshot log
+        dropping per-snapshot duplicate file-list storage (our manifests
+        are the JSON log itself, so this is a normalize/rewrite)."""
+        self._write_json("snapshots.json", self._read_json("snapshots.json"))
+
+    def expire_snapshots(self, retain_last: int = 3) -> list[str]:
+        """Snapshot GC (C4, LT:161-162): drop snapshots that are neither
+        referenced by a branch, an ancestor of one, nor among the most
+        recent `retain_last`. Returns expired ids."""
+        snaps = self._snapshots()
+        by_id = {s.snapshot_id: s for s in snaps}
+        live: set[str] = set()
+        for sid in self._refs().values():
+            cur = sid
+            while cur is not None and cur not in live:
+                live.add(cur)
+                cur = by_id[cur].parent_id if by_id[cur].parent_id in by_id else None
+        recent = {
+            s.snapshot_id
+            for s in sorted(snaps, key=lambda s: s.timestamp_ms)[-retain_last:]
+        }
+        keep = live | recent
+        expired = [s.snapshot_id for s in snaps if s.snapshot_id not in keep]
+        self._write_json(
+            "snapshots.json",
+            [asdict(s) for s in snaps if s.snapshot_id in keep],
+        )
+        return expired
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Orphan GC (C1, LT:158/163): delete data files not referenced
+        by any live snapshot. dry_run lists without deleting."""
+        referenced = set()
+        for s in self._snapshots():
+            referenced.update(s.files)
+        orphans = []
+        for root, _dirs, names in os.walk(self._data_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, self.location)
+                if n.endswith(".parquet") and rel not in referenced:
+                    orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                try:
+                    os.remove(os.path.join(self.location, rel))
+                except OSError:
+                    pass
+        return sorted(orphans)

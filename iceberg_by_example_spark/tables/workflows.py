@@ -1,0 +1,134 @@
+"""Composite workflows over VersionedTable — the reference's "programs".
+
+- ``ingest_day``   ≈ loadDataFile (IcebergLoadActivityTask.scala:43-82)
+- ``metadata_counts`` ≈ printTableMetadata (LT:84-97)
+- ``count_at``     ≈ countTableData (LT:113-116)
+- ``maintain``     ≈ cleanupMetadata (LT:156-165)
+- ``wap_load``     ≈ WapIceberg.loadForDate (WapIceberg.scala:20-87)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.sources.activity import (
+    ACTIVITY_SCHEMA,
+    read_activity_csv,
+    rows_with_any_null,
+)
+from iceberg_by_example_spark.tables.versioned import MAIN, VersionedTable
+
+ACTIVITY_DDL = (
+    "account string, txn_date date, txn_id string, merchant string, "
+    "amount double, category string, last_updated timestamp"
+)
+
+ACTIVITY_UPDATE_COLS = ["amount", "category", "last_updated", "txn_date"]
+
+
+def create_activity_table(
+    spark: SparkSession, location: str, if_not_exists: bool = False
+) -> VersionedTable:
+    """CREATE TABLE … PARTITIONED BY (txn_date) (reference D2, LT:17-40)."""
+    return VersionedTable.create(
+        spark,
+        location,
+        schema=ACTIVITY_DDL,
+        partition_by="txn_date",
+        properties={
+            # carried over for parity; our writer honors the format+codec
+            "write.format.default": "parquet",
+            "write.parquet.compression-codec": "zstd",
+            "write.wap.enabled": "true",
+        },
+        if_not_exists=if_not_exists,
+    )
+
+
+def ingest_day(
+    table: VersionedTable, csv_path: str, branch_label: str
+) -> None:
+    """One daily load (reference W1, LT:43-82):
+
+    staging CTAS → CSV read → append to staging → MERGE into main →
+    CREATE OR REPLACE BRANCH <label> → drop staging.
+
+    The staging table isolates the raw batch exactly like the
+    reference's ``activity_tmp`` (LT:44-49) — audits can read it before
+    the merge lands, and a failed merge leaves main untouched.
+    """
+    spark = table.spark
+    staging = VersionedTable.create(
+        spark,
+        os.path.join(table.location + "_staging"),
+        schema=ACTIVITY_DDL,
+        partition_by=None,
+    )
+    try:
+        batch = read_activity_csv(spark, csv_path)
+        staging.append(batch)
+        table.merge(
+            staging.read(),
+            on="txn_id",
+            update_cols=ACTIVITY_UPDATE_COLS,
+        )
+        table.create_branch(branch_label, from_branch=MAIN)
+    finally:
+        staging.drop()
+
+
+def count_at(table: VersionedTable, watermark: str | None = None) -> int:
+    """Row count at a branch label, or latest (reference W3/T2, LT:113-123)."""
+    return table.read(branch=watermark or MAIN).count()
+
+
+def metadata_counts(table: VersionedTable) -> dict[str, int]:
+    """Counts of the metadata tables (reference W2, LT:84-97)."""
+    return {
+        "history": table.history().count(),
+        "snapshots": table.snapshots().count(),
+        "files": table.files().count(),
+        "refs": table.refs().count(),
+    }
+
+
+def maintain(table: VersionedTable) -> dict:
+    """Maintenance pass (reference W4, LT:156-165): orphan dry-run →
+    sorted compaction → manifest rewrite → snapshot expiry → orphan GC."""
+    report = {}
+    report["orphans_dry_run"] = table.remove_orphan_files(dry_run=True)
+    # C2, LT:159: sort_order => 'account ASC NULLS LAST, txn_id DESC NULLS FIRST'
+    table.rewrite_data_files(
+        sort_order=[F.asc_nulls_last("account"), F.desc_nulls_first("txn_id")]
+    )
+    table.rewrite_manifests()
+    report["expired"] = table.expire_snapshots(retain_last=3)
+    report["orphans_removed"] = table.remove_orphan_files(dry_run=False)
+    return report
+
+
+def wap_load(table: VersionedTable, csv_path: str, wap_branch: str = "feature_branch") -> bool:
+    """Write-audit-publish (reference W5, WI:20-87).
+
+    Write the batch to a staging branch, audit it (any-column null scan,
+    WI:70-76 — column-native here), publish via fast_forward to main if
+    clean (WI:81), else drop the branch leaving main untouched (WI:84).
+    Returns True if published.
+    """
+    spark = table.spark
+    table.create_branch(wap_branch, from_branch=MAIN)
+    batch = read_activity_csv(spark, csv_path)
+    table.append(batch, branch=wap_branch)
+
+    audited = table.read(branch=wap_branch)
+    bad = rows_with_any_null(audited).count()
+    if bad == 0:
+        table.fast_forward(MAIN, wap_branch)
+        published = True
+    else:
+        published = False
+    table.drop_branch(wap_branch)
+    return published

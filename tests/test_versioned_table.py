@@ -1,0 +1,160 @@
+"""Tier-A golden invariants from the reference (SURVEY.md §5, FIXTURES.md §A).
+
+Replays the reference's full activity lifecycle — 5 daily loads with
+MERGE upserts and a branch per day, then WAP, then maintenance — and
+asserts the golden values embedded in the reference README
+(/root/reference/README.md:58-114) and count logic (LT:113-123).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.sources.activity import REFERENCE_INPUT_DIR
+from iceberg_by_example_spark.tables.versioned import MAIN, VersionedTable
+from iceberg_by_example_spark.tables.workflows import (
+    count_at,
+    create_activity_table,
+    ingest_day,
+    maintain,
+    metadata_counts,
+    wap_load,
+)
+
+DAYS = [
+    ("2024-03-02", "day1", 15),
+    ("2024-03-03", "day2", 30),
+    ("2024-03-05", "day3", 45),
+    ("2024-03-08", "day4", 47),
+    ("2024-03-09", "day5", 50),
+]
+
+
+def day_path(day: str) -> str:
+    return os.path.join(REFERENCE_INPUT_DIR, day)
+
+
+@pytest.fixture(scope="module")
+def loaded_table(spark, tmp_path_factory):
+    """The table after all five daily ingests (reference main flow)."""
+    loc = str(tmp_path_factory.mktemp("warehouse") / "activity")
+    t = create_activity_table(spark, loc)
+    for day, branch, _expected in DAYS:
+        ingest_day(t, day_path(day), branch)
+    return t
+
+
+def test_counts_per_branch(loaded_table):
+    """LT:113-123: day1=15, day2=30, day3=45, day4=47, day5=50."""
+    for _day, branch, expected in DAYS:
+        assert count_at(loaded_table, branch) == expected, branch
+    assert count_at(loaded_table) == 50  # latest
+
+
+def test_txn10_time_travel(loaded_table):
+    """README:58-88: txn10 category Jewellery@day1 → Fashion@day5/latest."""
+    def cat(branch=None):
+        df = loaded_table.read(branch=branch).filter(F.col("txn_id") == "txn10")
+        rows = df.collect()
+        assert len(rows) == 1
+        return rows[0]["category"]
+
+    assert cat("day1") == "Jewellery"
+    assert cat("day5") == "Fashion"
+    assert cat() == "Fashion"
+
+
+def test_txn44_time_travel(loaded_table):
+    """README:94-114: txn44 Hardware@day3 → Phone@latest (acc5, 1500.0)."""
+    at_day3 = (
+        loaded_table.read(branch="day3")
+        .filter(F.col("txn_id") == "txn44")
+        .collect()
+    )
+    assert len(at_day3) == 1
+    assert at_day3[0]["category"] == "Hardware"
+    assert at_day3[0]["account"] == "acc5"
+    assert at_day3[0]["amount"] == 1500.0
+
+    latest = (
+        loaded_table.read().filter(F.col("txn_id") == "txn44").collect()
+    )
+    assert latest[0]["category"] == "Phone"
+
+
+def test_flagship_groupby_account(loaded_table):
+    """README:43-45 flagship agg at latest: acc1=11, acc2=10, acc3=10,
+    acc4=10, acc5=9 (FIXTURES.md §A)."""
+    got = {
+        r["account"]: r["activity_count"]
+        for r in loaded_table.read()
+        .groupBy("account")
+        .agg(F.count("*").alias("activity_count"))
+        .collect()
+    }
+    assert got == {"acc1": 11, "acc2": 10, "acc3": 10, "acc4": 10, "acc5": 9}
+
+
+def test_merge_is_partition_granular(loaded_table):
+    """The day-4 merge (3 updates + 2 inserts) must not rewrite the
+    whole table: files from untouched partitions carry over by
+    reference across snapshots."""
+    snaps = {s.snapshot_id: s for s in loaded_table._snapshots()}
+    day3 = snaps[loaded_table._refs()["day3"]]
+    day4 = snaps[loaded_table._refs()["day4"]]
+    carried = set(day3.files) & set(day4.files)
+    assert carried, "day4 merge rewrote every file — not partition-granular"
+
+
+def test_partition_pruning_plan(loaded_table):
+    """P4 (LT:149): a txn_date predicate must prune to one partition —
+    visible as PartitionFilters in the physical scan."""
+    df = loaded_table.read().filter(
+        F.col("txn_date") == F.lit("2024-03-05").cast("date")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "txn_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_metadata_tables(loaded_table):
+    counts = metadata_counts(loaded_table)
+    # create + 5 ingests (merge each) = 6 snapshots on main's lineage
+    assert counts["snapshots"] >= 6
+    assert counts["files"] > 0
+    # refs: main + day1..day5
+    assert counts["refs"] == 6
+
+
+def test_wap_publish_and_reject(spark, tmp_path):
+    """WI:91-92: 2024-03-02 audits clean → published; 2024-03-10 has 3
+    null-bearing rows → rejected, main unchanged, branch dropped."""
+    t = create_activity_table(spark, str(tmp_path / "activity2"))
+
+    assert wap_load(t, day_path("2024-03-02")) is True
+    assert count_at(t) == 15
+
+    assert wap_load(t, day_path("2024-03-10")) is False
+    assert count_at(t) == 15  # main untouched by rejected batch
+    assert "feature_branch" not in t.branches()
+
+
+def test_maintenance(loaded_table):
+    before_files = set(loaded_table._current(MAIN).files)
+    report = maintain(loaded_table)
+    after = loaded_table._current(MAIN)
+    # compaction rewrote main's data into fresh files
+    assert set(after.files) != before_files
+    # all 50 rows survive compaction + GC
+    assert count_at(loaded_table) == 50
+    # orphan scan after expiry actually removed unreferenced files
+    assert isinstance(report["orphans_removed"], list)
+    # a second orphan pass finds nothing left to collect
+    assert loaded_table.remove_orphan_files(dry_run=True) == []
+
+
+def test_time_travel_by_snapshot_id(loaded_table):
+    refs = loaded_table._refs()
+    df = loaded_table.read(snapshot_id=refs["day2"])
+    assert df.count() == 30
