@@ -1,0 +1,305 @@
+"""Deduplication operators over ``documents`` (north-star extension).
+
+Five dedup families, each designed as the distributed-at-100TB version:
+
+- exact           — md5-keyed keep-first (hash groupBy, one shuffle)
+- ngram Jaccard   — shingle-inverted-index candidate join (never O(n²))
+- MinHash LSH     — banded signature bucketing (Spark-native impl)
+- SimHash         — 64-bit sign-aggregated fingerprint + banded hamming
+- embedding cosine— quantized-integer cosine pairs (see similarity.py)
+
+Exact and ngram-Jaccard are DuckDB-expressible → full oracle. MinHash/
+SimHash depend on Spark's xxhash64, which DuckDB lacks → rows-only
+checks, with pytest asserting their internal invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.text import fingerprint, shingles
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT d.* FROM documents d
+    WHERE d.doc_id IN (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')))
+    """,
+    category="dedup",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per normalized-content
+    fingerprint. One hash shuffle on the 32-byte digest — at 100 TB the
+    shuffle carries (digest, doc_id), not the documents; survivors
+    join back to fetch their payload."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           common / CAST(na + nb - common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.08
+    """,
+    category="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard similarity pairs via an inverted index:
+    explode shingles → self-join on shingle → count common → exact
+    Jaccard from integer set sizes. Never materializes the n² pair
+    space — only pairs sharing ≥1 shingle reach the aggregate. This is
+    the verify stage MinHash candidates feed at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles("text").alias("shingles"))
+    exploded = sh.select(
+        "doc_id",
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_sh"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jaccard = F.col("common") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.08)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup (Spark-native banded signatures)
+# ---------------------------------------------------------------------------
+
+MINHASH_PERMS = 32  # signature length
+MINHASH_BANDS = 8  # bands of 4 rows → catches jaccard ≳ 0.5 reliably
+_PRIME31 = (1 << 31) - 1  # Mersenne prime; keeps a*h+b far below 2^63
+
+
+def _minhash_signature(shingle_col):
+    """MinHash signature as an array column: for permutation i,
+    min over shingles of ((a_i * h + b_i) mod p), with h = xxhash64 of
+    the shingle folded into [0, p). Coefficients derive from the
+    permutation index — no RNG state to ship, any executor regenerates
+    them. The 31-bit modulus keeps every intermediate product inside
+    int64 (ANSI-safe)."""
+
+    def perm(i: int):
+        a = 2 * i + 1  # odd multipliers
+        b = (i * 0x9E3779B9) % _PRIME31
+        return F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: (
+                    F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_PRIME31))
+                    + F.lit(b)
+                )
+                % _PRIME31,
+            )
+        )
+
+    return F.array(*[perm(i) for i in range(MINHASH_PERMS)])
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB twin; invariants tested in pytest
+    category="dedup",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: shingle → 32-perm signature →
+    8 banded bucket keys → shuffle on (band, bucket) → pairs sharing a
+    bucket, with the estimated Jaccard from signature agreement.
+
+    Scale shape: cost is O(docs × perms) for signatures plus the
+    bucket-join — the n² pair space is never touched. The candidate
+    pairs feed dedup_ngram_jaccard-style exact verification."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", _minhash_signature(shingles("text")).alias("sig")
+    )
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(MINHASH_PERMS))
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return candidates
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 × 16-bit chunks: hamming ≤ 3 ⇒ one chunk equal
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; invariants tested in pytest
+    category="dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint where bit j is the sign of
+    the sum over tokens of ±1 (xxhash64 bit j), then candidate pairs by
+    the 4-chunk pigeonhole (hamming ≤ 3 guarantees an equal 16-bit
+    chunk) with exact hamming distance on candidates.
+
+    All bit math is integer column expressions; the token explode is
+    the only data growth and aggregates straight back down."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    # bit j contribution: +1 if hash bit set else -1
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    # Pack sign bits into a long. shiftleft wraps at bit 63 (two's
+    # complement) which is fine for a fingerprint; bitwise OR via sum
+    # is safe because the set bits are disjoint.
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{j}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunked = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.expr(
+                            f"(simhash >> {i * chunk_bits}) & {(1 << chunk_bits) - 1}"
+                        ).alias("val"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

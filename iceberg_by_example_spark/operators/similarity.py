@@ -1,0 +1,252 @@
+"""Similarity search over the ``embeddings`` table (north-star
+extension): brute-force cosine top-k as the verified baseline, and a
+random-hyperplane (sign) LSH bucketing as the scale path.
+
+Cross-engine determinism trick: cosine over *quantized integers*.
+Each float component is mapped to ``FLOOR(x * 1e6)`` (exact: float to
+double is lossless, the product is one IEEE op, FLOOR is exact), so
+dot products and norms are exact 64-bit integer sums — order-
+independent and bit-identical in Spark and DuckDB. The final
+``dot / (sqrt(na) * sqrt(nb))`` is computed from identical integers,
+giving identical doubles. Quantization error (~1e-6 relative) is far
+below any meaningful similarity delta.
+
+Everything is built-in column expressions (zip_with/aggregate inside
+codegen); no Python crosses the row path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+QUANT = 1_000_000  # |x| < 0.53 in this corpus → products stay << 2^53
+
+
+def _qdot(a, b) -> Column:
+    """Exact integer dot product of two quantized float arrays.
+
+    The float component is cast to double *before* scaling: Spark
+    would otherwise multiply in float precision while DuckDB promotes
+    to double, giving different FLOOR results.
+
+    Twin: ``LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a, b), s ->
+    CAST(FLOOR(CAST(s[1] AS DOUBLE)*1e6) AS BIGINT) *
+    CAST(FLOOR(CAST(s[2] AS DOUBLE)*1e6) AS BIGINT)))``
+    """
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * QUANT)
+        * F.floor(y.cast("double") * QUANT),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _qnorm2(a) -> Column:
+    """Exact integer squared norm of a quantized float array."""
+    return _qdot(a, a)
+
+
+def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return dot.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+_DOT_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000000) AS BIGINT)"
+    " * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000000) AS BIGINT)))"
+)
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             CAST({_DOT_SQL.format(a='e.embedding', b='q.qe')} AS DOUBLE)
+               / (SQRT(CAST({_DOT_SQL.format(a='e.embedding', b='e.embedding')} AS DOUBLE))
+                  * SQRT(CAST({_DOT_SQL.format(a='q.qe', b='q.qe')} AS DOUBLE))) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != 0)
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    category="similarity",
+    bench=True,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (vec_id=0): the
+    exact ANN baseline. The 1-row query side broadcasts; the corpus
+    scan is embarrassingly parallel; TakeOrderedAndProject keeps only
+    k rows per partition. Per-query cost is O(n·d) — the LSH/IVF
+    variants below are the 100 TB path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        _cosine(
+            _qdot(F.col("embedding"), F.col("qe")),
+            _qnorm2(F.col("embedding")),
+            _qnorm2(F.col("qe")),
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST({_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+            / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= 0.35
+    """,
+    category="dedup",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs by exact cosine ≥ 0.35 — the
+    all-pairs *verification* operator. O(n²) by nature, so at scale it
+    runs only on LSH candidates (sim_lsh_buckets); here it doubles as
+    the oracle-checkable exact reference."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _qnorm2(F.col("embedding")).alias("n2"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = _cosine(
+        _qdot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing (the ANN scale path) — deterministic hyperplanes
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _planes() -> list[list[int]]:
+    """N_PLANES pseudo-random ±1 hyperplanes from a fixed seed. The
+    same literals are embedded in the oracle SQL, so bucket ids match
+    across engines exactly."""
+    rng = random.Random(42)
+    return [[rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+PLANES = _planes()
+
+
+def _bucket_expr(emb) -> Column:
+    """LSH bucket id: bit j = sign of the quantized dot with plane j."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(PLANES):
+        w = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                w,
+                lambda x, s: F.floor(x.cast("double") * QUANT) * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for j, plane in enumerate(PLANES):
+        w = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = (
+            f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP({emb}, {w}), "
+            f"s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*{QUANT}) AS BIGINT)"
+            f" * CAST(s[2] AS BIGINT)))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM bucketed GROUP BY bucket
+    """,
+    category="similarity",
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment — the ANN scale path.
+    8 sign bits → 256 buckets; a query probes only its bucket
+    (plus neighbors for recall), cutting candidate sets ~256×. The
+    hyperplanes are seed-derived literals, so assignment is
+    reproducible anywhere (and oracle-checkable)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "label", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+@register(
+    "sim_lsh_ann_topk",
+    oracle=None,  # composite LSH probe; exactness covered by sim_topk_cosine
+    category="similarity",
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score the query only against its LSH bucket's
+    members — the per-query cost drops from O(n) to O(n / buckets).
+    Returns (vec_id, cosine) for the query's bucket, top-10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != 0)
+    scored = cands.select(
+        "vec_id",
+        _cosine(
+            _qdot(F.col("embedding"), F.col("qe")),
+            _qnorm2(F.col("embedding")),
+            _qnorm2(F.col("qe")),
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)

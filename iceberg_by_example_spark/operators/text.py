@@ -1,0 +1,183 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension; gap §2.13 — the reference has no string functions at all).
+
+Language ID, quality scoring, token statistics, and fingerprinting —
+each a pure column-expression pipeline (no Python in the hot path) with
+a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    normalize,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({words})))"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct_tokens,
+           (LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1)
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+    category="text",
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, mean token
+    length — the unit economics of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct_tokens"),
+        (
+            (F.length("text") - n_tok + 1) / n_tok.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_stop_hits('en')} AS hits_en,
+             {_sql_stop_hits('es')} AS hits_es,
+             {_sql_stop_hits('de')} AS hits_de,
+             {_sql_stop_hits('fr')} AS hits_fr,
+             {_sql_stop_hits('zh')} AS hits_zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'und'
+                WHEN hits_en >= GREATEST(hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+                WHEN hits_es >= GREATEST(hits_de, hits_fr, hits_zh) THEN 'es'
+                WHEN hits_de >= GREATEST(hits_fr, hits_zh) THEN 'de'
+                WHEN hits_fr >= hits_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           hits_en, hits_es, hits_de, hits_fr, hits_zh
+    FROM scored
+    """,
+    category="text",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): score
+    each language's stopword hits, argmax with a fixed tie-break order.
+    One pass, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lang: stopword_hits("text", lang) for lang in STOPWORDS}
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+    h = {lang: F.col(f"hits_{lang}") for lang in STOPWORDS}
+    predicted = (
+        F.when(
+            F.greatest(h["en"], h["es"], h["de"], h["fr"], h["zh"]) == 0, "und"
+        )
+        .when(h["en"] >= F.greatest(h["es"], h["de"], h["fr"], h["zh"]), "en")
+        .when(h["es"] >= F.greatest(h["de"], h["fr"], h["zh"]), "es")
+        .when(h["de"] >= F.greatest(h["fr"], h["zh"]), "de")
+        .when(h["fr"] >= h["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        *[F.col(f"hits_{lang}") for lang in STOPWORDS],
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             {_sql_stop_hits('en')} AS stop_hits,
+             LENGTH(text) AS n_chars
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           n_distinct / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+           stop_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           LEAST(n_tokens / 256.0, 1.0) AS length_score,
+           0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (stop_hits / CAST(n_tokens AS DOUBLE))
+             + 0.3 * LEAST(n_tokens / 256.0, 1.0) AS quality_score
+    FROM m
+    """,
+    category="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality heuristic: lexical diversity +
+    stopword plausibility + length saturation (the pre-training filter
+    shape). Identical formula text on both engines → identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_distinct = F.size(F.array_distinct(tokens("text")))
+    stop = stopword_hits("text", "en")
+    m = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        stop.alias("stop_hits"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    swr = F.col("stop_hits") / F.col("n_tokens").cast("double")
+    length_score = F.least(F.col("n_tokens") / 256.0, F.lit(1.0))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("type_token_ratio"),
+        swr.alias("stopword_ratio"),
+        length_score.alias("length_score"),
+        (0.5 * ttr + 0.2 * swr + 0.3 * length_score).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp,
+           SUBSTR(MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 — bit-identical across
+    engines; the exact-dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )

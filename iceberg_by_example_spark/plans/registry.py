@@ -64,6 +64,10 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.plans.setops",
     "iceberg_by_example_spark.plans.scalar",
     "iceberg_by_example_spark.tables.demo",
+    "iceberg_by_example_spark.operators.text",
+    "iceberg_by_example_spark.operators.dedup",
+    "iceberg_by_example_spark.operators.similarity",
+    "iceberg_by_example_spark.operators.multimodal",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Invariant tests for the LLM-data operators whose internals aren't
+DuckDB-expressible (MinHash/SimHash use xxhash64; the multimodal decode
+stub is engine-internal). These assert the *mathematical* properties the
+rows-only driver check can't see.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.text import shingles
+from iceberg_by_example_spark.operators.dedup import (
+    MINHASH_PERMS,
+    _minhash_signature,
+)
+from iceberg_by_example_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    decode_binary_batches,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_C = "completely different words about spark query engines and parquet files here"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (3, DOC_B), (4, DOC_C)],
+        "doc_id long, text string",
+    )
+
+
+def _signatures(docs):
+    rows = docs.select(
+        "doc_id", _minhash_signature(shingles("text")).alias("sig")
+    ).collect()
+    return {r["doc_id"]: r["sig"] for r in rows}
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = _signatures(docs)
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == MINHASH_PERMS
+
+
+def test_minhash_similar_docs_mostly_agree(docs):
+    """DOC_A/DOC_B differ by one trailing token: true 3-shingle Jaccard
+    ≈ 0.75, so most signature positions must agree; an unrelated doc
+    must agree almost nowhere."""
+    sigs = _signatures(docs)
+    agree_ab = sum(x == y for x, y in zip(sigs[1], sigs[3])) / MINHASH_PERMS
+    agree_ac = sum(x == y for x, y in zip(sigs[1], sigs[4])) / MINHASH_PERMS
+    assert agree_ab > 0.5
+    assert agree_ac < 0.25
+    assert agree_ab > agree_ac
+
+
+def test_minhash_lsh_finds_near_dups(spark, tmp_path):
+    """End-to-end: a corpus with a planted near-duplicate pair must
+    surface exactly that pair as a candidate."""
+    from iceberg_by_example_spark.operators.dedup import dedup_minhash_lsh
+
+    corpus = spark.createDataFrame(
+        [(i, DOC_C.replace("spark", f"w{i}")) for i in range(10)]
+        + [(100, DOC_A), (101, DOC_B)],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert (100, 101) in pairs
+
+
+def test_simhash_hamming_properties(spark, tmp_path):
+    """Identical docs → hamming 0; near-identical → candidates."""
+    from iceberg_by_example_spark.operators.dedup import dedup_simhash
+
+    corpus = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (3, DOC_B)], "doc_id long, text string"
+    )
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 6
+
+
+def test_multimodal_decode_batches(spark):
+    """The mapInPandas decode path: batch shape, schema, determinism."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 300))],
+        "doc_id long, payload binary",
+    )
+    out = df.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["payload_bytes"] == 100
+    assert rows[1]["width"] == 64 + 100 % 64
+    assert rows[2]["height"] == 64 + (300 // 64) % 64
+    assert rows[1]["channels"] == 3
+    # determinism: second run identical
+    rows2 = {r["doc_id"]: r for r in out.collect()}
+    assert rows == rows2
+
+
+def test_lsh_ann_consistent_with_bruteforce(spark):
+    """Every (vec_id, cosine) the LSH probe returns must equal the
+    brute-force cosine for that vec_id — LSH changes recall, never
+    scores."""
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_lsh_ann_topk,
+        sim_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in sim_topk_cosine(spark, sf).collect()
+    }
+    ann = {
+        r["vec_id"]: r["cosine"] for r in sim_lsh_ann_topk(spark, sf).collect()
+    }
+    for vec_id, cos in ann.items():
+        if vec_id in brute:
+            assert cos == brute[vec_id]
