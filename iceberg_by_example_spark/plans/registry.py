@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.operators.dedup",
     "iceberg_by_example_spark.operators.similarity",
     "iceberg_by_example_spark.operators.multimodal",
+    "iceberg_by_example_spark.streaming.events",
 ]
 
 

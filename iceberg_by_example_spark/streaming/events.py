@@ -1,0 +1,133 @@
+"""Event-time windowing over the ``events`` table (gap §2.13 — the
+reference has no streaming constructs at all; "watermark" at LT:113 is
+just a branch-label variable).
+
+The window operators are defined once and run in BOTH modes:
+- batch (registered here with DuckDB oracles — the correctness gate)
+- Structured Streaming (tests/test_streaming.py drives the same
+  transformations through readStream → memory sink with a watermark)
+
+That duality is the point: ``F.window``/``F.session_window`` plans are
+mode-agnostic, so the verified batch semantics carry to the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.exact import dsum
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """5-minute tumbling windows per event_type: count + exact sum.
+    Used identically by the batch query below and the streaming test."""
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS w_start,
+           TIME_BUCKET(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    category="streaming",
+    bench=True,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (epoch-aligned, same flooring as
+    DuckDB's time_bucket)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+      FROM events)
+    SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 10-minute span / 5-minute slide: every event
+    lands in exactly two windows (the oracle materializes the same two
+    shifted bucket starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    category="streaming",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user.
+    ``F.session_window`` merges adjacent events server-side; the oracle
+    reconstructs the same islands with a lag/cumsum. Session end is
+    last-event + gap in both."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,153 @@
+"""Structured Streaming slice: the same window transformations that the
+oracle verifies in batch mode, driven through readStream → memory sink,
+plus a watermark/late-data check and a custom stateful operator
+(applyInPandasWithState).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.streaming.events import tumbling_counts
+from iceberg_by_example_spark.streaming.stateful import (
+    RUNNING_COUNT_OUTPUT,
+    RUNNING_COUNT_STATE,
+    running_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """A file-source stream over a bounded copy of the events table —
+    maxFilesPerTrigger drips the files in so multiple microbatches run."""
+    src = str(tmp_path / "events_stream")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.parquet(src)
+    schema = events.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        events,
+    )
+
+
+def test_stream_tumbling_matches_batch(spark, event_stream):
+    """The streaming run of tumbling_counts must converge to exactly the
+    batch result — same plan, two execution modes."""
+    stream_df, batch_df = event_stream
+    q = (
+        tumbling_counts(stream_df.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(batch_df).collect()
+    }
+    assert got == want
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode with a watermark: a row older than the advanced
+    watermark must not create a new window. Two files arrive in order;
+    the second contains one fresh row (advancing the watermark far
+    ahead) — then a third file replays an old timestamp."""
+    src = str(tmp_path / "late_stream")
+    schema = "ts timestamp, v long"
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, "ts string, v long").selectExpr(
+            "CAST(ts AS TIMESTAMP) AS ts", "v"
+        ).write.mode("append").parquet(src)
+
+    write_rows([("2024-01-01 00:01:00", 1), ("2024-01-01 00:02:00", 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time by a day → finalizes the first window
+        write_rows([("2024-01-02 00:00:00", 1)])
+        q.processAllAvailable()
+        # replay an hours-late row into the long-closed first window
+        write_rows([("2024-01-01 00:01:30", 99)])
+        q.processAllAvailable()
+        rows = {
+            r["w_start"].isoformat(): r["n"]
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+    finally:
+        q.stop()
+    # the finalized 00:00 window has exactly the 2 on-time rows; the
+    # late replay was dropped by the watermark, not double-counted
+    assert rows.get("2024-01-01T00:00:00") == 2
+
+
+def test_apply_in_pandas_with_state(spark, event_stream):
+    """applyInPandasWithState: cumulative per-user counts must converge
+    to the batch groupBy count despite arriving over many microbatches."""
+    stream_df, batch_df = event_stream
+    out = (
+        stream_df.groupBy("user_id")
+        .applyInPandasWithState(
+            running_count,
+            outputStructType=RUNNING_COUNT_OUTPUT,
+            stateStructType=RUNNING_COUNT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # last emitted value per user is the final running count
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in spark.sql(
+                """
+                SELECT user_id, MAX(n_events) AS n_events
+                FROM state_test GROUP BY user_id
+                """
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_df.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
