@@ -1,0 +1,166 @@
+"""Custom join operators the reference (and stock Spark SQL) lack:
+as-of join and interval/range join — implemented as compositions of
+existing DataFrame ops (SURVEY.md §4: nothing here needs a Catalyst
+rule).
+
+The as-of join is the union-and-carry construction: instead of a
+per-row lookup (O(n·m)) or a range self-join, both sides are unioned,
+sorted within each key partition, and the most recent left-side value
+is carried forward with ``last(ignorenulls)`` — one shuffle on the key,
+linear work, no skew amplification. This is the standard distributed
+as-of shape (it's what time-series stores do under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    carry_cols: list[str],
+    right_time_alias: str = "matched_ts",
+) -> DataFrame:
+    """For each row of ``left``, attach the latest row of ``right`` with
+    the same ``on`` key and ``right.time_col <= left.time_col``.
+
+    Equal timestamps match (right sorts before left at ties). Columns
+    in ``carry_cols`` are taken from the matched right row; unmatched
+    left rows get NULLs (left-outer as-of semantics).
+    """
+    r = right.select(
+        F.col(on),
+        F.col(time_col),
+        F.lit(0).alias("_side"),
+        F.col(time_col).alias(right_time_alias),
+        *[F.col(c) for c in carry_cols],
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema[right_time_alias].dataType).alias(
+            right_time_alias
+        ),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+            for c in carry_cols
+        ],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in [right_time_alias, *carry_cols]
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", right_time_alias, *carry_cols)
+        .select(
+            *[c for c in left.columns],
+            *[
+                F.col(f"_carried_{c}").alias(c)
+                for c in [right_time_alias, *carry_cols]
+            ],
+        )
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           v.event_id AS view_event_id,
+           EPOCH_US(p.ts) - EPOCH_US(v.ts) AS usecs_since_view
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    category="join",
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior 'view' event. DuckDB verifies with its native ASOF JOIN;
+    Spark-side it is the union-and-carry composition above."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views.withColumnRenamed("event_id", "view_event_id"),
+        on="user_id",
+        time_col="ts",
+        carry_cols=["view_event_id"],
+        right_time_alias="view_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias(
+            "usecs_since_view"
+        ),
+    )
+
+
+@register(
+    "join_range_shipwindow",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           COUNT(l.l_linenumber) AS lines_in_window,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty_in_window
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    category="join",
+)
+def join_range_shipwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: lines shipped within 30 days of their order date.
+    The equi-key (orderkey) drives the shuffle; the range predicate is
+    evaluated post-match, so this never degenerates into the O(n·m)
+    pure-range cross product."""
+    from iceberg_by_example_spark.functions.exact import dsum
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("l_linenumber").alias("lines_in_window"),
+            dsum("l_quantity").alias("qty_in_window"),
+        )
+    )

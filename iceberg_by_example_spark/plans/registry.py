@@ -69,6 +69,10 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.operators.similarity",
     "iceberg_by_example_spark.operators.multimodal",
     "iceberg_by_example_spark.streaming.events",
+    "iceberg_by_example_spark.operators.joins",
+    "iceberg_by_example_spark.plans.reshape",
+    "iceberg_by_example_spark.plans.udfs",
+    "iceberg_by_example_spark.sources.csv_query",
 ]
 
 

@@ -1,0 +1,55 @@
+"""CSV source parity query (reference S1, LT:51-63).
+
+The driver corpus is parquet-only, so this query round-trips a table
+through CSV — write with header, read back with an *explicit* schema
+(the reference's pattern: inferSchema is dead config there, LT:53-54,
+and schema inference is an extra full scan nobody wants at 100 TB) —
+then aggregates. The oracle reads the original parquet: if the CSV
+reader mangled types or values, the hashes diverge.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.exact import dsum
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+SUPPLIER_SCHEMA = (
+    "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+)
+
+
+@register(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    category="source",
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV (header) → explicit-schema CSV read → aggregate."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        supplier.write.mode("overwrite").option("header", "true").csv(out)
+        back = (
+            spark.read.format("csv")
+            .option("header", "true")
+            .schema(SUPPLIER_SCHEMA)
+            .load(out)
+        )
+        result = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n"), dsum("s_acctbal").alias("total_bal")
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,84 @@
+"""Invariants for operators whose outputs aren't oracle-hashable."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL estimate must sit within ~3x the configured rsd of exact."""
+    from iceberg_by_example_spark.plans.reshape import agg_approx_distinct
+
+    rows = agg_approx_distinct(spark, SF).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_parts"]
+        approx = r["approx_parts"]
+        assert abs(approx - exact) <= max(3, 0.06 * exact), r
+
+
+def test_asof_join_matches_window_free_reference(spark):
+    """Cross-check the union-and-carry as-of join against a brute-force
+    per-row max lookup on a small slice."""
+    from iceberg_by_example_spark.operators.joins import join_asof_events
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    got = {
+        r["event_id"]: r["view_event_id"]
+        for r in join_asof_events(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    views = [
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in ev.filter(F.col("event_type") == "view").collect()
+    ]
+    purchases = [
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+    ]
+    for user, ts, eid in purchases[:100]:
+        cands = [(vts, vid) for vu, vts, vid in views if vu == user and vts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
+    """Co-located join: bucketed tables joined on the bucket key must
+    produce a plan with no Exchange above either scan — the 100 TB
+    repeated-join pattern."""
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_bkt")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("customer_bkt")
+    # Force the sort-merge path (at test scale the planner would
+    # broadcast, hiding the bucketing effect this asserts).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan.replace(
+            "Exchange hashpartitioning", "ShuffleExchange"
+        ), plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
