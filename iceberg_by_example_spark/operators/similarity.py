@@ -223,6 +223,70 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_topk",
+    oracle=None,  # KMeans training isn't SQL; score-consistency in pytest
+    category="similarity",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans partitions the corpus into
+    cells; a query scores only the ``NPROBE`` cells whose centroids are
+    nearest — the index shape behind FAISS-style ANN, here as a plain
+    DataFrame pipeline (fit once, assign with the model's transform,
+    probe with a semi-join).
+
+    Scale: training samples/iterates distributedly; assignment is one
+    map; the probe reads ~NPROBE/K of the corpus. Rebuild cadence is a
+    pipeline concern (the model is just a small broadcast table of
+    centroids)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    K, NPROBE = 16, 4
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=K, seed=42, featuresCol="features").fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    # rank cells by centroid distance to the query, keep NPROBE
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            _qdot(F.col("centroid"), F.col("qe")).alias("cdot"),
+            _qnorm2(F.col("centroid")).alias("cn2"),
+            _qnorm2(F.col("qe")).alias("qn2"),
+        )
+        .select("cell", _cosine(F.col("cdot"), F.col("cn2"), F.col("qn2")).alias("csim"))
+        .orderBy(F.desc("csim"))
+        .limit(NPROBE)
+        .select("cell")
+    )
+    cands = assigned.join(F.broadcast(probe_cells), "cell").filter(
+        F.col("vec_id") != 0
+    )
+    scored = cands.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "cell",
+        _cosine(
+            _qdot(F.col("embedding"), F.col("qe")),
+            _qnorm2(F.col("embedding")),
+            _qnorm2(F.col("qe")),
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@register(
     "sim_lsh_ann_topk",
     oracle=None,  # composite LSH probe; exactness covered by sim_topk_cosine
     category="similarity",

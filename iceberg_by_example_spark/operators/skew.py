@@ -1,0 +1,86 @@
+"""Skew-handling operators: salted joins and two-phase aggregation.
+
+At 100 TB a hot key turns one shuffle partition into the job's critical
+path. Two standard remedies, both expressed declaratively so the
+results stay oracle-identical to their unsalted forms:
+
+- **Salted join**: replicate the (small) dim side across SALT buckets
+  and route fact rows by a deterministic salt, so a hot key's rows
+  spread over SALT reducers instead of one.
+- **Two-phase aggregation**: partial-aggregate on (key, salt), then
+  final-aggregate on key — the hot key's partials combine in parallel.
+
+AQE's skew-join splitting (enabled in session.py) handles much of this
+automatically at runtime; explicit salting remains the tool when the
+skew is in the *aggregation* key or the planner lacks statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.exact import dsum
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+SALT = 16
+
+
+@register(
+    "join_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type, d.user_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    category="join",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join. The salt is ``event_id % SALT`` —
+    deterministic (reruns give identical routing; no rand() in the
+    plan). The dim side explodes x SALT and the join key becomes
+    (user_id, salt); the result is provably identical to the plain
+    join, which is exactly what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    fact_salted = ev.withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+    return fact_salted.join(
+        dim_salted, ["user_id", "salt"]
+    ).select("event_id", "user_id", "event_type", "user_events")
+
+
+@register(
+    "agg_two_phase_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    category="agg",
+)
+def agg_two_phase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase aggregation over a low-cardinality (hence hot) key:
+    phase 1 aggregates (event_type, salt) — 16-way parallel even for a
+    single key; phase 2 combines the partials. Counts and quantized
+    sums are associative, so the result equals the direct group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias(
+                "pq"
+            ),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pq") / F.lit(1_000_000.0)).alias("total_value"),
+    )

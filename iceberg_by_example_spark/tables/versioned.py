@@ -189,8 +189,15 @@ class VersionedTable:
                     )
         return sorted(rel)
 
-    def append(self, df: DataFrame, branch: str = MAIN) -> Snapshot:
-        """Append (reference S6, LT:64-67: DataFrameWriterV2.append)."""
+    def append(
+        self, df: DataFrame, branch: str = MAIN, merge_schema: bool = False
+    ) -> Snapshot:
+        """Append (reference S6, LT:64-67: DataFrameWriterV2.append with
+        ``.option("mergeSchema","true")`` — pass ``merge_schema=True``
+        for that behavior: new columns in ``df`` widen the table schema;
+        old files read NULL for them)."""
+        if merge_schema:
+            self._merge_schema(df)
         new_files = self._write_data(df)
         cur = self._current(branch)
         return self._commit(
@@ -199,6 +206,28 @@ class VersionedTable:
             cur.files + new_files,
             {"added-files": len(new_files)},
         )
+
+    def _merge_schema(self, df: DataFrame) -> None:
+        """Schema evolution: add ``df``'s new columns (as nullable) to
+        the declared DDL. Type changes are rejected — same stance as
+        Iceberg's safe evolution."""
+        meta = self.table_meta
+        current = {}
+        for part in meta["schema"].split(","):
+            name, _, typ = part.strip().partition(" ")
+            current[name] = typ
+        added = []
+        for name, typ in df.dtypes:
+            if name not in current:
+                added.append(f"{name} {typ}")
+            elif current[name] != typ:
+                raise ValueError(
+                    f"type change for column {name!r}: "
+                    f"{current[name]} -> {typ} (unsupported)"
+                )
+        if added:
+            meta["schema"] = meta["schema"] + ", " + ", ".join(added)
+            self._write_json("table.json", meta)
 
     def merge(
         self,

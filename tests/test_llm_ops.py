@@ -108,6 +108,25 @@ def test_multimodal_decode_batches(spark):
     assert rows == rows2
 
 
+def test_ivf_ann_consistent_with_bruteforce(spark):
+    """IVF probe scores must equal brute-force cosines for any vec_id
+    both return — clustering changes recall, never scores."""
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_ivf_topk,
+        sim_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        r["vec_id"]: r["cosine"] for r in sim_topk_cosine(spark, sf).collect()
+    }
+    ivf = {r["vec_id"]: r["cosine"] for r in sim_ivf_topk(spark, sf).collect()}
+    assert ivf, "IVF probe returned nothing"
+    for vec_id, cos in ivf.items():
+        if vec_id in brute:
+            assert cos == brute[vec_id]
+
+
 def test_lsh_ann_consistent_with_bruteforce(spark):
     """Every (vec_id, cosine) the LSH probe returns must equal the
     brute-force cosine for that vec_id — LSH changes recall, never

@@ -158,3 +158,27 @@ def test_time_travel_by_snapshot_id(loaded_table):
     refs = loaded_table._refs()
     df = loaded_table.read(snapshot_id=refs["day2"])
     assert df.count() == 30
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Reference S6 appends with mergeSchema=true (LT:65-66): a batch
+    with a new column widens the schema; old rows read NULL for it."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "evolving"), schema="id bigint, name string"
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string"))
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "id bigint, name string, score double"
+        ),
+        merge_schema=True,
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    # type change is rejected (safe evolution only)
+    with pytest.raises(ValueError, match="type change"):
+        t.append(
+            spark.createDataFrame([(4, "d", "oops")], "id bigint, name string, score string"),
+            merge_schema=True,
+        )
