@@ -74,6 +74,7 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.plans.udfs",
     "iceberg_by_example_spark.sources.csv_query",
     "iceberg_by_example_spark.operators.skew",
+    "iceberg_by_example_spark.plans.analytics",
 ]
 
 
