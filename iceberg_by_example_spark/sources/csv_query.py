@@ -26,6 +26,37 @@ SUPPLIER_SCHEMA = (
 
 
 @register(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+    category="source",
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSON-lines → explicit-schema JSON read → aggregate
+    (same oracle-checked round-trip pattern as CSV, for the second
+    text format a lake ingests)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="json_roundtrip_")
+    try:
+        nation.write.mode("overwrite").json(out)
+        back = (
+            spark.read.format("json")
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .load(out)
+        )
+        result = back.groupBy("n_regionkey").agg(
+            F.count("*").alias("n"), F.min("n_name").alias("first_nation")
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "csv_source_roundtrip",
     oracle="""
     SELECT s_nationkey,

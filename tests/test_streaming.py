@@ -151,3 +151,81 @@ def test_apply_in_pandas_with_state(spark, event_stream):
         for r in batch_df.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_into_versioned_table(spark, tmp_path):
+    """foreachBatch → VersionedTable: every microbatch is one snapshot;
+    the final table equals the batch source; history shows the commits."""
+    from iceberg_by_example_spark.streaming.ingest import stream_append
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    src = str(tmp_path / "stream_src")
+    events = load_table(spark, SF, "events")
+    events.repartition(3).write.parquet(src)
+
+    table = VersionedTable.create(
+        spark,
+        str(tmp_path / "events_lake"),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_append(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert table.read().count() == events.count()
+    # one snapshot per non-empty microbatch (3 files) + create
+    ops = [s.operation for s in table._snapshots()]
+    assert ops.count("append") == 3
+    # snapshot isolation: the first commit alone has fewer rows
+    first_append = [
+        s for s in table._snapshots() if s.operation == "append"
+    ][0]
+    assert 0 < len(first_append.files) < len(table._current().files) + 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event_ids inside the
+    watermark horizon are emitted once."""
+    src = str(tmp_path / "dup_src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "event_id long, ts string").selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts"
+        ).write.mode("append").parquet(src)
+
+    write_batch([(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:30")])
+    write_batch([(1, "2024-01-01 00:00:05"), (3, "2024-01-01 00:01:00")])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]

@@ -182,3 +182,38 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
             spark.createDataFrame([(4, "d", "oops")], "id bigint, name string, score string"),
             merge_schema=True,
         )
+
+
+def test_merge_partition_migration(spark, tmp_path):
+    """Reference M1 updates the partition column itself (LT:73 sets
+    txn_date): a matched row must migrate to its new partition and
+    vanish from the old one."""
+    t = create_activity_table(spark, str(tmp_path / "migrate"))
+    day1 = spark.createDataFrame(
+        [("acc1", "2024-03-02", "t1", "Shop", 10.0, "Misc", "2024-03-02 10:00:00"),
+         ("acc2", "2024-03-02", "t2", "Cafe", 5.0, "Food", "2024-03-02 11:00:00")],
+        "account string, txn_date string, txn_id string, merchant string, "
+        "amount double, category string, last_updated string",
+    ).selectExpr(
+        "account", "CAST(txn_date AS DATE) AS txn_date", "txn_id", "merchant",
+        "amount", "category", "CAST(last_updated AS TIMESTAMP) AS last_updated",
+    )
+    t.append(day1)
+    # t1 re-sent with a corrected txn_date → must move partitions
+    fix = spark.createDataFrame(
+        [("acc1", "2024-03-09", "t1", "Shop", 10.0, "Misc", "2024-03-09 09:00:00")],
+        "account string, txn_date string, txn_id string, merchant string, "
+        "amount double, category string, last_updated string",
+    ).selectExpr(
+        "account", "CAST(txn_date AS DATE) AS txn_date", "txn_id", "merchant",
+        "amount", "category", "CAST(last_updated AS TIMESTAMP) AS last_updated",
+    )
+    t.merge(fix, on="txn_id",
+            update_cols=["amount", "category", "last_updated", "txn_date"])
+
+    from pyspark.sql import functions as F2
+    rows = {r["txn_id"]: str(r["txn_date"]) for r in t.read().collect()}
+    assert rows == {"t1": "2024-03-09", "t2": "2024-03-02"}
+    # the physical file for t1 lives under the new partition dir
+    t1_files = [f for f in t._current().files if "txn_date=2024-03-09" in f]
+    assert t1_files, t._current().files
