@@ -122,3 +122,50 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS s2
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(s1 AS DOUBLE) / 100.0 / n AS mean_qty,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             / 10000.0 / (n - 1) AS var_qty,
+           SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             / 10000.0 / (n - 1)) AS stddev_qty
+    FROM m
+    """,
+    category="agg",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variance/stddev from exact integer moments:
+    quantize to cents, accumulate Σx and Σx² as int64 (associative,
+    order-free), then one fixed-order double formula. Built-in
+    var_samp over doubles is order-dependent across engines; this
+    construction is reproducible anywhere — and it's the
+    single-pass two-moment method a distributed engine wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n")
+    var = (s2d - s1d * s1d / n) / 10000.0 / (n - 1)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (s1d / 100.0 / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
