@@ -216,6 +216,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates
 
 
+@register(
+    "dedup_pipeline_lsh_verified",
+    oracle=None,  # candidate set depends on xxhash64; recall tested in pytest
+    category="dedup",
+)
+def dedup_pipeline_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline, composed end-to-end:
+    MinHash-LSH candidate generation (cheap, high recall) → exact
+    Jaccard verification on candidates only (array_intersect over the
+    two shingle sets — O(candidates), never O(n²)) → survivors =
+    true near-dups with their exact score.
+
+    At 100 TB this is the only tractable shape: the n² pair space is
+    touched nowhere; LSH bounds candidates, and the verify join is a
+    key-join on doc ids."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles("text").alias("sh"))
+    candidates = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -147,3 +147,23 @@ def test_lsh_ann_consistent_with_bruteforce(spark):
     for vec_id, cos in ann.items():
         if vec_id in brute:
             assert cos == brute[vec_id]
+
+
+def test_dedup_pipeline_finds_planted_dups(spark, tmp_path):
+    """End-to-end LSH→verify pipeline: planted near-dup recovered with
+    its exact Jaccard; unrelated docs absent."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_pipeline_lsh_verified,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, DOC_C.replace("spark", f"w{i}")) for i in range(10)]
+        + [(100, DOC_A), (101, DOC_B)],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup_pipeline_lsh_verified(spark, sf_dir).collect()}
+    assert (100, 101) in rows
+    assert 0.5 <= rows[(100, 101)] < 1.0

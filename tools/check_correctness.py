@@ -6,18 +6,20 @@ canonical value multiset. Stricter than (or equal to) any reasonable
 hash comparison the driver does — if this passes, the driver's should.
 
 Usage: python tools/check_correctness.py [name ...]
+       CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
