@@ -102,6 +102,100 @@ def decode_binary_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, scale double"
+
+
+def resize_metadata_batches(
+    pdfs: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """STUB resize: a real build decodes and resamples pixels here
+    (PIL ``Image.resize``). The metadata transform — fit the longer
+    side to 224 preserving aspect — is the real logic and is what
+    downstream partitioning/batching depends on."""
+    target = 224
+    for pdf in pdfs:
+        longer = pdf[["width", "height"]].max(axis=1)
+        scale = target / longer
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (pdf["width"] * scale).round().astype("int32"),
+                "height": (pdf["height"] * scale).round().astype("int32"),
+                "scale": scale,
+            }
+        )
+
+
+FRAMES_SCHEMA = "doc_id long, frame_no int, frame_offset_bytes long"
+
+
+def frame_sample_batches(
+    pdfs: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: a real build demuxes video here (pyav).
+    One input row fans out to N frame rows — the row-explosion shape —
+    sampling every ~256 bytes of payload as a stand-in for every Nth
+    frame. Deterministic from the payload length."""
+    stride = 256
+    for pdf in pdfs:
+        out_ids, out_nos, out_offs = [], [], []
+        for doc_id, n in zip(pdf["doc_id"], pdf["payload_bytes"]):
+            for i, off in enumerate(range(0, int(n), stride)):
+                out_ids.append(doc_id)
+                out_nos.append(i)
+                out_offs.append(off)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "frame_no": out_nos,
+                "frame_offset_bytes": out_offs,
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # stub codec; metadata math checked in pytest
+    category="multimodal",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize fan-out: decode dims → aspect-preserving resize-to-224
+    metadata (stub pixels). Chains two mapInPandas stages — the
+    multi-step media pipeline shape."""
+    d = load_table(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    decoded = binary_df.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
+    resized = decoded.mapInPandas(resize_metadata_batches, RESIZED_SCHEMA)
+    return resized.select(
+        "doc_id", "width", "height", F.round("scale", 6).alias("scale")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(i * 256 AS BIGINT) AS frame_offset_bytes
+    FROM f, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, CAST(CEIL(n / 256.0) AS BIGINT) - 1)) AS i)
+    """,
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one asset row → N frame rows (every 256-byte
+    stride stands in for every Nth video frame). The fan-out runs in
+    mapInPandas; the oracle reproduces the arithmetic with a lateral
+    series — so even the stubbed sampler is hash-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with_len = binary_df.select(
+        "doc_id", F.octet_length("payload").alias("payload_bytes")
+    )
+    return with_len.mapInPandas(frame_sample_batches, FRAMES_SCHEMA)
+
+
 @register(
     "multimodal_decode_stats",
     oracle=None,  # stubbed decoder is engine-internal; invariants in pytest

@@ -143,6 +143,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embed_normalize",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings)
+    SELECT vec_id, label,
+           ROUND(CAST(embedding[1] AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE) / 1e12), 6)
+             AS unit_first,
+           ROUND(CAST(embedding[64] AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE) / 1e12), 6)
+             AS unit_last,
+           ROUND(SQRT(CAST(n2 AS DOUBLE) / 1e12), 6) AS l2_norm
+    FROM n
+    """,
+    category="similarity",
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization (the preprocessing step before any cosine
+    index): L2 norm from the exact quantized dot product, spot-checking
+    the first/last normalized components. (The quantized n2 is scaled
+    by QUANT² — divide out before the sqrt.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = _qnorm2(F.col("embedding"))
+    norm = F.sqrt(n2.cast("double") / F.lit(float(QUANT) * QUANT))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
+            "unit_first"
+        ),
+        F.round(F.element_at("embedding", 64).cast("double") / norm, 6).alias(
+            "unit_last"
+        ),
+        F.round(norm, 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "embed_label_centroids",
+    oracle="""
+    WITH exploded AS (
+      SELECT label,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
+             UNNEST(embedding) AS val
+      FROM embeddings)
+    SELECT label, pos,
+           CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS centroid_val
+    FROM exploded
+    WHERE pos <= 4
+    GROUP BY label, pos
+    """,
+    category="similarity",
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (mean vector), computed by exploding
+    (label, pos, val) and aggregating exact quantized sums per
+    dimension — the distributed way to average vectors without a
+    Python loop, shown for the first 4 dims (oracle-hashable)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * QUANT).alias("qval"),
+    )
+    return (
+        exploded.filter(F.col("pos") <= 4)
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("qval").cast("double") / F.lit(float(QUANT)) / F.count("*")
+            ).alias("centroid_val")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH bucketing (the ANN scale path) — deterministic hyperplanes
 # ---------------------------------------------------------------------------

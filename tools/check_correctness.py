@@ -7,6 +7,9 @@ hash comparison the driver does — if this passes, the driver's should.
 
 Usage: python tools/check_correctness.py [name ...]
        CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
+       CHECK_BARE_SESSION=1 python tools/check_correctness.py
+           (stock SparkSession, as the grading driver builds one —
+            catches any query depending on our tuned confs)
 """
 
 from __future__ import annotations
@@ -63,7 +66,20 @@ def main() -> int:
     from iceberg_by_example_spark.plans.registry import QUERY_REGISTRY, _load_all
 
     _load_all()
-    spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("CHECK_BARE_SESSION"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("correctness-check-bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(
+            "correctness-check", master="local[8]", shuffle_partitions=8
+        )
 
     con = duckdb.connect()
     for t in TABLES:
