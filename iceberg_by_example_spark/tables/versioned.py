@@ -235,6 +235,7 @@ class VersionedTable:
         on: str,
         update_cols: list[str] | None = None,
         branch: str = MAIN,
+        validate_source_unique: bool = True,
     ) -> Snapshot:
         """MERGE INTO … ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
@@ -251,6 +252,22 @@ class VersionedTable:
         partition_by = self.table_meta.get("partition_by")
         cols = target.columns if cur.files else source.columns
         update_cols = update_cols or [c for c in cols if c != on]
+
+        if validate_source_unique:
+            # Iceberg's MERGE cardinality rule: a target row matched by
+            # several source rows is an error, not a silent fan-out.
+            dup = (
+                source.groupBy(on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE source has duplicate key {on}={dup[0][0]!r}; "
+                    "dedupe the batch or pass validate_source_unique=False"
+                )
 
         if not cur.files:
             new_files = self._write_data(source.select(*cols))

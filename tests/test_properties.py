@@ -67,3 +67,15 @@ def test_create_existing_table_rejected(spark, tmp_path):
 def test_load_missing_table_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="no table"):
         VersionedTable.load(spark, str(tmp_path / "missing"))
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """Iceberg MERGE cardinality rule: duplicate source keys error out."""
+    t = VersionedTable.create(spark, str(tmp_path / "dupm"), schema="k bigint, v bigint")
+    t.append(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    dup_src = spark.createDataFrame([(1, 11), (1, 12)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge(dup_src, on="k")
+    # escape hatch keeps last-writer-ambiguous behavior opt-in
+    t.merge(dup_src.dropDuplicates(["k"]), on="k")
+    assert t.read().count() == 1
