@@ -187,3 +187,68 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("prop_k"),
         (k % 10).alias("k_mod"),
     )
+
+
+@register(
+    "scalar_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           REVERSE(p_brand) AS brand_rev,
+           LEFT(p_name, 6) AS name_left,
+           RIGHT(p_type, 4) AS type_right,
+           TRANSLATE(p_brand, '#', '-') AS brand_dash,
+           REPEAT('*', p_size % 5) AS stars,
+           POSITION('a' IN p_name) AS first_a
+    FROM part WHERE p_partkey < 400
+    """,
+    category="scalar",
+)
+def scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch: regexp_extract, reverse,
+    left/right, translate, repeat, position."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 6).alias("name_left"),
+        F.expr("right(p_type, 4)").alias("type_right"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+@register(
+    "scalar_array_extras",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding[1:8] AS v8 FROM embeddings WHERE vec_id < 100)
+    SELECT vec_id,
+           LEN(v8) AS n,
+           ROUND(CAST(LIST_SORT(LIST_TRANSFORM(v8, x -> ROUND(CAST(x AS DOUBLE), 4)))[1] AS DOUBLE), 4) AS min_r4,
+           ROUND(CAST(LIST_SORT(LIST_TRANSFORM(v8, x -> ROUND(CAST(x AS DOUBLE), 4)))[8] AS DOUBLE), 4) AS max_r4,
+           LIST_POSITION(LIST_TRANSFORM(v8, x -> x > 0), TRUE) AS first_pos_idx,
+           LEN(FLATTEN([v8, v8])) AS doubled_len
+    FROM t
+    """,
+    category="scalar",
+)
+def scalar_array_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array-function batch: slice, sort_array, array_position,
+    flatten — over the embedding vectors (rounded to kill float-repr
+    noise in the sort comparison)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v8 = F.slice("embedding", 1, 8)
+    r4 = F.transform(v8, lambda x: F.round(x.cast("double"), 4))
+    return e.select(
+        "vec_id",
+        F.size(v8).alias("n"),
+        F.round(F.element_at(F.sort_array(r4), 1), 4).alias("min_r4"),
+        F.round(F.element_at(F.sort_array(r4), 8), 4).alias("max_r4"),
+        F.array_position(
+            F.transform(v8, lambda x: x > 0), True
+        ).alias("first_pos_idx"),
+        F.size(F.flatten(F.array(v8, v8))).alias("doubled_len"),
+    )

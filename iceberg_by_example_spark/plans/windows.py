@@ -152,3 +152,38 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+@register(
+    "window_value_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           FIRST_VALUE(c_custkey) OVER w AS richest_cust,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS poorest_cust,
+           NTH_VALUE(c_custkey, 2) OVER w AS second_richest,
+           CUME_DIST() OVER w AS bal_cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    category="window",
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + cume_dist per segment. last_value uses an
+    explicit unbounded frame (the default frame stops at CURRENT ROW —
+    the classic footgun, made explicit here and in the oracle)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_custkey").over(w).alias("richest_cust"),
+        F.last("c_custkey").over(w_full).alias("poorest_cust"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )

@@ -103,3 +103,39 @@ def versioned_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "branch string, cnt long")
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "versioned_metadata_tables",
+    oracle=None,  # snapshot ids/timestamps are run-specific; shape checked
+    category="versioned",
+)
+def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table scans (reference S5/W2, LT:84-97): build a small
+    table with two commits and a branch, then summarize its snapshots /
+    history / files / refs counts plus per-operation totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="meta_tables_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(orders.filter(F.col("o_orderkey") < 1000))
+        t.create_branch("audit")
+        t.append(orders.filter(F.col("o_orderkey") >= 1000))
+        ops = {
+            r["operation"]: r["cnt"]
+            for r in t.snapshots()
+            .groupBy("operation")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        rows = [
+            ("snapshots", t.snapshots().count()),
+            ("history_depth", t.history().count()),
+            ("files", t.files().count()),
+            ("refs", t.refs().count()),
+            ("append_commits", ops.get("append", 0)),
+        ]
+        return spark.createDataFrame(rows, "metric string, value long")
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
