@@ -139,3 +139,63 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "metric string, value long")
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "delete_where",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+    """,
+    category="versioned",
+)
+def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE through the real engine (reference G2 declares
+    copy-on-write deletes but never executes one): load orders, delete
+    cheap finished orders, return survivors — oracle = the inverted
+    predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="delete_where_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(orders)
+        t.delete((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0))
+        result = t.read()
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "update_set_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+    category="versioned",
+)
+def update_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE SET ... WHERE through the real engine (reference G3
+    declares update mode but never executes one): finalize pending
+    orders with a late fee."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="update_where_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(orders)
+        t.update(
+            F.col("o_orderstatus") == "P",
+            {
+                "o_orderstatus": F.lit("F"),
+                "o_totalprice": F.col("o_totalprice") + 50.0,
+            },
+        )
+        result = t.read()
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

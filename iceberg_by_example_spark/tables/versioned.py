@@ -325,6 +325,90 @@ class VersionedTable:
             {"rewritten-partitions": len(affected) if partition_by else "all"},
         )
 
+    def delete(self, predicate, branch: str = MAIN) -> Snapshot:
+        """DELETE WHERE predicate — copy-on-write (the reference's
+        declared ``write.delete.mode=copy-on-write``, LT:29), partition-
+        granular: only partitions containing matched rows are rewritten
+        without them; untouched files carry over by reference.
+
+        ``predicate`` is a Column (or SQL string) over the table schema.
+        """
+        from pyspark.sql import Column
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        assert isinstance(cond, Column)
+        cur = self._current(branch)
+        target = self._read_snapshot(cur)
+        partition_by = self.table_meta.get("partition_by")
+        if partition_by:
+            affected = [
+                r[0]
+                for r in target.filter(cond).select(partition_by).distinct().collect()
+            ]
+            if not affected:
+                return cur  # nothing matched; no new snapshot needed
+            in_scope = target.filter(F.col(partition_by).isin(affected))
+            keep_files = self._files_outside_partitions(cur, affected)
+        else:
+            in_scope = target
+            keep_files = []
+        survivors = in_scope.filter(~cond | cond.isNull())
+        new_files = self._write_data(survivors)
+        return self._commit(
+            branch,
+            "delete",
+            sorted(keep_files) + new_files,
+            {"rewritten-partitions": len(affected) if partition_by else "all"},
+        )
+
+    def update(
+        self, predicate, assignments: dict, branch: str = MAIN
+    ) -> Snapshot:
+        """UPDATE SET col=expr WHERE predicate — expressed as a
+        projection rewrite over the affected partitions (the reference
+        declares ``write.update.mode=merge-on-read``, LT:30; a
+        DataFrame-planned CoW gives the same semantics with simpler
+        reads — the MoR tradeoff only pays when updates are far smaller
+        than partitions).
+
+        ``assignments``: {column: Column-or-SQL-string}.
+        """
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sets = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        cur = self._current(branch)
+        target = self._read_snapshot(cur)
+        partition_by = self.table_meta.get("partition_by")
+        if partition_by:
+            affected = [
+                r[0]
+                for r in target.filter(cond).select(partition_by).distinct().collect()
+            ]
+            if not affected:
+                return cur
+            in_scope = target.filter(F.col(partition_by).isin(affected))
+            keep_files = self._files_outside_partitions(cur, affected)
+        else:
+            in_scope = target
+            keep_files = []
+        updated = in_scope.select(
+            *[
+                F.when(cond, sets[c]).otherwise(F.col(c)).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        new_files = self._write_data(updated)
+        return self._commit(
+            branch,
+            "update",
+            sorted(keep_files) + new_files,
+            {"rewritten-partitions": len(affected) if partition_by else "all"},
+        )
+
     def _files_outside_partitions(
         self, snap: Snapshot, partitions: list
     ) -> list[str]:

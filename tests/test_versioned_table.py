@@ -217,3 +217,44 @@ def test_merge_partition_migration(spark, tmp_path):
     # the physical file for t1 lives under the new partition dir
     t1_files = [f for f in t._current().files if "txn_date=2024-03-09" in f]
     assert t1_files, t._current().files
+
+
+def test_delete_partition_granular(spark, tmp_path):
+    """DELETE rewrites only partitions containing matched rows; others
+    carry over by reference, and time travel still sees deleted rows."""
+    t = create_activity_table(spark, str(tmp_path / "del"))
+    ingest_day(t, day_path("2024-03-02"), "d1")
+    ingest_day(t, day_path("2024-03-03"), "d2")
+    before = t._current(MAIN)
+    t.create_branch("pre_delete")
+
+    t.delete(F.col("txn_date") == F.lit("2024-03-03").cast("date"))
+    after = t._current(MAIN)
+    assert t.read().count() == 15
+    # untouched partition's files carried over
+    assert set(before.files) & set(after.files)
+    # time travel to the pre-delete branch still sees all 30
+    assert t.read(branch="pre_delete").count() == 30
+
+
+def test_update_where(spark, tmp_path):
+    t = create_activity_table(spark, str(tmp_path / "upd"))
+    ingest_day(t, day_path("2024-03-02"), "d1")
+    t.update(
+        F.col("account") == "acc1",
+        {"category": F.lit("Audited"), "amount": F.col("amount") * 2},
+    )
+    rows = t.read().collect()
+    acc1 = [r for r in rows if r["account"] == "acc1"]
+    rest = [r for r in rows if r["account"] != "acc1"]
+    assert acc1 and all(r["category"] == "Audited" for r in acc1)
+    assert rest and all(r["category"] != "Audited" for r in rest)
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    t = create_activity_table(spark, str(tmp_path / "noop"))
+    ingest_day(t, day_path("2024-03-02"), "d1")
+    snaps_before = len(t._snapshots())
+    t.delete(F.col("account") == "no_such_account")
+    assert len(t._snapshots()) == snaps_before  # no empty commit
+    assert t.read().count() == 15
