@@ -63,13 +63,22 @@ def shingles(col: Column | str, k: int = 3) -> Column:
 
     Twin (k=3): ``LIST_DISTINCT([t[i]||' '||t[i+1]||' '||t[i+2]
     for i in generate_series(1, LEN(t)-2)])`` over ``t = STRING_SPLIT``.
+
+    Documents with fewer than ``k`` tokens yield an EMPTY array —
+    matching DuckDB's ``generate_series(1, LEN(t)-2)``, which is empty
+    when the upper bound is < 1. Without the guard ``F.sequence(0,
+    size-k)`` would *descend* into negative indices and element_at
+    would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     """
     t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+        ),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(k)]
-            ),
+        F.when(F.size(t) >= k, grams).otherwise(
+            F.array().cast("array<string>")
         )
     )

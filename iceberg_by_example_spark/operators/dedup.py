@@ -84,39 +84,68 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram-shingle Jaccard similarity pairs via an inverted index:
-    explode shingles → self-join on shingle → count common → exact
-    Jaccard from integer set sizes. Never materializes the n² pair
-    space — only pairs sharing ≥1 shingle reach the aggregate. This is
-    the verify stage MinHash candidates feed at scale."""
+    """3-gram-shingle Jaccard pairs via a df-capped inverted index."""
+    return ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP)
+
+
+# Stop-shingle cap: shingles appearing in more than this many documents
+# are boilerplate ("terms and conditions apply ...") and are dropped
+# from CANDIDATE GENERATION only — each survivor pair is still verified
+# against the full exact shingle sets, so reported Jaccards are exact.
+# Without the cap a single hot shingle with document frequency df
+# contributes O(df²) candidate pairs; the cap bounds the worst shingle.
+# 1000 is far above this corpus's max df (7 at sf0.01, 25 at sf0.1), so
+# the oracle comparison is unaffected; at 100 TB it is the knob that
+# keeps Σdf² finite. Pairs sharing ONLY hot shingles are missed — the
+# standard, documented recall trade of every production near-dup
+# pipeline.
+NGRAM_DF_CAP = 1000
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int
+) -> DataFrame:
+    """Candidate generation: explode shingles → drop shingles with
+    document frequency > df_cap (the hot set is tiny → broadcast
+    anti-join, the exploded stream is never shuffled twice) →
+    self-join on shingle → DISTINCT candidate pairs. Verification:
+    join the candidates back to the full shingle sets and compute the
+    exact Jaccard (|∩| / |∪| on distinct shingle arrays). The n² pair
+    space is touched nowhere."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text").alias("shingles"))
-    exploded = sh.select(
-        "doc_id",
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").alias("n_sh"),
+    sh = d.select("doc_id", shingles("text").alias("sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
+    capped = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
-        .agg(F.count("*").alias("common"))
+        .distinct()
     )
-    jaccard = F.col("common") / (
-        F.col("na") + F.col("nb") - F.col("common")
-    ).cast("double")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
     return (
-        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.08)
     )
 
@@ -130,29 +159,45 @@ MINHASH_BANDS = 8  # bands of 4 rows → catches jaccard ≳ 0.5 reliably
 _PRIME31 = (1 << 31) - 1  # Mersenne prime; keeps a*h+b far below 2^63
 
 
-def _minhash_signature(shingle_col):
-    """MinHash signature as an array column: for permutation i,
-    min over shingles of ((a_i * h + b_i) mod p), with h = xxhash64 of
-    the shingle folded into [0, p). Coefficients derive from the
-    permutation index — no RNG state to ship, any executor regenerates
-    them. The 31-bit modulus keeps every intermediate product inside
-    int64 (ANSI-safe)."""
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    """Affine permutation coefficients derived from the index — no RNG
+    state to ship, any executor regenerates them."""
+    return 2 * i + 1, (i * 0x9E3779B9) % _PRIME31  # odd multiplier, offset
 
-    def perm(i: int):
-        a = 2 * i + 1  # odd multipliers
-        b = (i * 0x9E3779B9) % _PRIME31
-        return F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: (
-                    F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_PRIME31))
-                    + F.lit(b)
-                )
-                % _PRIME31,
-            )
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<long>[MINHASH_PERMS]) per document.
+
+    Each shingle is hashed exactly ONCE (xxhash64 folded into [0, p)),
+    then the 32 permutations are plain integer affine maps over that one
+    hash, aggregated with per-permutation MIN. The whole thing is one
+    explode + one map-side-combinable groupBy — no nested higher-order
+    functions re-hashing every shingle per permutation (the previous
+    form cost 32 xxhash64 passes per document and blew up codegen).
+    Docs with zero shingles (< k tokens) have no MinHash identity and
+    are excluded. The 31-bit modulus keeps every product inside int64
+    (ANSI-safe)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(_PRIME31))
+    perm_vals = []
+    for i in range(MINHASH_PERMS):
+        a, b = _perm_coeffs(i)
+        perm_vals.append(
+            ((F.lit(a) * h + F.lit(b)) % _PRIME31).alias(f"_v{i}")
         )
-
-    return F.array(*[perm(i) for i in range(MINHASH_PERMS)])
+    vals = tok.select("doc_id", *perm_vals)
+    agg = vals.groupBy("doc_id").agg(
+        *[F.min(f"_v{i}").alias(f"_v{i}") for i in range(MINHASH_PERMS)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(*[f"_v{i}" for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
 
 
 @register(
@@ -165,13 +210,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 banded bucket keys → shuffle on (band, bucket) → pairs sharing a
     bucket, with the estimated Jaccard from signature agreement.
 
-    Scale shape: cost is O(docs × perms) for signatures plus the
-    bucket-join — the n² pair space is never touched. The candidate
-    pairs feed dedup_ngram_jaccard-style exact verification."""
+    Scale shape: cost is O(docs × shingles) hashing (each shingle
+    hashed once) plus the bucket-join — the n² pair space is never
+    touched. The candidate pairs feed dedup_ngram_jaccard-style exact
+    verification."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id", _minhash_signature(shingles("text")).alias("sig")
-    )
+    sig = minhash_signatures(d)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     banded = sig.select(
         "doc_id",

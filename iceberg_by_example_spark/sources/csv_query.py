@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from iceberg_by_example_spark.functions.exact import dsum
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import detach
 
 SUPPLIER_SCHEMA = (
     "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
@@ -51,7 +52,7 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("n_regionkey").agg(
             F.count("*").alias("n"), F.min("n_name").alias("first_nation")
         )
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        return detach(result)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -81,6 +82,6 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("s_nationkey").agg(
             F.count("*").alias("n"), dsum("s_acctbal").alias("total_bal")
         )
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        return detach(result)
     finally:
         shutil.rmtree(out, ignore_errors=True)

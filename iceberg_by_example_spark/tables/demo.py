@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
 from iceberg_by_example_spark.tables.versioned import VersionedTable
+from iceberg_by_example_spark.util import detach
 
 ORDERS_DDL = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
@@ -68,9 +69,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t.append(target)
         t.merge(src, on="o_orderkey")
-        result = t.read()
-        # materialize before the backing files are removed
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        # pin to executor storage before the backing files are removed
+        return detach(t.read())
     finally:
         shutil.rmtree(loc, ignore_errors=True)
 
@@ -161,8 +161,8 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t.append(orders)
         t.delete((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0))
-        result = t.read()
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        # pin to executor storage before the backing files are removed
+        return detach(t.read())
     finally:
         shutil.rmtree(loc, ignore_errors=True)
 
@@ -195,7 +195,7 @@ def update_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_totalprice": F.col("o_totalprice") + 50.0,
             },
         )
-        result = t.read()
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        # pin to executor storage before the backing files are removed
+        return detach(t.read())
     finally:
         shutil.rmtree(loc, ignore_errors=True)

@@ -7,10 +7,9 @@ rows-only driver check can't see.
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_by_example_spark.functions.text import shingles
 from iceberg_by_example_spark.operators.dedup import (
     MINHASH_PERMS,
-    _minhash_signature,
+    minhash_signatures,
 )
 from iceberg_by_example_spark.operators.multimodal import (
     DECODED_SCHEMA,
@@ -31,9 +30,7 @@ def docs(spark):
 
 
 def _signatures(docs):
-    rows = docs.select(
-        "doc_id", _minhash_signature(shingles("text")).alias("sig")
-    ).collect()
+    rows = minhash_signatures(docs).collect()
     return {r["doc_id"]: r["sig"] for r in rows}
 
 
@@ -72,6 +69,39 @@ def test_minhash_lsh_finds_near_dups(spark, tmp_path):
         for r in dedup_minhash_lsh(spark, sf_dir).collect()
     }
     assert (100, 101) in pairs
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark, tmp_path):
+    """A planted boilerplate shingle shared by EVERY doc must not blow
+    up candidate generation: with the cap below its document frequency
+    the hot shingle contributes zero pairs, and surviving pairs keep
+    their exact (uncapped) Jaccard."""
+    from iceberg_by_example_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms and conditions apply"
+    corpus = spark.createDataFrame(
+        [(i, f"unique{i} alpha{i} beta{i} {boiler}") for i in range(20)]
+        + [(100, DOC_A + " " + boiler), (101, DOC_B + " " + boiler)],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir, df_cap=5).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir, df_cap=10**6).collect()
+    }
+    # boilerplate-only pairs are generated without the cap...
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    # ...and fully suppressed with it: every filler doc pairs with every
+    # other only through the hot shingles.
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # the true near-dup pair survives, with the exact uncapped Jaccard
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
 
 
 def test_simhash_hamming_properties(spark, tmp_path):
