@@ -113,7 +113,11 @@ def ngram_jaccard_pairs(
     exact Jaccard (|∩| / |∪| on distinct shingle arrays). The n² pair
     space is touched nowhere."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text").alias("sh"))
+    # repartition before the explode so shingle fan-out parallelizes
+    # beyond the scan's file count (same rationale as minhash_signatures)
+    sh = d.select("doc_id", shingles("text").alias("sh")).repartition(
+        "doc_id"
+    )
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (
         exploded.groupBy("shingle")
@@ -179,9 +183,17 @@ def minhash_signatures(
     Docs with zero shingles (< k tokens) have no MinHash identity and
     are excluded. The 31-bit modulus keeps every product inside int64
     (ANSI-safe)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        # spread docs across tasks BEFORE the explode: a document corpus
+        # often arrives as few large files, and the shingle fan-out plus
+        # 32 affine maps is the compute-heavy stage — without this it
+        # runs at the scan's (possibly single-file) parallelism.
+        .repartition("doc_id")
+    )
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     h = F.pmod(F.xxhash64("s"), F.lit(_PRIME31))
     perm_vals = []
@@ -204,6 +216,7 @@ def minhash_signatures(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64 has no DuckDB twin; invariants tested in pytest
     category="dedup",
+    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate pairs: shingle → 32-perm signature →

@@ -27,6 +27,7 @@ def asof_join(
     time_col: str,
     carry_cols: list[str],
     right_time_alias: str = "matched_ts",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each row of ``left``, attach the latest row of ``right`` with
     the same ``on`` key and ``right.time_col <= left.time_col``.
@@ -34,7 +35,15 @@ def asof_join(
     Equal timestamps match (right sorts before left at ties). Columns
     in ``carry_cols`` are taken from the matched right row; unmatched
     left rows get NULLs (left-outer as-of semantics).
+
+    ``tiebreak_cols`` (right-side columns, ideally a unique key) break
+    ties between right rows sharing (key, time): the carried row is the
+    one with the greatest tiebreak value. Without it the carry is
+    whichever tied row the partitioning happened to order last —
+    nondeterministic across runs (the repo's determinism rule: every
+    window ORDER BY ends in a unique key).
     """
+    tiebreak_cols = tiebreak_cols or []
     r = right.select(
         F.col(on),
         F.col(time_col),
@@ -56,7 +65,11 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(time_col).asc(),
+            F.col("_side").asc(),
+            *[F.col(c).asc_nulls_first() for c in tiebreak_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -114,6 +127,7 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         carry_cols=["view_event_id"],
         right_time_alias="view_ts",
+        tiebreak_cols=["view_event_id"],
     )
     return joined.select(
         "event_id",

@@ -200,6 +200,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_stats",
     oracle=None,  # stubbed decoder is engine-internal; invariants in pytest
     category="multimodal",
+    bench=True,
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode fan-out + feature aggregation: binary payloads →

@@ -82,6 +82,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     category="analytics",
+    bench=True,
 )
 def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: 6-way join with the local-supplier correlation

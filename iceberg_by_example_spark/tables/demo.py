@@ -112,8 +112,10 @@ def versioned_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-table scans (reference S5/W2, LT:84-97): build a small
-    table with two commits and a branch, then summarize its snapshots /
-    history / files / refs counts plus per-operation totals."""
+    table with two commits and a branch, then summarize all the
+    suffixed metadata relations the reference queries — snapshots /
+    history / files / refs / manifests / metadata_log_entries — plus
+    per-operation totals."""
     orders = load_table(spark, sf_dir, "orders")
     loc = tempfile.mkdtemp(prefix="meta_tables_")
     shutil.rmtree(loc)
@@ -134,6 +136,8 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("history_depth", t.history().count()),
             ("files", t.files().count()),
             ("refs", t.refs().count()),
+            ("manifests", t.manifests().count()),
+            ("metadata_log_entries", t.metadata_log_entries().count()),
             ("append_commits", ops.get("append", 0)),
         ]
         return spark.createDataFrame(rows, "metric string, value long")

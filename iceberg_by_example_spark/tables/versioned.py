@@ -8,21 +8,30 @@ the Spark DataFrame API:
 - snapshot-per-commit with named branch refs (LT:78-80, WI:14)
 - time-travel reads at a branch/snapshot (`VERSION AS OF`, LT:114)
 - MERGE upsert keyed on an id column (LT:68-76), executed as a
-  partition-granular copy-on-write join rewrite
+  FILE-granular copy-on-write join rewrite
 - write-audit-publish via staging branch + fast_forward (WI:20-87)
 - maintenance: sorted compaction, snapshot expiry, orphan-file GC
   (LT:156-165)
-- metadata tables: snapshots / history / files / refs (LT:84-97)
+- metadata tables: snapshots / history / files / refs / manifests /
+  metadata_log_entries (LT:84-97)
 
 Design for scale
 ----------------
 All data movement is DataFrame-planned (Catalyst optimizes the merge
 join; the partition column prunes rewrites). The metadata log is
 O(snapshots + files) JSON — the same order as Iceberg's avro manifests
-— and only file *lists*, never data, cross the driver. A merge touching
-k of N partitions reads and rewrites only those k partitions' files
-plus the source; untouched files carry over to the new snapshot by
-reference.
+— and only file *lists*, never data, cross the driver.
+
+Mutations (merge/delete/update) are FILE-granular copy-on-write: the
+affected-file set is discovered with the hidden ``_metadata.file_path``
+column (for a predicate, Spark's parquet row-group statistics skip
+whole files that cannot match before any row is read), only those
+files' rows are rewritten, and every other file carries over to the
+new snapshot by reference. This is the moral equivalent of the
+reference's declared merge-on-read intent (LT:30-31) on the write-
+amplification axis: a small upsert rewrites only the files that
+actually contain matched keys — not their whole partitions — while
+keeping reads overlay-free. Only file PATHS ever cross the driver.
 
 Concurrency: single-writer (like the reference's local example);
 commits are atomic via write-to-temp + ``os.replace``.
@@ -37,10 +46,38 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAIN = "main"
+
+WAP_BRANCH_CONF = "spark.wap.branch"
+
+
+@contextmanager
+def wap_session(spark: SparkSession, branch: str):
+    """Session-level WAP branch routing — the reference sets the
+    ``spark.wap.branch`` session conf (WapIceberg.scala:14) and every
+    subsequent write lands on that branch, every read resolves to it,
+    with NO per-call branch arguments. Same ambient semantics here:
+
+        with wap_session(spark, "audit_batch"):
+            table.append(batch)          # → audit_batch
+            table.read().count()         # ← audit_batch
+        table.fast_forward("main", "audit_batch")   # publish
+
+    The conf is restored (or unset) on exit, even on error."""
+    old = spark.conf.get(WAP_BRANCH_CONF, None)
+    spark.conf.set(WAP_BRANCH_CONF, branch)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(WAP_BRANCH_CONF)
+        else:
+            spark.conf.set(WAP_BRANCH_CONF, old)
 
 
 @dataclass
@@ -90,7 +127,7 @@ class VersionedTable:
             operation="create",
             files=[],
         )
-        t._write_json("snapshots.json", [asdict(root)])
+        t._write_json("snapshots.json", [t._snap_to_json(root)])
         t._write_json("refs.json", {MAIN: root.snapshot_id})
         t._write_json(
             "table.json",
@@ -100,6 +137,7 @@ class VersionedTable:
                 "properties": properties or {},
             },
         )
+        t._append_metadata_log(root.snapshot_id)
         return t
 
     @classmethod
@@ -129,8 +167,75 @@ class VersionedTable:
     def table_meta(self) -> dict:
         return self._read_json("table.json")
 
+    # -- manifest sharding ----------------------------------------------------
+    #
+    # snapshots.json stores, per snapshot, ONE manifest-list file name;
+    # the manifest list names manifest files; each manifest holds one
+    # commit directory's data-file paths. Iceberg's exact layering
+    # (metadata → manifest list → manifests → data files), in JSON.
+    # Manifests and manifest lists are content-addressed (md5 of their
+    # sorted content), so a snapshot that carries a commit dir over
+    # unchanged re-uses the SAME manifest file — the log grows
+    # O(snapshots + changed manifests), never O(snapshots × files).
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self._meta_dir, "manifests")
+
+    def _write_content_addressed(self, prefix: str, content: list[str]) -> str:
+        import hashlib
+
+        key = hashlib.md5("\n".join(sorted(content)).encode()).hexdigest()[:16]
+        name = f"{prefix}-{key}.json"
+        path = os.path.join(self._manifest_dir, name)
+        if not os.path.exists(path):
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(content), f)
+            os.replace(tmp, path)
+        return name
+
+    def _read_manifest_file(self, name: str) -> list[str]:
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        if name not in cache:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                cache[name] = json.load(f)
+        return cache[name]
+
+    def _snap_to_json(self, s: Snapshot) -> dict:
+        """Serialize a snapshot: its files become one manifest per
+        commit dir, referenced through a single manifest-list file."""
+        by_commit: dict[str, list[str]] = {}
+        for f in s.files:
+            commit = os.path.relpath(f, "data").split(os.sep, 1)[0]
+            by_commit.setdefault(commit, []).append(f)
+        manifests = [
+            self._write_content_addressed("m", group)
+            for _commit, group in sorted(by_commit.items())
+        ]
+        manifest_list = self._write_content_addressed("ml", manifests)
+        d = asdict(s)
+        del d["files"]
+        d["manifest_list"] = manifest_list
+        return d
+
+    def _snap_from_json(self, d: dict) -> Snapshot:
+        d = dict(d)
+        if "manifest_list" in d:
+            names = self._read_manifest_file(d.pop("manifest_list"))
+            d["files"] = [
+                f for m in names for f in self._read_manifest_file(m)
+            ]
+        # legacy inline form: d["files"] already present
+        return Snapshot(**d)
+
     def _snapshots(self) -> list[Snapshot]:
-        return [Snapshot(**s) for s in self._read_json("snapshots.json")]
+        return [
+            self._snap_from_json(s) for s in self._read_json("snapshots.json")
+        ]
 
     def _refs(self) -> dict[str, str]:
         return self._read_json("refs.json")
@@ -147,6 +252,34 @@ class VersionedTable:
             raise ValueError(f"unknown branch {branch!r}; have {sorted(refs)}")
         return self._snapshot_by_id(refs[branch])
 
+    # -- ambient (session-conf) branch routing --------------------------------
+
+    def _wap_conf(self) -> str | None:
+        return self.spark.conf.get(WAP_BRANCH_CONF, None)
+
+    def _resolve_write_branch(self, branch: str | None) -> str:
+        """Explicit argument wins; else the session's ``spark.wap.branch``
+        (created from main on first write, as Iceberg does); else main."""
+        if branch is not None:
+            return branch
+        wap = self._wap_conf()
+        if wap:
+            if wap not in self._refs():
+                self.create_branch(wap)
+            return wap
+        return MAIN
+
+    def _resolve_read_branch(self, branch: str | None) -> str:
+        """Explicit argument wins; else ``spark.wap.branch`` when that
+        branch exists on this table (Iceberg reads fall back to main
+        for tables the WAP batch never touched); else main."""
+        if branch is not None:
+            return branch
+        wap = self._wap_conf()
+        if wap and wap in self._refs():
+            return wap
+        return MAIN
+
     def _commit(
         self, branch: str, operation: str, files: list[str], summary: dict
     ) -> Snapshot:
@@ -160,12 +293,30 @@ class VersionedTable:
             summary=summary,
         )
         snaps = self._read_json("snapshots.json")
-        snaps.append(asdict(snap))
+        snaps.append(self._snap_to_json(snap))
         self._write_json("snapshots.json", snaps)
         refs = self._refs()
         refs[branch] = snap.snapshot_id
         self._write_json("refs.json", refs)
+        self._append_metadata_log(snap.snapshot_id)
         return snap
+
+    def _append_metadata_log(self, latest_snapshot_id: str) -> None:
+        """One metadata-log entry per metadata version (≈ Iceberg's
+        metadata_log_entries: every commit produces a new vN metadata
+        version whose latest snapshot is recorded)."""
+        try:
+            log = self._read_json("metadata_log.json")
+        except FileNotFoundError:
+            log = []
+        log.append(
+            {
+                "timestamp_ms": int(time.time() * 1000),
+                "metadata_file": f"_meta/v{len(log) + 1}.metadata.json",
+                "latest_snapshot_id": latest_snapshot_id,
+            }
+        )
+        self._write_json("metadata_log.json", log)
 
     # -- write paths ----------------------------------------------------------
 
@@ -190,12 +341,16 @@ class VersionedTable:
         return sorted(rel)
 
     def append(
-        self, df: DataFrame, branch: str = MAIN, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        merge_schema: bool = False,
     ) -> Snapshot:
         """Append (reference S6, LT:64-67: DataFrameWriterV2.append with
         ``.option("mergeSchema","true")`` — pass ``merge_schema=True``
         for that behavior: new columns in ``df`` widen the table schema;
         old files read NULL for them)."""
+        branch = self._resolve_write_branch(branch)
         if merge_schema:
             self._merge_schema(df)
         new_files = self._write_data(df)
@@ -210,23 +365,30 @@ class VersionedTable:
     def _merge_schema(self, df: DataFrame) -> None:
         """Schema evolution: add ``df``'s new columns (as nullable) to
         the declared DDL. Type changes are rejected — same stance as
-        Iceberg's safe evolution."""
+        Iceberg's safe evolution. The DDL is parsed with Spark's own
+        parser (StructType.fromDDL), so parameterized types —
+        decimal(10,2), map<string,int>, struct<...> — survive intact
+        (naive comma-splitting would corrupt them)."""
+        from pyspark.sql import types as T
+
         meta = self.table_meta
-        current = {}
-        for part in meta["schema"].split(","):
-            name, _, typ = part.strip().partition(" ")
-            current[name] = typ
+        struct = T.StructType.fromDDL(meta["schema"])
+        current = {f.name: f.dataType.simpleString() for f in struct.fields}
         added = []
-        for name, typ in df.dtypes:
-            if name not in current:
-                added.append(f"{name} {typ}")
-            elif current[name] != typ:
+        for f in df.schema.fields:
+            typ = f.dataType.simpleString()
+            if f.name not in current:
+                added.append(T.StructField(f.name, f.dataType, True))
+            elif current[f.name] != typ:
                 raise ValueError(
-                    f"type change for column {name!r}: "
-                    f"{current[name]} -> {typ} (unsupported)"
+                    f"type change for column {f.name!r}: "
+                    f"{current[f.name]} -> {typ} (unsupported)"
                 )
         if added:
-            meta["schema"] = meta["schema"] + ", " + ", ".join(added)
+            widened = T.StructType(list(struct.fields) + added)
+            meta["schema"] = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in widened.fields
+            )
             self._write_json("table.json", meta)
 
     def merge(
@@ -234,30 +396,36 @@ class VersionedTable:
         source: DataFrame,
         on: str,
         update_cols: list[str] | None = None,
-        branch: str = MAIN,
+        branch: str | None = None,
         validate_source_unique: bool = True,
     ) -> Snapshot:
         """MERGE INTO … ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
         (reference M1, LT:68-76).
 
-        Partition-granular copy-on-write: only partitions containing a
-        matched key (or receiving an inserted/migrated row) are
-        rewritten; every other file carries over by reference. The
-        matched/unmatched routing is one outer join, planned by
-        Catalyst (broadcast when the source is small — the common
-        upsert case)."""
+        File-granular copy-on-write: only the data files that actually
+        contain a matched key are rewritten (discovered via the hidden
+        ``_metadata.file_path`` column in one semi-join pass — only
+        file paths cross the driver); every other file carries over by
+        reference. The matched/unmatched routing is one outer join,
+        planned by Catalyst (broadcast when the source is small — the
+        common upsert case). Source rows with a NULL merge key never
+        equal any target key, so they are inserted — real MERGE
+        semantics — and row presence is tracked with literal marker
+        columns, not key nullability."""
+        branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
         target = self._read_snapshot(cur)
-        partition_by = self.table_meta.get("partition_by")
         cols = target.columns if cur.files else source.columns
         update_cols = update_cols or [c for c in cols if c != on]
 
         if validate_source_unique:
             # Iceberg's MERGE cardinality rule: a target row matched by
             # several source rows is an error, not a silent fan-out.
+            # NULL keys are exempt: they can never match a target row.
             dup = (
-                source.groupBy(on)
+                source.filter(F.col(on).isNotNull())
+                .groupBy(on)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -275,34 +443,29 @@ class VersionedTable:
                 branch, "merge", new_files, {"matched": 0, "inserted": "all"}
             )
 
-        if partition_by:
-            # Partitions holding matched keys must be rewritten (rows
-            # change or migrate out); plus partitions of incoming rows.
-            src_keys = source.select(on).distinct()
-            affected_t = (
-                target.join(src_keys, on, "left_semi")
-                .select(partition_by)
-                .distinct()
-            )
-            affected_s = source.select(partition_by).distinct()
-            affected = [
-                r[0] for r in affected_t.union(affected_s).distinct().collect()
-            ]
-            in_scope = target.filter(F.col(partition_by).isin(affected))
-            out_of_scope_files = self._files_outside_partitions(cur, affected)
-        else:
-            in_scope = target
-            out_of_scope_files = []
+        # Files containing at least one matched key must be rewritten
+        # (their matched rows change, or migrate partition); everything
+        # else carries over by reference.
+        with_path = self._read_snapshot(cur, with_file_path=True)
+        src_keys = source.select(on).distinct()
+        affected_uris = [
+            r[0]
+            for r in with_path.join(src_keys, on, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        in_scope, keep_files = self._scope_files(cur, with_path, affected_uris)
 
         # matched → updated columns from source (including NULLs, per
         # MERGE UPDATE semantics); unmatched target → keep; unmatched
-        # source → insert all columns.
+        # source (including NULL-keyed rows) → insert all columns.
         src = source.select(*cols)
-        t = in_scope.alias("t")
-        s = src.alias("s")
+        t = in_scope.withColumn("_t_present", F.lit(1)).alias("t")
+        s = src.withColumn("_s_present", F.lit(1)).alias("s")
         joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
-        s_present = F.col(f"s.{on}").isNotNull()
-        t_present = F.col(f"t.{on}").isNotNull()
+        s_present = F.col("s._s_present").isNotNull()
+        t_present = F.col("t._t_present").isNotNull()
         merged = joined.select(
             *[
                 F.when(
@@ -321,15 +484,18 @@ class VersionedTable:
         return self._commit(
             branch,
             "merge",
-            sorted(out_of_scope_files) + new_files,
-            {"rewritten-partitions": len(affected) if partition_by else "all"},
+            sorted(keep_files) + new_files,
+            {"rewritten-files": len(affected_uris)},
         )
 
-    def delete(self, predicate, branch: str = MAIN) -> Snapshot:
-        """DELETE WHERE predicate — copy-on-write (the reference's
-        declared ``write.delete.mode=copy-on-write``, LT:29), partition-
-        granular: only partitions containing matched rows are rewritten
-        without them; untouched files carry over by reference.
+    def delete(self, predicate, branch: str | None = None) -> Snapshot:
+        """DELETE WHERE predicate — file-granular copy-on-write (the
+        reference declares ``write.delete.mode=copy-on-write``, LT:29):
+        only files containing matched rows are rewritten without them;
+        untouched files carry over by reference. Discovery pushes the
+        predicate into the parquet scan, so row-group statistics skip
+        files that cannot match before any row is read (partition
+        pruning included, when the predicate hits the partition column).
 
         ``predicate`` is a Column (or SQL string) over the table schema.
         """
@@ -337,39 +503,34 @@ class VersionedTable:
 
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         assert isinstance(cond, Column)
+        branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
-        target = self._read_snapshot(cur)
-        partition_by = self.table_meta.get("partition_by")
-        if partition_by:
-            affected = [
-                r[0]
-                for r in target.filter(cond).select(partition_by).distinct().collect()
-            ]
-            if not affected:
-                return cur  # nothing matched; no new snapshot needed
-            in_scope = target.filter(F.col(partition_by).isin(affected))
-            keep_files = self._files_outside_partitions(cur, affected)
-        else:
-            in_scope = target
-            keep_files = []
+        with_path = self._read_snapshot(cur, with_file_path=True)
+        affected_uris = [
+            r[0]
+            for r in with_path.filter(cond).select("_file").distinct().collect()
+        ]
+        if not affected_uris:
+            return cur  # nothing matched; no new snapshot needed
+        in_scope, keep_files = self._scope_files(cur, with_path, affected_uris)
         survivors = in_scope.filter(~cond | cond.isNull())
         new_files = self._write_data(survivors)
         return self._commit(
             branch,
             "delete",
             sorted(keep_files) + new_files,
-            {"rewritten-partitions": len(affected) if partition_by else "all"},
+            {"rewritten-files": len(affected_uris)},
         )
 
     def update(
-        self, predicate, assignments: dict, branch: str = MAIN
+        self, predicate, assignments: dict, branch: str | None = None
     ) -> Snapshot:
-        """UPDATE SET col=expr WHERE predicate — expressed as a
-        projection rewrite over the affected partitions (the reference
-        declares ``write.update.mode=merge-on-read``, LT:30; a
-        DataFrame-planned CoW gives the same semantics with simpler
-        reads — the MoR tradeoff only pays when updates are far smaller
-        than partitions).
+        """UPDATE SET col=expr WHERE predicate — a projection rewrite
+        over ONLY the files containing matched rows (the reference
+        declares ``write.update.mode=merge-on-read``, LT:30; file-
+        granular CoW hits the same write-amplification point — a small
+        update rewrites a few files, not partitions — while keeping
+        reads overlay-free).
 
         ``assignments``: {column: Column-or-SQL-string}.
         """
@@ -378,27 +539,23 @@ class VersionedTable:
             c: (F.expr(v) if isinstance(v, str) else v)
             for c, v in assignments.items()
         }
+        branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
-        target = self._read_snapshot(cur)
-        partition_by = self.table_meta.get("partition_by")
-        if partition_by:
-            affected = [
-                r[0]
-                for r in target.filter(cond).select(partition_by).distinct().collect()
-            ]
-            if not affected:
-                return cur
-            in_scope = target.filter(F.col(partition_by).isin(affected))
-            keep_files = self._files_outside_partitions(cur, affected)
-        else:
-            in_scope = target
-            keep_files = []
+        with_path = self._read_snapshot(cur, with_file_path=True)
+        affected_uris = [
+            r[0]
+            for r in with_path.filter(cond).select("_file").distinct().collect()
+        ]
+        if not affected_uris:
+            return cur
+        in_scope, keep_files = self._scope_files(cur, with_path, affected_uris)
+        cols = [c for c in in_scope.columns]
         updated = in_scope.select(
             *[
                 F.when(cond, sets[c]).otherwise(F.col(c)).alias(c)
                 if c in sets
                 else F.col(c)
-                for c in target.columns
+                for c in cols
             ]
         )
         new_files = self._write_data(updated)
@@ -406,29 +563,52 @@ class VersionedTable:
             branch,
             "update",
             sorted(keep_files) + new_files,
-            {"rewritten-partitions": len(affected) if partition_by else "all"},
+            {"rewritten-files": len(affected_uris)},
         )
 
-    def _files_outside_partitions(
-        self, snap: Snapshot, partitions: list
-    ) -> list[str]:
-        """Files of `snap` not belonging to any of `partitions` —
-        decided from the hive-style path, no data read."""
-        partition_by = self.table_meta["partition_by"]
-        tokens = {f"{partition_by}={v}" for v in partitions}
-        keep = []
-        for f in snap.files:
-            parts = set(f.split(os.sep))
-            if not (parts & tokens):
-                keep.append(f)
-        return keep
+    @staticmethod
+    def _uri_to_path(uri: str) -> str:
+        """file-source URI (``file:///a/b`` or ``file:/a/b``) → OS path."""
+        from urllib.parse import unquote, urlparse
+
+        if uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return uri
+
+    def _scope_files(
+        self, snap: Snapshot, with_path: DataFrame, affected_uris: list[str]
+    ) -> tuple[DataFrame, list[str]]:
+        """Split a snapshot into (rows of affected files as a DataFrame,
+        table-relative paths of files that carry over untouched).
+        ``affected_uris`` are `_metadata.file_path` values."""
+        affected_rel = {
+            os.path.relpath(self._uri_to_path(u), self.location)
+            for u in affected_uris
+        }
+        keep_files = [f for f in snap.files if f not in affected_rel]
+        if affected_uris:
+            in_scope = with_path.filter(
+                F.col("_file").isin(affected_uris)
+            ).drop("_file")
+        else:
+            in_scope = with_path.filter(F.lit(False)).drop("_file")
+        return in_scope, keep_files
 
     # -- read paths -----------------------------------------------------------
 
-    def _read_snapshot(self, snap: Snapshot) -> DataFrame:
+    def _read_snapshot(
+        self, snap: Snapshot, with_file_path: bool = False
+    ) -> DataFrame:
+        """Scan a snapshot. With ``with_file_path=True`` the result
+        carries a ``_file`` column (the source file's URI, from the
+        hidden ``_metadata`` struct) — the handle every file-granular
+        mutation uses to scope its rewrite."""
         schema = self.table_meta["schema"]
         if not snap.files:
-            return self.spark.createDataFrame([], schema=schema)
+            df = self.spark.createDataFrame([], schema=schema)
+            if with_file_path:
+                df = df.withColumn("_file", F.lit(None).cast("string"))
+            return df
         # Partition values live in hive-style paths *under each commit
         # dir* (data/commit-X/txn_date=.../part.parquet). Spark's
         # partition discovery needs a basePath with only k=v dirs below
@@ -441,14 +621,23 @@ class VersionedTable:
             by_commit.setdefault(commit, []).append(
                 os.path.join(self.location, f)
             )
-        dfs = [
-            self.spark.read.option(
-                "basePath", os.path.join(self._data_dir, commit)
+        dfs = []
+        for commit, paths in sorted(by_commit.items()):
+            scan = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self._data_dir, commit)
+                )
+                .schema(schema)
+                .parquet(*paths)
             )
-            .schema(schema)
-            .parquet(*paths)
-            for commit, paths in sorted(by_commit.items())
-        ]
+            if with_file_path:
+                # must be projected per-scan: the hidden _metadata
+                # column resolves against a file-source node, not a
+                # Union of them.
+                scan = scan.select(
+                    "*", F.col("_metadata.file_path").alias("_file")
+                )
+            dfs.append(scan)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -463,7 +652,9 @@ class VersionedTable:
         `VERSION AS OF 'day1'`, LT:114/129)."""
         if snapshot_id is not None:
             return self._read_snapshot(self._snapshot_by_id(snapshot_id))
-        return self._read_snapshot(self._current(branch or MAIN))
+        return self._read_snapshot(
+            self._current(self._resolve_read_branch(branch))
+        )
 
     # -- branches (reference D5/D6, LT:78-80/167; WAP WI:14-87) ---------------
 
@@ -540,6 +731,58 @@ class VersionedTable:
             list(self._refs().items()), "name string, snapshot_id string"
         )
 
+    def manifests(self, branch: str = MAIN) -> DataFrame:
+        """≈ Iceberg's ``<table>.manifests`` (reference queries it,
+        LT:86-94): one manifest per commit directory contributing files
+        to the branch's current snapshot, with its file count, byte
+        length and partition summaries."""
+        snap = self._current(branch)
+        by_commit: dict[str, dict] = {}
+        for f in snap.files:
+            rel = os.path.relpath(f, "data")
+            commit = rel.split(os.sep, 1)[0]
+            e = by_commit.setdefault(
+                commit, {"files": 0, "bytes": 0, "partitions": set()}
+            )
+            e["files"] += 1
+            e["bytes"] += os.path.getsize(os.path.join(self.location, f))
+            part_dir = os.path.dirname(
+                os.path.relpath(f, os.path.join("data", commit))
+            )
+            if part_dir:
+                e["partitions"].add(part_dir)
+        rows = [
+            (
+                os.path.join("data", commit),
+                v["files"],
+                v["bytes"],
+                sorted(v["partitions"]),
+            )
+            for commit, v in sorted(by_commit.items())
+        ]
+        return self.spark.createDataFrame(
+            rows if rows else [],
+            "path string, added_data_files_count int, length long, "
+            "partition_summaries array<string>",
+        )
+
+    def metadata_log_entries(self) -> DataFrame:
+        """≈ Iceberg's ``<table>.metadata_log_entries`` (LT:86-94): the
+        table's metadata versions in commit order."""
+        try:
+            log = self._read_json("metadata_log.json")
+        except FileNotFoundError:
+            log = []
+        rows = [
+            (e["timestamp_ms"], e["metadata_file"], e["latest_snapshot_id"])
+            for e in log
+        ]
+        return self.spark.createDataFrame(
+            rows if rows else [],
+            "timestamp_ms long, metadata_file string, "
+            "latest_snapshot_id string",
+        )
+
     # -- maintenance (reference C1-C4, LT:156-165) -----------------------------
 
     def rewrite_data_files(self, sort_order: list | None = None, branch: str = MAIN) -> Snapshot:
@@ -554,11 +797,27 @@ class VersionedTable:
             branch, "replace", new_files, {"compacted-to": len(new_files)}
         )
 
-    def rewrite_manifests(self) -> None:
-        """Manifest compaction (C3, LT:160): rewrite the snapshot log
-        dropping per-snapshot duplicate file-list storage (our manifests
-        are the JSON log itself, so this is a normalize/rewrite)."""
-        self._write_json("snapshots.json", self._read_json("snapshots.json"))
+    def rewrite_manifests(self) -> int:
+        """Manifest compaction (C3, LT:160): delete manifest / manifest-
+        list files no longer referenced by any live snapshot (expired
+        snapshots leave theirs behind). Content-addressing already
+        dedupes live manifests maximally, so GC is the remaining real
+        work. Returns the number of files removed."""
+        raw = self._read_json("snapshots.json")
+        live: set[str] = set()
+        for d in raw:
+            ml = d.get("manifest_list")
+            if ml:
+                live.add(ml)
+                live.update(self._read_manifest_file(ml))
+        removed = 0
+        if os.path.isdir(self._manifest_dir):
+            for n in os.listdir(self._manifest_dir):
+                if n.endswith(".json") and n not in live:
+                    os.remove(os.path.join(self._manifest_dir, n))
+                    removed += 1
+        self._manifest_cache = {}
+        return removed
 
     def expire_snapshots(self, retain_last: int = 3) -> list[str]:
         """Snapshot GC (C4, LT:161-162): drop snapshots that are neither
@@ -578,9 +837,10 @@ class VersionedTable:
         }
         keep = live | recent
         expired = [s.snapshot_id for s in snaps if s.snapshot_id not in keep]
+        raw = self._read_json("snapshots.json")
         self._write_json(
             "snapshots.json",
-            [asdict(s) for s in snaps if s.snapshot_id in keep],
+            [d for d in raw if d["snapshot_id"] in keep],
         )
         return expired
 

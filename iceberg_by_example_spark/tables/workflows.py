@@ -19,7 +19,11 @@ from iceberg_by_example_spark.sources.activity import (
     read_activity_csv,
     rows_with_any_null,
 )
-from iceberg_by_example_spark.tables.versioned import MAIN, VersionedTable
+from iceberg_by_example_spark.tables.versioned import (
+    MAIN,
+    VersionedTable,
+    wap_session,
+)
 
 ACTIVITY_DDL = (
     "account string, txn_date date, txn_id string, merchant string, "
@@ -86,12 +90,16 @@ def count_at(table: VersionedTable, watermark: str | None = None) -> int:
 
 
 def metadata_counts(table: VersionedTable) -> dict[str, int]:
-    """Counts of the metadata tables (reference W2, LT:84-97)."""
+    """Counts of all the metadata tables the reference queries
+    (reference W2, LT:84-97): history, snapshots, files, manifests,
+    metadata_log_entries — plus refs."""
     return {
         "history": table.history().count(),
         "snapshots": table.snapshots().count(),
         "files": table.files().count(),
         "refs": table.refs().count(),
+        "manifests": table.manifests().count(),
+        "metadata_log_entries": table.metadata_log_entries().count(),
     }
 
 
@@ -107,24 +115,29 @@ def maintain(table: VersionedTable) -> dict:
     table.rewrite_manifests()
     report["expired"] = table.expire_snapshots(retain_last=3)
     report["orphans_removed"] = table.remove_orphan_files(dry_run=False)
+    # expired snapshots just unreferenced their manifests — collect them
+    report["manifests_removed"] = table.rewrite_manifests()
     return report
 
 
 def wap_load(table: VersionedTable, csv_path: str, wap_branch: str = "feature_branch") -> bool:
     """Write-audit-publish (reference W5, WI:20-87).
 
-    Write the batch to a staging branch, audit it (any-column null scan,
-    WI:70-76 — column-native here), publish via fast_forward to main if
-    clean (WI:81), else drop the branch leaving main untouched (WI:84).
+    The reference routes the whole batch through the session conf
+    ``spark.wap.branch`` (WI:14) — no per-call branch arguments. Same
+    here: inside ``wap_session`` the append lands on the WAP branch
+    (auto-created from main, as Iceberg does) and the audit read
+    resolves to it ambiently. Publish via fast_forward to main if the
+    audit is clean (any-column null scan, WI:70-76 — column-native
+    here), else drop the branch leaving main untouched (WI:84).
     Returns True if published.
     """
     spark = table.spark
-    table.create_branch(wap_branch, from_branch=MAIN)
-    batch = read_activity_csv(spark, csv_path)
-    table.append(batch, branch=wap_branch)
-
-    audited = table.read(branch=wap_branch)
-    bad = rows_with_any_null(audited).count()
+    with wap_session(spark, wap_branch):
+        batch = read_activity_csv(spark, csv_path)
+        table.append(batch)  # routed to the WAP branch by session conf
+        audited = table.read()  # ambient read of the same branch
+        bad = rows_with_any_null(audited).count()
     if bad == 0:
         table.fast_forward(MAIN, wap_branch)
         published = True

@@ -125,6 +125,16 @@ def test_metadata_tables(loaded_table):
     assert counts["files"] > 0
     # refs: main + day1..day5
     assert counts["refs"] == 6
+    # one manifest (commit dir) per contributing commit, ≥1 after 5 merges
+    assert counts["manifests"] >= 1
+    # one metadata version per commit: create + 5 merges = ≥6
+    assert counts["metadata_log_entries"] >= 6
+    mf = loaded_table.manifests().collect()
+    assert all(r["added_data_files_count"] > 0 and r["length"] > 0 for r in mf)
+    # partitioned table → manifests carry partition summaries
+    assert any(r["partition_summaries"] for r in mf)
+    ml = loaded_table.metadata_log_entries().collect()
+    assert ml[-1]["latest_snapshot_id"] == loaded_table._refs()[MAIN]
 
 
 def test_wap_publish_and_reject(spark, tmp_path):
@@ -138,6 +148,29 @@ def test_wap_publish_and_reject(spark, tmp_path):
     assert wap_load(t, day_path("2024-03-10")) is False
     assert count_at(t) == 15  # main untouched by rejected batch
     assert "feature_branch" not in t.branches()
+
+
+def test_wap_session_ambient_routing(spark, tmp_path):
+    """spark.wap.branch parity (WI:14): inside wap_session, writes with
+    NO branch argument land on the WAP branch (auto-created), ambient
+    reads resolve to it, main stays untouched; outside, the conf is
+    restored and reads go back to main."""
+    from iceberg_by_example_spark.tables.versioned import wap_session
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "wapsess"), schema="id bigint, val string"
+    )
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, val string"))
+
+    with wap_session(spark, "audit_b"):
+        t.append(spark.createDataFrame([(2, "b")], "id bigint, val string"))
+        assert t.read().count() == 2  # ambient read sees the WAP branch
+        assert t.read(branch=MAIN).count() == 1  # explicit arg still wins
+    # conf restored: ambient read is main again
+    assert t.read().count() == 1
+    assert "audit_b" in t.branches()
+    t.fast_forward(MAIN, "audit_b")
+    assert t.read().count() == 2
 
 
 def test_maintenance(loaded_table):
@@ -219,6 +252,89 @@ def test_merge_partition_migration(spark, tmp_path):
     assert t1_files, t._current().files
 
 
+def test_mutations_are_file_granular(spark, tmp_path):
+    """Sharper than partition-granular: on an UNPARTITIONED table (one
+    big implicit partition) a mutation touching one commit's key range
+    must carry the other commits' files over by reference — the old
+    partition-scoped CoW would have rewritten everything."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "fg"), schema="id bigint, val string"
+    )
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 50)
+            .selectExpr("id", "CAST(id AS STRING) AS val")
+            .repartition(1)
+        )
+    before = set(t._current().files)
+    assert len(before) == 3
+
+    # update touches only the [200, 250) file
+    t.update(F.col("id") == 249, {"val": F.lit("updated")})
+    after_update = set(t._current().files)
+    assert len(before & after_update) == 2, "update rewrote untouched files"
+
+    # merge matching a key in the [100, 150) file: that file + inserts
+    src = spark.createDataFrame([(101, "merged"), (900, "new")], "id bigint, val string")
+    pre_merge = set(t._current().files)
+    t.merge(src, on="id")
+    after_merge = set(t._current().files)
+    assert len(pre_merge & after_merge) == 2, "merge rewrote untouched files"
+
+    # delete from the [0, 50) file only
+    pre_del = set(t._current().files)
+    t.delete(F.col("id") < 10)
+    after_del = set(t._current().files)
+    assert len(pre_del & after_del) >= 2, "delete rewrote untouched files"
+
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows[249] == "updated" and rows[101] == "merged"
+    assert rows[900] == "new" and 5 not in rows
+    assert len(rows) == 150 - 10 + 1
+
+
+def test_merge_null_key_inserts_full_row(spark, tmp_path):
+    """A NULL merge key matches nothing → the row INSERTs with all its
+    non-key columns intact (not an all-NULL row)."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "nullkey"), schema="id bigint, val string"
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string"))
+    src = spark.createDataFrame(
+        [(1, "updated"), (None, "null-key-row")], "id bigint, val string"
+    )
+    t.merge(src, on="id")
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "updated", 2: "b", None: "null-key-row"}
+
+
+def test_merge_schema_parameterized_types(spark, tmp_path):
+    """Schema evolution must round-trip parameterized DDL types —
+    decimal(10,2), map<string,int> — through a mergeSchema append."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "paramtypes"),
+        schema="id bigint, price decimal(10,2), tags map<string,int>",
+    )
+    t.append(
+        spark.sql(
+            "SELECT 1L AS id, CAST(9.99 AS DECIMAL(10,2)) AS price, "
+            "map('a', 1) AS tags"
+        )
+    )
+    t.append(
+        spark.sql(
+            "SELECT 2L AS id, CAST(1.50 AS DECIMAL(10,2)) AS price, "
+            "map('b', 2) AS tags, 'extra' AS note"
+        ),
+        merge_schema=True,
+    )
+    assert "decimal(10,2)" in t.table_meta["schema"]
+    assert "map<string,int>" in t.table_meta["schema"]
+    rows = {r["id"]: (str(r["price"]), r["note"]) for r in t.read().collect()}
+    assert rows == {1: ("9.99", None), 2: ("1.50", "extra")}
+
+
 def test_delete_partition_granular(spark, tmp_path):
     """DELETE rewrites only partitions containing matched rows; others
     carry over by reference, and time travel still sees deleted rows."""
@@ -249,6 +365,44 @@ def test_update_where(spark, tmp_path):
     rest = [r for r in rows if r["account"] != "acc1"]
     assert acc1 and all(r["category"] == "Audited" for r in acc1)
     assert rest and all(r["category"] != "Audited" for r in rest)
+
+
+def test_hundred_commits_compact_to_single_scan(spark, tmp_path):
+    """Log + plan growth under many commits: after 100 appends the
+    snapshot log must stay sharded (manifest lists, no inline file
+    lists, shared manifests across snapshots), and compaction must
+    collapse the read plan back to ONE parquet scan."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "many"), schema="id bigint"
+    )
+    for i in range(100):
+        t.append(spark.range(i, i + 1).repartition(1))
+
+    raw = t._read_json("snapshots.json")
+    # sharded: every serialized snapshot is a manifest-list pointer
+    assert all("files" not in d for d in raw)
+    assert all("manifest_list" in d for d in raw)
+    # content-addressing: snapshot N shares N-1 manifests with its
+    # parent → ~one NEW manifest per commit, not O(N²) distinct files
+    distinct_manifests = {
+        m
+        for d in raw
+        for m in t._read_manifest_file(d["manifest_list"])
+    }
+    assert len(distinct_manifests) <= 101
+
+    assert t.read().count() == 100
+    pre_plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert pre_plan.count("Scan parquet") == 100  # one scan per commit dir
+
+    t.rewrite_data_files()
+    t.expire_snapshots(retain_last=1)
+    t.remove_orphan_files()
+    t.rewrite_manifests()
+
+    assert t.read().count() == 100
+    post_plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert post_plan.count("Scan parquet") == 1  # compacted: single scan
 
 
 def test_delete_no_match_is_noop(spark, tmp_path):
