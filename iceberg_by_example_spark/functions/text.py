@@ -58,27 +58,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize(col))
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles (the classic near-dup unit).
+def shingles_from_tokens(tok: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles from an ALREADY-MATERIALIZED token
+    array column (the classic near-dup unit).
+
+    Hot paths must pre-split: expressions referenced inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT (lambda
+    bodies block common-subexpression elimination), so an inline
+    ``split(text)`` here would re-split the whole document once per
+    shingle — O(tokens²) per row, measured 8× slower at sf0.1. Project
+    the token array in its own select first; Catalyst keeps the
+    multi-referenced alias un-inlined, so the split runs once per row.
 
     Twin (k=3): ``LIST_DISTINCT([t[i]||' '||t[i+1]||' '||t[i+2]
     for i in generate_series(1, LEN(t)-2)])`` over ``t = STRING_SPLIT``.
 
     Documents with fewer than ``k`` tokens yield an EMPTY array —
     matching DuckDB's ``generate_series(1, LEN(t)-2)``, which is empty
-    when the upper bound is < 1. Without the guard ``F.sequence(0,
-    size-k)`` would *descend* into negative indices and element_at
-    would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    when the upper bound is < 1. Without the guard the sequence would
+    *descend* into negative indices and throw.
     """
-    t = tokens(col)
+    t = F.col(tok) if isinstance(tok, str) else tok
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
-        ),
+        F.sequence(F.lit(1), F.size(t) - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )
     return F.array_distinct(
         F.when(F.size(t) >= k, grams).otherwise(
             F.array().cast("array<string>")
         )
     )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """One-shot convenience over raw text — fine for bounded slices.
+    On the dedup hot path use ``shingles_from_tokens`` over a
+    pre-projected token array (see its docstring for why)."""
+    return shingles_from_tokens(tokens(col), k)

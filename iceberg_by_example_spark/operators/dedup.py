@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_by_example_spark.functions.text import fingerprint, shingles
+from iceberg_by_example_spark.functions.text import (
+    fingerprint,
+    shingles_from_tokens,
+    tokens,
+)
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
 
@@ -102,6 +106,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = 1000
 
 
+def _shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — the shared two-phase shingle
+    projection: split ONCE into a materialized token array, then build
+    shingles from it (``shingles_from_tokens`` explains why the phases
+    must be separate selects).
+
+    The repartition comes FIRST, on the raw (doc_id, text) rows: a
+    document corpus often arrives as few large files, and tokenize +
+    shingle is the compute-heavy stage — projected before the
+    exchange it would run at the scan's (possibly single-file)
+    parallelism; after it, on every core. The partition count is
+    EXPLICIT: this stage is CPU-bound, not size-bound, and AQE's
+    coalescePartitions (size-based) would merge the few-MB shuffle
+    back onto one task, re-serializing the compute. An explicit count
+    pins the exchange against AQE coalescing."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(n, "doc_id")
+        .select("doc_id", tokens(text_col).alias("_t"))
+        .select("doc_id", shingles_from_tokens("_t").alias("sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int
 ) -> DataFrame:
@@ -113,11 +143,7 @@ def ngram_jaccard_pairs(
     exact Jaccard (|∩| / |∪| on distinct shingle arrays). The n² pair
     space is touched nowhere."""
     d = load_table(spark, sf_dir, "documents")
-    # repartition before the explode so shingle fan-out parallelizes
-    # beyond the scan's file count (same rationale as minhash_signatures)
-    sh = d.select("doc_id", shingles("text").alias("sh")).repartition(
-        "doc_id"
-    )
+    sh = _shingle_sets(d)  # repartitions internally before tokenizing
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (
         exploded.groupBy("shingle")
@@ -183,17 +209,7 @@ def minhash_signatures(
     Docs with zero shingles (< k tokens) have no MinHash identity and
     are excluded. The 31-bit modulus keeps every product inside int64
     (ANSI-safe)."""
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        # spread docs across tasks BEFORE the explode: a document corpus
-        # often arrives as few large files, and the shingle fan-out plus
-        # 32 affine maps is the compute-heavy stage — without this it
-        # runs at the scan's (possibly single-file) parallelism.
-        .repartition("doc_id")
-    )
+    sh = _shingle_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     h = F.pmod(F.xxhash64("s"), F.lit(_PRIME31))
     perm_vals = []
@@ -289,7 +305,7 @@ def dedup_pipeline_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched nowhere; LSH bounds candidates, and the verify join is a
     key-join on doc ids."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text").alias("sh"))
+    sh = _shingle_sets(d)
     candidates = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
