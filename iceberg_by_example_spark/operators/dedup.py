@@ -15,7 +15,7 @@ checks, with pytest asserting their internal invariants instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.functions.text import (
@@ -25,6 +25,7 @@ from iceberg_by_example_spark.functions.text import (
 )
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import detach
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -44,16 +45,22 @@ from iceberg_by_example_spark.sources.tpch import load_table
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest doc_id per normalized-content
-    fingerprint. One hash shuffle on the 32-byte digest — at 100 TB the
-    shuffle carries (digest, doc_id), not the documents; survivors
-    join back to fetch their payload."""
+    fingerprint. The only SHUFFLE exchange carries (digest, doc_id) —
+    two narrow columns with a map-side-combinable MIN, never the
+    documents themselves. Survivors come back as a keys-only relation
+    and a semi join fetches their payloads: at test scale that side is
+    broadcast; at 100 TB it stays a keys-only (8-byte id) exchange
+    while the corpus is read once and never re-shuffled by content.
+    (The previous row_number-window form shuffled every document's
+    full text on the digest — the corpus itself through the wire.)"""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
-    return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    winners = (
+        d.select(fingerprint("text").alias("_fp"), "doc_id")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    return d.join(winners, "doc_id", "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +139,32 @@ def _shingle_sets(
     )
 
 
+def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs in ONE pass
+    over the shingle-set relation: melt each pair into its two member
+    ids, key-join the shingle arrays in, and reassemble per pair with a
+    2-element collect_list. Joining ``sh`` twice — once aliased per
+    side — would stream the corpus-sized relation through two separate
+    joins (and at sf0.1 recompute the tokenize+shingle stage for each);
+    the melt form touches it once. Jaccard is symmetric, so the
+    collect_list's element order doesn't matter. O(candidates) shuffle."""
+    melted = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    both = (
+        melted.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_list("sh").alias("_sets"))
+    )
+    s1, s2 = F.element_at("_sets", 1), F.element_at("_sets", 2)
+    jac = F.size(F.array_intersect(s1, s2)) / F.size(
+        F.array_union(s1, s2)
+    ).cast("double")
+    return both.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int
 ) -> DataFrame:
@@ -166,18 +199,7 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jaccard = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    )
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.08)
-    )
+    return _exact_jaccard(sh, candidates).filter(F.col("jaccard") >= 0.08)
 
 
 # ---------------------------------------------------------------------------
@@ -200,32 +222,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>[MINHASH_PERMS]) per document.
 
-    Each shingle is hashed exactly ONCE (xxhash64 folded into [0, p)),
-    then the 32 permutations are plain integer affine maps over that one
-    hash, aggregated with per-permutation MIN. The whole thing is one
-    explode + one map-side-combinable groupBy — no nested higher-order
-    functions re-hashing every shingle per permutation (the previous
-    form cost 32 xxhash64 passes per document and blew up codegen).
-    Docs with zero shingles (< k tokens) have no MinHash identity and
-    are excluded. The 31-bit modulus keeps every product inside int64
+    Each shingle is hashed exactly ONCE (xxhash64 folded into [0, p))
+    into a per-document hash ARRAY, then each of the 32 permutations is
+    an integer affine map + ``array_min`` over that array — entirely
+    within the row, ZERO shuffle. (Round 2 exploded the shingles and
+    ran a 32-column MIN groupBy: the map-side combine kept the exchange
+    small, but materializing rows × 32 columns through an aggregate
+    cost ~2.5s of the 4.6s signature stage at sf0.1. The array-domain
+    form makes the 32 permutations nearly free — signatures now cost
+    what the shingle projection costs.) The hash runs once per shingle
+    because it is projected into ``h`` in its OWN select — only the
+    cheap affine maps live inside the per-permutation lambdas. Docs
+    with zero shingles (< k tokens) have no MinHash identity and are
+    excluded. The 31-bit modulus keeps every product inside int64
     (ANSI-safe)."""
     sh = _shingle_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
-    h = F.pmod(F.xxhash64("s"), F.lit(_PRIME31))
-    perm_vals = []
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME31))
+        ).alias("h"),
+    )
+    sig_cols = []
     for i in range(MINHASH_PERMS):
         a, b = _perm_coeffs(i)
-        perm_vals.append(
-            ((F.lit(a) * h + F.lit(b)) % _PRIME31).alias(f"_v{i}")
+        sig_cols.append(
+            F.array_min(
+                F.transform("h", lambda x: (F.lit(a) * x + F.lit(b)) % _PRIME31)
+            )
         )
-    vals = tok.select("doc_id", *perm_vals)
-    agg = vals.groupBy("doc_id").agg(
-        *[F.min(f"_v{i}").alias(f"_v{i}") for i in range(MINHASH_PERMS)]
-    )
-    return agg.select(
-        "doc_id",
-        F.array(*[f"_v{i}" for i in range(MINHASH_PERMS)]).alias("sig"),
-    )
+    return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
 
 
 @register(
@@ -244,11 +270,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched. The candidate pairs feed dedup_ngram_jaccard-style exact
     verification."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    # Signatures are reused by three plan branches (band explode + the
+    # two sides of the score join-back). They are tiny — doc_id plus 32
+    # longs, ~0.3% of corpus bytes — so materialize them ONCE on the
+    # executors instead of recomputing the shingle explode + MIN
+    # aggregate three times. localCheckpoint never touches the driver.
+    sig = detach(minhash_signatures(d))
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    # The banded relation carries ONLY (doc_id, band, bucket): the
+    # 32-long signature must not ride through the 8× explode and into
+    # the self-join shuffle (that serialized every signature 8 times
+    # and scored each pair once per shared band — the round-2 hot spot).
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -262,9 +296,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -274,19 +308,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()  # collapse multi-band collisions BEFORE scoring
+    )
+    # Join the signatures back once per side and score each surviving
+    # pair exactly once.
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
             (
                 F.size(
                     F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq,
                     )
                 )
                 / F.lit(float(MINHASH_PERMS))
             ).alias("est_jaccard"),
         )
-        .distinct()
     )
-    return candidates
 
 
 @register(
@@ -307,22 +352,7 @@ def dedup_pipeline_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = _shingle_sets(d)
     candidates = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return verified
+    return _exact_jaccard(sh, candidates).filter(F.col("jaccard") >= 0.5)
 
 
 # ---------------------------------------------------------------------------

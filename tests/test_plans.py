@@ -53,6 +53,43 @@ def test_candidate_generation_never_cartesian(spark, registry, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _shuffle_exchange_blocks(txt: str) -> list[str]:
+    """The per-node detail blocks of shuffle Exchange operators (not
+    BroadcastExchange) from a formatted explain."""
+    import re
+
+    blocks = re.split(r"\n\s*\n", txt)
+    return [b for b in blocks if re.match(r"\(\d+\) Exchange\b", b.strip())]
+
+
+def test_dedup_exact_shuffles_keys_not_documents(spark, registry):
+    """dedup_exact's shuffle exchanges must carry only (digest, doc_id)
+    — at 100 TB a shuffle whose rows include the document text is the
+    corpus itself going through the wire. The payload fetch for the
+    survivors is a broadcast semi join, not a shuffle."""
+    df = registry["dedup_exact"].fn(spark, SF)
+    blocks = _shuffle_exchange_blocks(formatted_plan(df))
+    assert blocks, "expected at least one shuffle exchange (the MIN agg)"
+    for b in blocks:
+        assert "text#" not in b, f"document text entered a shuffle:\n{b}"
+        assert "Input [2]" in b, f"shuffle carries more than 2 columns:\n{b}"
+
+
+def test_minhash_band_explode_does_not_carry_signatures(spark, registry):
+    """The banded self-join must shuffle (doc_id, band, bucket) only —
+    the 32-long signatures join back AFTER the pairs are distinct."""
+    df = registry["dedup_minhash_lsh"].fn(spark, SF)
+    for b in _shuffle_exchange_blocks(formatted_plan(df)):
+        if "band#" in b and "bucket#" in b:
+            assert "sig#" not in b, f"sig rode the band shuffle:\n{b}"
+
+
 def test_global_topk_avoids_full_sort(spark, registry):
     """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
     heaps), not a global Sort."""
