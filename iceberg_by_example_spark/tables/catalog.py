@@ -1,0 +1,64 @@
+"""Catalog name → warehouse-location indirection (reference G12).
+
+The reference dispatches a three-level namespace — ``iceberg.finance.
+activity`` — through a catalog whose warehouse root comes from the
+``CATALOG_WAREHOUSE`` env var with a local fallback
+(`IcebergSupport.scala:6-9`). The reference's JDBC/REST catalog
+*servers* (IS:25-36, dispatched on ``CATALOG_URL``) need network + jars
+this environment doesn't have, so the name service here is the same
+deterministic mapping those servers implement for a filesystem
+warehouse: ``catalog.db.table`` → ``<warehouse>/<db>/<table>``.
+
+``VersionedTable.create/load`` accept either a filesystem location or a
+dotted table name; names route through the default catalog, so the
+reference's spelling works verbatim:
+
+    VersionedTable.load(spark, "iceberg.finance.activity")
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+# A table NAME (vs a path): 2 or 3 dot-separated identifiers, e.g.
+# db.table or catalog.db.table. Anything with a slash, or a single
+# bare word, is treated as a filesystem location.
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_-]*){1,2}$")
+
+DEFAULT_WAREHOUSE = "./tmp/warehouse"
+
+
+def is_table_name(s: str) -> bool:
+    return bool(_NAME_RE.match(s))
+
+
+class Catalog:
+    """Maps ``[catalog.]db.table`` names to warehouse locations.
+
+    The catalog segment namespaces the warehouse the way the
+    reference's two configured catalogs (``iceberg`` and
+    ``spark_catalog``, IS:20-23) share one warehouse root: all
+    catalogs resolve into the same root; db and table become
+    directories under it.
+    """
+
+    def __init__(self, warehouse: str | None = None):
+        self.warehouse = (
+            warehouse
+            or os.environ.get("CATALOG_WAREHOUSE")
+            or DEFAULT_WAREHOUSE
+        )
+
+    def location_for(self, name: str) -> str:
+        if not is_table_name(name):
+            raise ValueError(f"not a [catalog.]db.table name: {name!r}")
+        parts = name.split(".")
+        db, table = parts[-2], parts[-1]
+        return os.path.join(self.warehouse, db, table)
+
+    def resolve(self, location_or_name: str) -> str:
+        """Location passthrough; names map into the warehouse."""
+        if is_table_name(location_or_name):
+            return self.location_for(location_or_name)
+        return location_or_name

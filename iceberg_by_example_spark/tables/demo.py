@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.tables.catalog import Catalog
+from iceberg_by_example_spark.tables.sql import SqlEngine
 from iceberg_by_example_spark.tables.versioned import VersionedTable
 from iceberg_by_example_spark.util import detach
 
@@ -26,10 +28,15 @@ ORDERS_DDL = (
     "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
 )
 
+# The reference's declared MoR write modes (LT:30-31).
+MOR_PROPS = {
+    "write.delete.mode": "merge-on-read",
+    "write.update.mode": "merge-on-read",
+    "write.merge.mode": "merge-on-read",
+}
 
-@register(
-    "merge_upsert",
-    oracle="""
+
+MERGE_UPSERT_ORACLE = """
     WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
          src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                         o_totalprice + 1000.0 AS o_totalprice,
@@ -46,13 +53,11 @@ ORDERS_DDL = (
            CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
                 ELSE t.o_orderpriority END AS o_orderpriority
     FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
-    """,
-    category="versioned",
-)
-def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics (reference M1, LT:68-76) through the real
-    VersionedTable engine: even-keyed orders as the table state, every
-    third order (status→'U', price+1000) as the upsert source."""
+    """
+
+
+def _merge_upsert_frames(spark: SparkSession, sf_dir: str):
+    """(target, source) frames shared by every merge demo variant."""
     orders = load_table(spark, sf_dir, "orders")
     target = orders.filter(F.col("o_orderkey") % 2 == 0)
     src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
@@ -63,6 +68,15 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
+    return target, src
+
+
+@register("merge_upsert", oracle=MERGE_UPSERT_ORACLE, category="versioned")
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (reference M1, LT:68-76) through the real
+    VersionedTable engine: even-keyed orders as the table state, every
+    third order (status→'U', price+1000) as the upsert source."""
+    target, src = _merge_upsert_frames(spark, sf_dir)
     loc = tempfile.mkdtemp(prefix="merge_upsert_")
     shutil.rmtree(loc)
     t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
@@ -75,13 +89,77 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-@register(
-    "versioned_branch_counts",
-    oracle="""
+@register("merge_upsert_mor", oracle=MERGE_UPSERT_ORACLE, category="versioned")
+def merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME merge through the merge-on-read write path the
+    reference declares (``write.merge.mode=merge-on-read``, LT:31):
+    matched rows are position-deleted and re-written as new files —
+    commit bytes O(batch) — and the read applies the delete overlay as
+    a broadcast anti-join. Identical oracle to ``merge_upsert``: mode
+    changes the physical write, never the answer."""
+    target, src = _merge_upsert_frames(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="merge_upsert_mor_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL, properties=MOR_PROPS)
+    try:
+        t.append(target)
+        snap = t.merge(src, on="o_orderkey")
+        assert snap.delete_files, "MoR merge must commit delete files"
+        return detach(t.read())
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register("sql_merge_upsert", oracle=MERGE_UPSERT_ORACLE, category="versioned")
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME merge driven through the SQL facade with the
+    reference's literal statement shape (LT:68-76): MERGE INTO …
+    USING … ON target.k = src.k WHEN MATCHED THEN UPDATE SET …
+    WHEN NOT MATCHED THEN INSERT *. Tables route through the catalog
+    (``iceberg.finance.…`` names, IS:6-9); the final read is a facade
+    SELECT."""
+    target, src = _merge_upsert_frames(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="sql_merge_wh_")
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    try:
+        t = VersionedTable.create(
+            spark, eng.catalog.resolve("iceberg.finance.orders_t"),
+            schema=ORDERS_DDL,
+        )
+        t.append(target)
+        s = VersionedTable.create(
+            spark, eng.catalog.resolve("iceberg.finance.orders_src"),
+            schema=ORDERS_DDL,
+        )
+        s.append(src)
+        eng.sql(
+            """MERGE INTO iceberg.finance.orders_t as target
+               USING iceberg.finance.orders_src as src
+               ON target.o_orderkey = src.o_orderkey
+               WHEN MATCHED THEN
+                UPDATE SET target.o_custkey = src.o_custkey,
+                           target.o_orderstatus = src.o_orderstatus,
+                           target.o_totalprice = src.o_totalprice,
+                           target.o_orderdate = src.o_orderdate,
+                           target.o_orderpriority = src.o_orderpriority
+               WHEN NOT MATCHED THEN
+                INSERT *"""
+        )
+        return detach(eng.sql("select * from iceberg.finance.orders_t"))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+BRANCH_COUNTS_ORACLE = """
     SELECT 'v1' AS branch, COUNT(*) AS cnt FROM orders WHERE o_orderkey < 5000
     UNION ALL
     SELECT 'main' AS branch, COUNT(*) AS cnt FROM orders
-    """,
+    """
+
+
+@register(
+    "versioned_branch_counts",
+    oracle=BRANCH_COUNTS_ORACLE,
     category="versioned",
 )
 def versioned_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +184,42 @@ def versioned_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_select_version_as_of",
+    oracle=BRANCH_COUNTS_ORACLE,
+    category="versioned",
+)
+def sql_select_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL facade with the reference's literal
+    grammar (LT:114: ``select * from t VERSION AS OF 'day1'``), plus
+    branch DDL as SQL (LT:78-80). One facade statement computes both
+    counts — the ``VERSION AS OF`` and latest reads resolve to
+    different snapshots inside a single UNION ALL query."""
+    orders = load_table(spark, sf_dir, "orders")
+    wh = tempfile.mkdtemp(prefix="sql_tt_wh_")
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    try:
+        t = VersionedTable.create(
+            spark, eng.catalog.resolve("iceberg.finance.orders_v"),
+            schema=ORDERS_DDL,
+        )
+        t.append(orders.filter(F.col("o_orderkey") < 5000))
+        eng.sql(
+            "ALTER TABLE iceberg.finance.orders_v CREATE OR REPLACE BRANCH `v1`"
+        )
+        t.append(orders.filter(F.col("o_orderkey") >= 5000))
+        out = eng.sql(
+            """select 'v1' as branch, count(*) as cnt
+                 from iceberg.finance.orders_v VERSION AS OF 'v1'
+               union all
+               select 'main' as branch, count(*) as cnt
+                 from iceberg.finance.orders_v"""
+        )
+        return detach(out)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "versioned_metadata_tables",
     oracle=None,  # snapshot ids/timestamps are run-specific; shape checked
     category="versioned",
@@ -124,35 +238,46 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(orders.filter(F.col("o_orderkey") < 1000))
         t.create_branch("audit")
         t.append(orders.filter(F.col("o_orderkey") >= 1000))
-        ops = {
-            r["operation"]: r["cnt"]
-            for r in t.snapshots()
-            .groupBy("operation")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        rows = [
-            ("snapshots", t.snapshots().count()),
-            ("history_depth", t.history().count()),
-            ("files", t.files().count()),
-            ("refs", t.refs().count()),
-            ("manifests", t.manifests().count()),
-            ("metadata_log_entries", t.metadata_log_entries().count()),
-            ("append_commits", ops.get("append", 0)),
-        ]
-        return spark.createDataFrame(rows, "metric string, value long")
+
+        # ONE unioned summary plan over all six metadata relations —
+        # seven sequential .count() actions here cost ~3.4s of pure
+        # job-scheduling overhead at sf0.01; as a single DataFrame the
+        # driver's collect() is one Spark job. The relations are tiny
+        # local-rows scans, so the union is plan glue, not data motion.
+        def metric(name: str, df) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("value")).select(
+                F.lit(name).alias("metric"), "value"
+            )
+
+        out = (
+            metric("snapshots", t.snapshots())
+            .unionByName(metric("history_depth", t.history()))
+            .unionByName(metric("files", t.files()))
+            .unionByName(metric("refs", t.refs()))
+            .unionByName(metric("manifests", t.manifests()))
+            .unionByName(
+                metric("metadata_log_entries", t.metadata_log_entries())
+            )
+            .unionByName(
+                metric(
+                    "append_commits",
+                    t.snapshots().filter(F.col("operation") == "append"),
+                )
+            )
+        )
+        # pin before the scratch table's files are removed
+        return detach(out)
     finally:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-@register(
-    "delete_where",
-    oracle="""
+DELETE_WHERE_ORACLE = """
     SELECT * FROM orders
     WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
-    """,
-    category="versioned",
-)
+    """
+
+
+@register("delete_where", oracle=DELETE_WHERE_ORACLE, category="versioned")
 def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE WHERE through the real engine (reference G2 declares
     copy-on-write deletes but never executes one): load orders, delete
@@ -171,17 +296,16 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-@register(
-    "update_set_where",
-    oracle="""
+UPDATE_SET_ORACLE = """
     SELECT o_orderkey, o_custkey,
            CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
            CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
     FROM orders
-    """,
-    category="versioned",
-)
+    """
+
+
+@register("update_set_where", oracle=UPDATE_SET_ORACLE, category="versioned")
 def update_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE SET ... WHERE through the real engine (reference G3
     declares update mode but never executes one): finalize pending
@@ -200,6 +324,58 @@ def update_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
         # pin to executor storage before the backing files are removed
+        return detach(t.read())
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register("delete_where_mor", oracle=DELETE_WHERE_ORACLE, category="versioned")
+def delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME delete as a merge-on-read position-delete commit: zero
+    data files rewritten (asserted), the overlay anti-join produces the
+    survivors on read. Identical oracle to ``delete_where``."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="delete_mor_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(
+        spark, loc, schema=ORDERS_DDL, properties=MOR_PROPS
+    )
+    try:
+        before = t.append(orders)
+        snap = t.delete(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0)
+        )
+        assert snap.files == before.files, "MoR delete must not rewrite data"
+        assert snap.delete_files
+        return detach(t.read())
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register("update_set_where_mor", oracle=UPDATE_SET_ORACLE, category="versioned")
+def update_set_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME update through merge-on-read (the mode the reference
+    declares for updates, LT:30): matched positions become a delete
+    file, updated versions a new data file — O(matched) commit bytes
+    even when matches touch every data file. Identical oracle to
+    ``update_set_where``."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="update_mor_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(
+        spark, loc, schema=ORDERS_DDL, properties=MOR_PROPS
+    )
+    try:
+        before = t.append(orders)
+        snap = t.update(
+            F.col("o_orderstatus") == "P",
+            {
+                "o_orderstatus": F.lit("F"),
+                "o_totalprice": F.col("o_totalprice") + 50.0,
+            },
+        )
+        assert set(before.files) <= set(snap.files), "MoR keeps old files"
+        assert snap.delete_files
         return detach(t.read())
     finally:
         shutil.rmtree(loc, ignore_errors=True)

@@ -88,14 +88,24 @@ class Snapshot:
     operation: str  # append | merge | replace | expire
     files: list[str]  # table-root-relative parquet file paths
     summary: dict = field(default_factory=dict)
+    # Position-delete files (merge-on-read): parquet files of
+    # (file: string URI, pos: long row index) rows naming data rows
+    # that are logically deleted from this snapshot. Applied as a
+    # broadcast anti-join on read; emptied by compaction.
+    delete_files: list[str] = field(default_factory=list)
 
 
 class VersionedTable:
     """A snapshot-versioned parquet table with branch refs."""
 
     def __init__(self, spark: SparkSession, location: str):
+        from iceberg_by_example_spark.tables.catalog import Catalog
+
         self.spark = spark
-        self.location = os.path.abspath(location)
+        # A dotted [catalog.]db.table name routes through the default
+        # catalog (CATALOG_WAREHOUSE env root — reference IS:6-9); a
+        # filesystem location is used as-is.
+        self.location = os.path.abspath(Catalog().resolve(location))
         self._meta_dir = os.path.join(self.location, "_meta")
         self._data_dir = os.path.join(self.location, "data")
 
@@ -281,8 +291,18 @@ class VersionedTable:
         return MAIN
 
     def _commit(
-        self, branch: str, operation: str, files: list[str], summary: dict
+        self,
+        branch: str,
+        operation: str,
+        files: list[str],
+        summary: dict,
+        delete_files: list[str] | None = None,
     ) -> Snapshot:
+        """``delete_files=None`` carries the parent's position-delete
+        overlay forward (appends and CoW rewrites never invalidate it:
+        new file names never collide with the deleted positions' file
+        URIs). Pass an explicit list to extend it (MoR mutations) or
+        ``[]`` to clear it (compaction materializes the overlay)."""
         parent = self._current(branch)
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex[:16],
@@ -291,6 +311,9 @@ class VersionedTable:
             operation=operation,
             files=files,
             summary=summary,
+            delete_files=(
+                list(parent.delete_files) if delete_files is None else delete_files
+            ),
         )
         snaps = self._read_json("snapshots.json")
         snaps.append(self._snap_to_json(snap))
@@ -339,6 +362,39 @@ class VersionedTable:
                         os.path.relpath(os.path.join(root, n), self.location)
                     )
         return sorted(rel)
+
+    def _write_mode(self, op: str) -> str:
+        """The declared write mode for ``op`` in {delete, update,
+        merge}: the reference's table declares
+        ``write.delete.mode=copy-on-write`` and ``write.update.mode=
+        write.merge.mode=merge-on-read`` (LT:29-31). Default matches
+        Iceberg's: copy-on-write."""
+        props = self.table_meta.get("properties") or {}
+        return props.get(f"write.{op}.mode", "copy-on-write")
+
+    def _write_position_deletes(self, positions: DataFrame) -> tuple[list[str], int]:
+        """Write a position-delete batch — rows of (file: data-file URI,
+        pos: row index) — as parquet under its own commit dir. Returns
+        (table-relative paths, row count). The count comes from the
+        written files' parquet footers (a metadata-only Spark count), so
+        the positions plan executes exactly once. The reference declares
+        avro delete files (LT:34); parquet is this engine's uniform
+        format — same role, same O(batch) commit bytes."""
+        commit_dir = f"delete-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._data_dir, commit_dir)
+        positions.write.mode("append").format("parquet").save(out)
+        rel = []
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel.append(
+                        os.path.relpath(os.path.join(root, n), self.location)
+                    )
+        n_rows = self.spark.read.parquet(out).count()
+        if n_rows == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return [], 0
+        return sorted(rel), n_rows
 
     def append(
         self,
@@ -398,6 +454,7 @@ class VersionedTable:
         update_cols: list[str] | None = None,
         branch: str | None = None,
         validate_source_unique: bool = True,
+        mode: str | None = None,
     ) -> Snapshot:
         """MERGE INTO … ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
@@ -442,6 +499,9 @@ class VersionedTable:
             return self._commit(
                 branch, "merge", new_files, {"matched": 0, "inserted": "all"}
             )
+
+        if (mode or self._write_mode("merge")) == "merge-on-read":
+            return self._merge_mor(branch, cur, source, on, update_cols, cols)
 
         # Files containing at least one matched key must be rewritten
         # (their matched rows change, or migrate partition); everything
@@ -488,14 +548,80 @@ class VersionedTable:
             {"rewritten-files": len(affected_uris)},
         )
 
-    def delete(self, predicate, branch: str | None = None) -> Snapshot:
-        """DELETE WHERE predicate — file-granular copy-on-write (the
-        reference declares ``write.delete.mode=copy-on-write``, LT:29):
-        only files containing matched rows are rewritten without them;
-        untouched files carry over by reference. Discovery pushes the
-        predicate into the parquet scan, so row-group statistics skip
-        files that cannot match before any row is read (partition
-        pruning included, when the predicate hits the partition column).
+    def _merge_mor(
+        self,
+        branch: str,
+        cur: Snapshot,
+        source: DataFrame,
+        on: str,
+        update_cols: list[str],
+        cols: list[str],
+    ) -> Snapshot:
+        """MERGE as merge-on-read (reference declares
+        ``write.merge.mode=merge-on-read``, LT:31): matched target rows
+        are position-deleted, their merged versions (source values for
+        ``update_cols``, target values elsewhere) plus the unmatched
+        source rows land as new data files. Commit bytes are O(source
+        batch) regardless of how many data files the matched keys touch
+        — the case where file-granular CoW degrades to a full rewrite
+        (a hot key in every file). Catalyst broadcasts the source side
+        of both joins when it is small (the common upsert)."""
+        from iceberg_by_example_spark.util import detach
+
+        src = source.select(*cols)
+        target = self._read_snapshot(cur, with_file_path=True, with_pos=True)
+        t, s = target.alias("t"), src.alias("s")
+        # Resolve the merged row AND the delete position in one
+        # projection, then pin it: both the delete file and the new
+        # data file derive from this single O(matched) join pass.
+        # (Disambiguation must happen BEFORE the checkpoint — alias
+        # scopes like "t._file" don't survive localCheckpoint.)
+        proj = [
+            F.col("t._file").alias("_del_file"),
+            F.col("t._pos").alias("_del_pos"),
+        ]
+        for c in cols:
+            side = "s" if (c in update_cols or c == on) else "t"
+            proj.append(F.col(f"{side}.{c}").alias(c))
+        joined = detach(
+            t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(*proj)
+        )
+        positions = joined.select(
+            F.col("_del_file").alias("file"), F.col("_del_pos").alias("pos")
+        )
+        del_files, n_matched = self._write_position_deletes(positions)
+        merged = joined.drop("_del_file", "_del_pos")
+        # NULL-keyed source rows never match any target key → inserted
+        # (left_anti keeps them: NULL never equals).
+        inserts = src.join(
+            target.select(on), on, "left_anti"
+        ).select(*cols)
+        new_files = self._write_data(merged.unionByName(inserts))
+        return self._commit(
+            branch,
+            "merge",
+            cur.files + new_files,
+            {"mode": "merge-on-read", "matched-rows": n_matched},
+            delete_files=cur.delete_files + del_files,
+        )
+
+    def delete(
+        self, predicate, branch: str | None = None, mode: str | None = None
+    ) -> Snapshot:
+        """DELETE WHERE predicate. Mode comes from the table property
+        ``write.delete.mode`` (the reference declares copy-on-write,
+        LT:29) unless overridden:
+
+        - **copy-on-write** (default): only files containing matched
+          rows are rewritten without them; untouched files carry over
+          by reference. Discovery pushes the predicate into the parquet
+          scan, so row-group statistics skip files that cannot match
+          before any row is read (partition pruning included, when the
+          predicate hits the partition column).
+        - **merge-on-read**: NO data file is touched — the matched
+          rows' (file, position) pairs are committed as a position-
+          delete file (O(matched) bytes) and applied as a broadcast
+          anti-join on every read until compaction materializes them.
 
         ``predicate`` is a Column (or SQL string) over the table schema.
         """
@@ -505,6 +631,22 @@ class VersionedTable:
         assert isinstance(cond, Column)
         branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
+        if (mode or self._write_mode("delete")) == "merge-on-read":
+            positions = (
+                self._read_snapshot(cur, with_file_path=True, with_pos=True)
+                .filter(cond)
+                .select(F.col("_file").alias("file"), F.col("_pos").alias("pos"))
+            )
+            del_files, n = self._write_position_deletes(positions)
+            if n == 0:
+                return cur
+            return self._commit(
+                branch,
+                "delete",
+                cur.files,
+                {"mode": "merge-on-read", "deleted-rows": n},
+                delete_files=cur.delete_files + del_files,
+            )
         with_path = self._read_snapshot(cur, with_file_path=True)
         affected_uris = [
             r[0]
@@ -523,17 +665,29 @@ class VersionedTable:
         )
 
     def update(
-        self, predicate, assignments: dict, branch: str | None = None
+        self,
+        predicate,
+        assignments: dict,
+        branch: str | None = None,
+        mode: str | None = None,
     ) -> Snapshot:
-        """UPDATE SET col=expr WHERE predicate — a projection rewrite
-        over ONLY the files containing matched rows (the reference
-        declares ``write.update.mode=merge-on-read``, LT:30; file-
-        granular CoW hits the same write-amplification point — a small
-        update rewrites a few files, not partitions — while keeping
-        reads overlay-free).
+        """UPDATE SET col=expr WHERE predicate. Mode from the table
+        property ``write.update.mode`` (the reference declares
+        merge-on-read, LT:30) unless overridden:
+
+        - **copy-on-write** (default): a projection rewrite over ONLY
+          the files containing matched rows — a small update rewrites a
+          few files, not partitions — keeping reads overlay-free.
+        - **merge-on-read**: the matched rows' positions become a
+          position-delete file and their updated versions a new data
+          file — the commit is O(matched rows) bytes even when the
+          matches touch every file in the table (the hot-key case CoW
+          can't bound).
 
         ``assignments``: {column: Column-or-SQL-string}.
         """
+        from iceberg_by_example_spark.util import detach
+
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         sets = {
             c: (F.expr(v) if isinstance(v, str) else v)
@@ -541,6 +695,35 @@ class VersionedTable:
         }
         branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
+        if (mode or self._write_mode("update")) == "merge-on-read":
+            # one scan of the matched set, pinned executor-side, feeds
+            # both the delete positions and the updated row versions
+            matched = detach(
+                self._read_snapshot(
+                    cur, with_file_path=True, with_pos=True
+                ).filter(cond)
+            )
+            positions = matched.select(
+                F.col("_file").alias("file"), F.col("_pos").alias("pos")
+            )
+            del_files, n = self._write_position_deletes(positions)
+            if n == 0:
+                return cur
+            cols = [c for c in matched.columns if c not in ("_file", "_pos")]
+            updated = matched.select(
+                *[
+                    sets[c].alias(c) if c in sets else F.col(c)
+                    for c in cols
+                ]
+            )
+            new_files = self._write_data(updated)
+            return self._commit(
+                branch,
+                "update",
+                cur.files + new_files,
+                {"mode": "merge-on-read", "updated-rows": n},
+                delete_files=cur.delete_files + del_files,
+            )
         with_path = self._read_snapshot(cur, with_file_path=True)
         affected_uris = [
             r[0]
@@ -597,17 +780,32 @@ class VersionedTable:
     # -- read paths -----------------------------------------------------------
 
     def _read_snapshot(
-        self, snap: Snapshot, with_file_path: bool = False
+        self,
+        snap: Snapshot,
+        with_file_path: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Scan a snapshot. With ``with_file_path=True`` the result
         carries a ``_file`` column (the source file's URI, from the
         hidden ``_metadata`` struct) — the handle every file-granular
-        mutation uses to scope its rewrite."""
+        mutation uses to scope its rewrite; ``with_pos=True`` adds the
+        row's index within its file (``_pos``), the other half of a
+        position-delete key.
+
+        If the snapshot carries position-delete files (merge-on-read
+        mutations), they are applied here as a BROADCAST anti-join on
+        (file URI, row index): the delete set is O(mutated rows since
+        the last compaction) — bounded by compaction policy, exactly
+        Iceberg's MoR read contract — while the data side streams
+        through unshuffled."""
         schema = self.table_meta["schema"]
+        need_meta = with_file_path or with_pos or bool(snap.delete_files)
         if not snap.files:
             df = self.spark.createDataFrame([], schema=schema)
             if with_file_path:
                 df = df.withColumn("_file", F.lit(None).cast("string"))
+            if with_pos:
+                df = df.withColumn("_pos", F.lit(None).cast("long"))
             return df
         # Partition values live in hive-style paths *under each commit
         # dir* (data/commit-X/txn_date=.../part.parquet). Spark's
@@ -630,17 +828,33 @@ class VersionedTable:
                 .schema(schema)
                 .parquet(*paths)
             )
-            if with_file_path:
+            if need_meta:
                 # must be projected per-scan: the hidden _metadata
                 # column resolves against a file-source node, not a
                 # Union of them.
                 scan = scan.select(
-                    "*", F.col("_metadata.file_path").alias("_file")
+                    "*",
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
                 )
             dfs.append(scan)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if snap.delete_files:
+            dels = self.spark.read.schema("file string, pos long").parquet(
+                *[os.path.join(self.location, f) for f in snap.delete_files]
+            )
+            out = out.join(
+                F.broadcast(dels),
+                (F.col("_file") == F.col("file"))
+                & (F.col("_pos") == F.col("pos")),
+                "left_anti",
+            )
+        if need_meta:
+            drop = [c for c, keep in (("_file", with_file_path), ("_pos", with_pos)) if not keep]
+            if drop:
+                out = out.drop(*drop)
         return out
 
     def read(
@@ -793,8 +1007,15 @@ class VersionedTable:
         if sort_order:
             df = df.sortWithinPartitions(*sort_order)
         new_files = self._write_data(df)
+        # read() applied any position-delete overlay, so the rewritten
+        # files materialize it: the new snapshot carries NO delete files
+        # — this is the compaction that bounds the MoR read-side cost.
         return self._commit(
-            branch, "replace", new_files, {"compacted-to": len(new_files)}
+            branch,
+            "replace",
+            new_files,
+            {"compacted-to": len(new_files)},
+            delete_files=[],
         )
 
     def rewrite_manifests(self) -> int:
@@ -819,10 +1040,24 @@ class VersionedTable:
         self._manifest_cache = {}
         return removed
 
-    def expire_snapshots(self, retain_last: int = 3) -> list[str]:
-        """Snapshot GC (C4, LT:161-162): drop snapshots that are neither
-        referenced by a branch, an ancestor of one, nor among the most
-        recent `retain_last`. Returns expired ids."""
+    def expire_snapshots(
+        self,
+        older_than: "int | float | object | None" = None,
+        retain_last: int = 3,
+    ) -> list[str]:
+        """Snapshot GC (C4, LT:161-162: the reference CALLs
+        ``expire_snapshots(table => …, older_than => TIMESTAMP '…',
+        retain_last => 3)``): drop snapshots that are neither referenced
+        by a branch, an ancestor of one, nor among the most recent
+        `retain_last` — and, when ``older_than`` is given, only those
+        strictly older than it (Iceberg's contract: the timestamp bounds
+        what MAY expire; branch ancestors and the retained tail survive
+        regardless of age). ``older_than`` accepts epoch millis or a
+        ``datetime``. Returns expired ids."""
+        import datetime as _dt
+
+        if isinstance(older_than, _dt.datetime):
+            older_than = older_than.timestamp() * 1000
         snaps = self._snapshots()
         by_id = {s.snapshot_id: s for s in snaps}
         live: set[str] = set()
@@ -836,6 +1071,10 @@ class VersionedTable:
             for s in sorted(snaps, key=lambda s: s.timestamp_ms)[-retain_last:]
         }
         keep = live | recent
+        if older_than is not None:
+            keep |= {
+                s.snapshot_id for s in snaps if s.timestamp_ms >= older_than
+            }
         expired = [s.snapshot_id for s in snaps if s.snapshot_id not in keep]
         raw = self._read_json("snapshots.json")
         self._write_json(
@@ -850,6 +1089,7 @@ class VersionedTable:
         referenced = set()
         for s in self._snapshots():
             referenced.update(s.files)
+            referenced.update(s.delete_files)
         orphans = []
         for root, _dirs, names in os.walk(self._data_dir):
             for n in names:

@@ -1,0 +1,239 @@
+"""SQL-facade golden tests: the reference's literal statements, pasted.
+
+Replays IcebergLoadActivityTask's daily lifecycle (LT:43-82) driving
+every step through SQL strings — CREATE TABLE with TBLPROPERTIES,
+schema-only staging CTAS, MERGE INTO, branch DDL, VERSION AS OF reads,
+CALL procedures — and asserts the README's published category flips
+(RM:52-114). Because the CREATE declares merge-on-read update/merge
+modes (LT:30-31), this lifecycle also exercises the position-delete
+write path end-to-end.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.sources.activity import (
+    REFERENCE_INPUT_DIR,
+    read_activity_csv,
+)
+from iceberg_by_example_spark.tables.catalog import Catalog
+from iceberg_by_example_spark.tables.sql import SqlEngine
+from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+TABLE = "iceberg.finance.activity"
+
+# The reference's CREATE TABLE, verbatim shape (LT:17-40).
+CREATE_STMT = f"""create table if not exists {TABLE}(
+account string,
+txn_date date,
+txn_id string,
+merchant string,
+amount double,
+category string,
+last_updated timestamp
+) USING iceberg
+TBLPROPERTIES(
+   'write.wap.enabled'='true',
+   'write.delete.mode'='copy-on-write',
+   'write.update.mode'='merge-on-read',
+   'write.merge.mode'='merge-on-read',
+   'read.parquet.vectorization.enabled'='true',
+   'write.format.default'='parquet',
+   'write.parquet.compression-codec'='zstd',
+   'comment'='Transaction Table'
+)
+partitioned by (txn_date) """
+
+DAYS = [
+    ("2024-03-02", "day1", 15),
+    ("2024-03-03", "day2", 30),
+    ("2024-03-05", "day3", 45),
+    ("2024-03-08", "day4", 47),
+    ("2024-03-09", "day5", 50),
+]
+
+
+def load_day(eng: SqlEngine, day: str, branch: str) -> None:
+    """loadDataFile (LT:43-82) with every statement as SQL."""
+    eng.sql(
+        f"""create or replace table iceberg.finance.activity_tmp USING iceberg
+            PARTITIONED BY (txn_date)
+            AS select * from {TABLE} limit 0"""
+    )
+    batch = read_activity_csv(
+        eng.spark, os.path.join(REFERENCE_INPUT_DIR, day)
+    )
+    VersionedTable.load(
+        eng.spark, eng.catalog.resolve("iceberg.finance.activity_tmp")
+    ).append(batch)
+    eng.sql(
+        f"""MERGE INTO {TABLE} as target
+            USING iceberg.finance.activity_tmp as src
+            ON target.txn_id = src.txn_id
+            WHEN MATCHED THEN
+             UPDATE SET target.amount = src.amount, target.category = src.category, target.last_updated = src.last_updated, target.txn_date = src.txn_date
+            WHEN NOT MATCHED THEN
+             INSERT *"""
+    )
+    eng.sql(f"ALTER TABLE {TABLE} CREATE OR REPLACE BRANCH `{branch}`")
+    eng.sql("DROP TABLE iceberg.finance.activity_tmp")
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("sql_warehouse"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    eng.sql(f"drop table if exists {TABLE}")
+    eng.sql(CREATE_STMT)
+    for day, branch, _n in DAYS:
+        load_day(eng, day, branch)
+    return eng
+
+
+def test_counts_per_version(engine):
+    """countTableData (LT:113-123): day1..day5 = 15/30/45/47/50."""
+    for _day, branch, expected in DAYS:
+        got = engine.sql(
+            f"select * from {TABLE} VERSION AS OF '{branch}'"
+        ).count()
+        assert got == expected, branch
+    assert engine.sql(f"select * from {TABLE}").count() == 50
+
+
+def test_txn10_category_flip(engine):
+    """README RM:58-88: txn10 Jewellery@day1 → Fashion@day5/latest."""
+    day1 = engine.sql(
+        f"select * from {TABLE} VERSION AS OF 'day1' where txn_id='txn10'"
+    ).collect()
+    assert len(day1) == 1 and day1[0]["category"] == "Jewellery"
+    assert day1[0]["merchant"] == "Prouds Jewellery"
+    assert day1[0]["amount"] == 189.0
+
+    day5 = engine.sql(
+        f"select * from {TABLE} VERSION AS OF 'day5' where txn_id='txn10'"
+    ).collect()
+    assert len(day5) == 1 and day5[0]["category"] == "Fashion"
+
+    latest = engine.sql(
+        f"select * from {TABLE} where txn_id='txn10'"
+    ).collect()
+    assert len(latest) == 1 and latest[0]["category"] == "Fashion"
+    # CSV stores 2024-03-07T13:00:00Z (the README renders it in local
+    # time as 2024-03-08 00:00:00); session TZ is pinned UTC.
+    assert str(latest[0]["last_updated"]).startswith("2024-03-07 13:00")
+
+
+def test_txn44_category_flip(engine):
+    """README RM:90-114: Apple Store Sydney Hardware@day3 → Phone."""
+    q = (
+        "select * from {t}{v} where account = 'acc5' and "
+        "txn_date=cast('2024-03-05' as date) and merchant='Apple Store Sydney'"
+    )
+    day3 = engine.sql(q.format(t=TABLE, v=" VERSION as of 'day3'")).collect()
+    assert len(day3) == 1 and day3[0]["category"] == "Hardware"
+    latest = engine.sql(q.format(t=TABLE, v="")).collect()
+    assert len(latest) == 1 and latest[0]["category"] == "Phone"
+
+
+def test_group_by_account(engine):
+    """README RM:43-47: aggregation over the facade-resolved table."""
+    rows = engine.sql(
+        f"select account, count(*) as activity_count from {TABLE} "
+        "group by account"
+    ).collect()
+    counts = {r["account"]: r["activity_count"] for r in rows}
+    assert sum(counts.values()) == 50
+    assert len(counts) >= 5
+
+
+def test_metadata_suffix_tables(engine):
+    """printTableMetadata (LT:84-97): suffix relations resolve in SQL."""
+    for rel in ("history", "snapshots", "manifests", "files",
+                "metadata_log_entries"):
+        assert engine.sql(f"SELECT * from {TABLE}.{rel}").count() > 0, rel
+
+
+def test_merge_was_merge_on_read(engine):
+    """The CREATE declared write.merge.mode=merge-on-read (LT:31):
+    the daily MERGEs after the first must have committed position
+    deletes, not rewritten data files."""
+    t = VersionedTable.load(engine.spark, engine.catalog.resolve(TABLE))
+    assert t._current().delete_files, "expected a live MoR delete overlay"
+    merges = [s for s in t._snapshots() if s.operation == "merge"]
+    assert any(s.summary.get("mode") == "merge-on-read" for s in merges)
+
+
+def test_call_procedures_and_cleanup(engine):
+    """cleanupMetadata (LT:156-165) + WAP publish CALL (WI:81), with
+    the reference's literal CALL argument shapes."""
+    eng = engine
+    dry = eng.sql(
+        f"call iceberg.system.remove_orphan_files(table => '{TABLE}', dry_run => true)"
+    )
+    assert dry.columns == ["orphan_file_location"]
+    eng.sql(
+        f"call iceberg.system.rewrite_data_files(table => '{TABLE}', "
+        "strategy => 'sort', sort_order => 'account ASC NULLS LAST, txn_id DESC NULLS FIRST',  "
+        "options => map('delete-file-threshold', '1'))"
+    )
+    # compaction materialized the MoR overlay
+    t = VersionedTable.load(eng.spark, eng.catalog.resolve(TABLE))
+    assert t._current().delete_files == []
+    eng.sql(f"call iceberg.system.rewrite_manifests('{TABLE}')")
+    eng.sql(
+        f"call iceberg.system.expire_snapshots(table => '{TABLE}', "
+        "older_than => TIMESTAMP '2030-01-01 00:00:00.000', retain_last => 3)"
+    )
+    eng.sql(f"call iceberg.system.remove_orphan_files(table => '{TABLE}')")
+    # the published answers survive maintenance
+    assert eng.sql(f"select * from {TABLE}").count() == 50
+    row = eng.sql(f"select * from {TABLE} where txn_id='txn10'").collect()[0]
+    assert row["category"] == "Fashion"
+    # branch DDL: drop one of the day branches (LT:167)
+    eng.sql(f"ALTER TABLE {TABLE} DROP BRANCH `day1`")
+    assert "day1" not in VersionedTable.load(
+        eng.spark, eng.catalog.resolve(TABLE)
+    ).branches()
+
+
+def test_wap_fast_forward_sql(spark, tmp_path_factory):
+    """WapIceberg (WI:20-87) via SQL: append on a WAP branch, audit,
+    CALL fast_forward positional args, drop branch."""
+    wh = str(tmp_path_factory.mktemp("wap_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    tbl = "iceberg.finance.activity2"
+    eng.sql(CREATE_STMT.replace(TABLE, tbl))
+    t = VersionedTable.load(spark, eng.catalog.resolve(tbl))
+    from iceberg_by_example_spark.tables.versioned import wap_session
+
+    with wap_session(spark, "feature_branch"):
+        batch = read_activity_csv(
+            spark, os.path.join(REFERENCE_INPUT_DIR, "2024-03-02")
+        )
+        t.append(batch)
+        audited = eng.sql(
+            f"select * from {tbl} version as of 'feature_branch'"
+        )
+        assert audited.count() == 15
+    # main unchanged until published
+    assert eng.sql(f"select * from {tbl}").count() == 0
+    eng.sql(
+        f"call iceberg.system.fast_forward('{tbl}', 'main', 'feature_branch')"
+    )
+    eng.sql(f"alter table {tbl} drop branch feature_branch")
+    assert eng.sql(f"select * from {tbl}").count() == 15
+
+
+def test_catalog_env_warehouse(spark, tmp_path, monkeypatch):
+    """G12 shim: CATALOG_WAREHOUSE env root (IS:6-9) resolves dotted
+    names in VersionedTable.create/load directly."""
+    monkeypatch.setenv("CATALOG_WAREHOUSE", str(tmp_path))
+    t = VersionedTable.create(
+        spark, "iceberg.finance.envtab", schema="id bigint, v string"
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    loaded = VersionedTable.load(spark, "iceberg.finance.envtab")
+    assert loaded.read().count() == 2
+    assert loaded.location.startswith(str(tmp_path))

@@ -412,3 +412,136 @@ def test_delete_no_match_is_noop(spark, tmp_path):
     t.delete(F.col("account") == "no_such_account")
     assert len(t._snapshots()) == snaps_before  # no empty commit
     assert t.read().count() == 15
+
+
+# -- merge-on-read (position-delete overlay) --------------------------------
+
+
+def _bytes_of(t, files):
+    import os as _os
+
+    return sum(_os.path.getsize(_os.path.join(t.location, f)) for f in files)
+
+
+def _mor_table(spark, loc, n_appends=4, rows_per=250):
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark,
+        str(loc),
+        schema="id bigint, grp string, v string",
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+            "write.merge.mode": "merge-on-read",
+        },
+    )
+    for i in range(n_appends):
+        base = i * rows_per
+        t.append(
+            spark.range(base, base + rows_per).select(
+                F.col("id"),
+                (F.col("id") % 5).cast("string").alias("grp"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+        )
+    return t
+
+
+def test_mor_hot_key_update_commits_o_batch(spark, tmp_path):
+    """The case file-granular CoW cannot bound (VERDICT r2 #2 of
+    'What's missing'): a predicate matching a few rows in EVERY data
+    file. MoR must commit O(matched) bytes — the old files all carry
+    over, and the added delete+data files are a small fraction of the
+    table."""
+    import os as _os
+
+    t = _mor_table(spark, tmp_path / "hot")
+    before = t._current()
+    # grp='3' hits every one of the 4 append files
+    snap = t.update(F.col("grp") == "3", {"v": F.lit("HOT")})
+    assert set(before.files) <= set(snap.files)
+    # commit is O(matched): the rows written (updated versions + delete
+    # positions) equal the matched count — NOT the table count, which
+    # is what a forced rewrite of every touched file would produce.
+    # (Bytes are not comparable at this scale: parquet footer overhead
+    # dominates 250-row files.)
+    added_data = sorted(set(snap.files) - set(before.files))
+    written_rows = spark.read.parquet(
+        *[_os.path.join(t.location, f) for f in added_data]
+    ).count()
+    delete_rows = spark.read.parquet(
+        *[_os.path.join(t.location, f) for f in snap.delete_files]
+    ).count()
+    assert written_rows == 200, written_rows
+    assert delete_rows == 200, delete_rows
+    assert t.read().filter(F.col("v") == "HOT").count() == 200
+    assert t.read().count() == 1000
+
+
+def test_mor_delete_then_update_stack_and_time_travel(spark, tmp_path):
+    t = _mor_table(spark, tmp_path / "stack")
+    s0 = t._current()
+    t.delete(F.col("id") < 100)
+    t.update(F.col("id") >= 900, {"v": F.lit("U")})
+    r = t.read()
+    assert r.count() == 900
+    assert r.filter(F.col("id") < 100).count() == 0
+    assert r.filter(F.col("v") == "U").count() == 100
+    # time travel to the pre-mutation snapshot ignores the overlay
+    assert t.read(snapshot_id=s0.snapshot_id).count() == 1000
+
+
+def test_mor_merge_then_compaction_materializes(spark, tmp_path):
+    t = _mor_table(spark, tmp_path / "cmp")
+    src = spark.range(990, 1010).select(
+        F.col("id"), F.lit("9").alias("grp"), F.lit("M").alias("v")
+    )
+    snap = t.merge(src, on="id")
+    assert snap.delete_files
+    assert t.read().count() == 1010
+    assert t.read().filter((F.col("id") >= 990) & (F.col("v") != "M")).count() == 0
+    compacted = t.rewrite_data_files()
+    assert compacted.delete_files == []
+    assert t.read().count() == 1010
+    assert t.read().filter(F.col("v") == "M").count() == 20
+    # orphan GC never removes still-referenced delete files of older snaps
+    t.remove_orphan_files()
+    assert t.read(snapshot_id=snap.snapshot_id).count() == 1010
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """C4 parity (LT:161-162): older_than bounds what MAY expire;
+    branch ancestors and the retain_last tail survive regardless."""
+    import time as _time
+
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "exp"), schema="id bigint")
+    for i in range(5):
+        t.append(spark.range(i, i + 1).select(F.col("id")))
+    snaps = sorted(t._snapshots(), key=lambda s: s.timestamp_ms)
+    cutoff = snaps[3].timestamp_ms  # strictly-older-than the 4th commit
+    expired = t.expire_snapshots(older_than=cutoff, retain_last=1)
+    remaining = {s.snapshot_id for s in t._snapshots()}
+    # main's ancestors are protected: nothing on the live chain expired
+    live = {s.snapshot_id for s in snaps if s.snapshot_id in remaining}
+    assert t._current().snapshot_id in live
+    assert t.read().count() == 5
+    # orphaned-branch snapshots (the expirable kind: not on any ref's
+    # ancestor chain after the branch is dropped) expire only when they
+    # are older than the cutoff
+    t2 = VersionedTable.create(spark, str(tmp_path / "exp2"), schema="id bigint")
+    t2.append(spark.range(0, 1))
+    t2.create_branch("wap")
+    orphan1 = t2.append(spark.range(1, 2), branch="wap")
+    orphan2 = t2.append(spark.range(2, 3), branch="wap")
+    t2.drop_branch("wap")
+    # cutoff in the past: age bound protects even unreferenced snaps
+    assert t2.expire_snapshots(older_than=0, retain_last=1) == []
+    future = int(_time.time() * 1000) + 10_000
+    expired2 = set(t2.expire_snapshots(older_than=future, retain_last=1))
+    assert orphan1.snapshot_id in expired2
+    # retain_last keeps the newest snapshot regardless of refs
+    assert orphan2.snapshot_id not in expired2
+    assert t2.read().count() == 1  # main untouched
