@@ -356,6 +356,116 @@ def dedup_pipeline_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering: connected components → canonical representative
+# ---------------------------------------------------------------------------
+
+# Near-dup pair threshold for clustering (same as the LSH-verified
+# pipeline's) and the propagation-iteration ceiling. Components are
+# duplicate clusters — diameter is tiny in practice (most are cliques:
+# every copy overlaps every other) — so propagation converges in a few
+# rounds; the cap is a runaway guard, and convergence is CHECKED, never
+# assumed.
+CLUSTER_JACCARD = 0.5
+_MAX_LABEL_ROUNDS = 50
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jpairs
+    ),
+    reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, MIN(x) AS canonical_id FROM reach GROUP BY u
+    """,
+    category="dedup",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup graph: every doc
+    appearing in a ≥0.5-Jaccard pair is assigned its component's
+    minimum doc_id as the canonical representative — the step that
+    turns PAIRS into KEEP/DROP decisions (three copies of a document
+    are one cluster, not three independent pairs; dropping per-pair
+    would discard all three).
+
+    Distributed shape: iterative min-label propagation — each round is
+    one key-join of labels onto the (symmetrized) edge list plus a
+    map-side-combinable MIN aggregate, materialized with
+    ``localCheckpoint`` to truncate the lineage. Rounds needed = graph
+    diameter, which for duplicate clusters is a small constant (verify
+    thresholds make most clusters near-cliques). O(E) work per round,
+    never O(n²); convergence is checked with a changed-label count.
+    The oracle computes the same components via DuckDB's recursive
+    transitive closure."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    edges = detach(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    labels = detach(
+        edges.select("u").distinct().select(
+            F.col("u").alias("id"), F.col("u").alias("label")
+        )
+    )
+    for _ in range(_MAX_LABEL_ROUNDS):
+        neighbor_min = edges.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        new_labels = detach(
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old_label"), "id"
+            )
+            .filter(F.col("label") < F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {_MAX_LABEL_ROUNDS} rounds"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,161 @@
+"""End-to-end training-data curation pipeline (north-star composite).
+
+The reason the individual operators exist: compose exact dedup →
+near-dup clustering → language ID → quality scoring into ONE curated
+corpus query — the materialization a pre-training data pipeline runs
+nightly. Every stage reuses a registered operator's exact plan, so the
+composite inherits their scale shapes (keys-only dedup shuffle,
+inverted-index candidates, zero-UDF scoring), and the whole thing is
+checked against a single DuckDB oracle that recomputes all four stages
+in SQL (including the recursive-CTE connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.operators.dedup import (
+    dedup_cluster_canonical,
+    dedup_exact,
+)
+from iceberg_by_example_spark.operators.text import (
+    _sql_stop_hits,
+    text_langid,
+    text_quality_score,
+)
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+# Keep thresholds: English-predicted docs of at least moderate
+# composite quality (the sf corpus scores cluster in [0.25, 0.55]).
+MIN_QUALITY = 0.35
+
+
+@register(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    survivors AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jpairs
+    ),
+    reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    canon AS (SELECT u AS doc_id, MIN(x) AS canonical_id FROM reach GROUP BY u),
+    losers AS (SELECT doc_id FROM canon WHERE doc_id != canonical_id),
+    m AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             {_sql_stop_hits('en')} AS stop_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+               + 0.2 * (stop_hits / CAST(n_tokens AS DOUBLE))
+               + 0.3 * LEAST(n_tokens / 256.0, 1.0) AS quality_score
+      FROM m
+    ),
+    lscored AS (
+      SELECT doc_id,
+             {_sql_stop_hits('en')} AS hits_en,
+             {_sql_stop_hits('es')} AS hits_es,
+             {_sql_stop_hits('de')} AS hits_de,
+             {_sql_stop_hits('fr')} AS hits_fr,
+             {_sql_stop_hits('zh')} AS hits_zh
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'und'
+                  WHEN hits_en >= GREATEST(hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+                  WHEN hits_es >= GREATEST(hits_de, hits_fr, hits_zh) THEN 'es'
+                  WHEN hits_de >= GREATEST(hits_fr, hits_zh) THEN 'de'
+                  WHEN hits_fr >= hits_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+      FROM lscored
+    )
+    SELECT d.doc_id, d.source, d.lang, lang.predicted_lang,
+           q.n_tokens, q.quality_score
+    FROM documents d
+    JOIN survivors s ON d.doc_id = s.doc_id
+    LEFT JOIN losers lo ON d.doc_id = lo.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN lang ON d.doc_id = lang.doc_id
+    WHERE lo.doc_id IS NULL
+      AND lang.predicted_lang = 'en'
+      AND q.quality_score >= {MIN_QUALITY}
+    """,
+    category="pipeline",
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus materialization: exact-dedup survivors,
+    minus near-dup cluster non-canonicals, restricted to
+    English-predicted docs above the quality floor — annotated with
+    the stats a downstream sampler needs.
+
+    Every stage is the registered operator itself (same plan, same
+    oracle-verified semantics); the composition adds two key-joins and
+    two semi/anti-joins on doc_id, all broadcast-able at the
+    survivors/losers cardinalities."""
+    d = load_table(spark, sf_dir, "documents")
+    survivors = dedup_exact(spark, sf_dir).select("doc_id")
+    losers = (
+        dedup_cluster_canonical(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    lang = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(survivors, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("quality_score") >= MIN_QUALITY)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "predicted_lang",
+            "n_tokens",
+            "quality_score",
+        )
+    )

@@ -76,6 +76,8 @@ _EXPORT_PRIORITY = [
     "update_set_where_mor",
     "sql_merge_upsert",
     "sql_select_version_as_of",
+    "dedup_cluster_canonical",
+    "pipeline_training_set",
     # -- (2) changed this round --
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -120,12 +122,10 @@ _EXPORT_PRIORITY = [
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_conditional",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
     # deferred to the r4 window (unchanged since their r1 hash-green
-    # rows): window_rank_ntile, window_value_family, set_intersect_all,
-    # set_except_all, sample_deterministic, scalar_string_extras,
-    # scalar_array_extras
+    # rows): scalar_array_funcs, scalar_json_funcs, window_rank_ntile,
+    # window_value_family, set_intersect_all, set_except_all,
+    # sample_deterministic, scalar_string_extras, scalar_array_extras
 ]
 
 
@@ -154,6 +154,7 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.sources.csv_query",
     "iceberg_by_example_spark.operators.skew",
     "iceberg_by_example_spark.plans.analytics",
+    "iceberg_by_example_spark.operators.pipeline",
 ]
 
 

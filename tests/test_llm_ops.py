@@ -197,3 +197,30 @@ def test_dedup_pipeline_finds_planted_dups(spark, tmp_path):
             for r in dedup_pipeline_lsh_verified(spark, sf_dir).collect()}
     assert (100, 101) in rows
     assert 0.5 <= rows[(100, 101)] < 1.0
+
+
+def test_cluster_canonical_transitive_chain(spark, tmp_path):
+    """Connected components must close over TRANSITIVE similarity: a
+    chain A~B~C where A and C are not directly similar is ONE cluster
+    (this is what per-pair dedup gets wrong), and the canonical id is
+    the component minimum. Requires ≥2 propagation rounds — A's label
+    reaches C only through B."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_cluster_canonical,
+    )
+
+    toks = [f"tok{i}" for i in range(40)]
+    docs = [
+        (1, " ".join(toks[0:20])),    # A
+        (2, " ".join(toks[5:25])),    # B: jaccard(A,B) = 13/23 ≈ 0.57
+        (3, " ".join(toks[10:30])),   # C: jaccard(B,C) ≈ 0.57, (A,C) ≈ 0.29
+        (9, " ".join(f"zz{i}" for i in range(30))),  # unrelated
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_cluster_canonical(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}, got
