@@ -162,6 +162,52 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_word_pieces,
+           COALESCE(CAST(LIST_SUM(LIST_TRANSFORM(
+               REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'),
+               w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT), 0)
+             AS n_subword_est,
+           LEN(REGEXP_EXTRACT_ALL(text, '[0-9]|[^A-Za-z0-9 ]')) AS n_other,
+           COALESCE(CAST(LIST_SUM(LIST_TRANSFORM(
+               REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'),
+               w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT), 0)
+             + LEN(REGEXP_EXTRACT_ALL(text, '[0-9]|[^A-Za-z0-9 ]'))
+             AS bpe_token_estimate
+    FROM documents
+    """,
+    category="text",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting without a tokenizer model: alphabetic
+    runs contribute ceil(len/4) subword pieces (the ~4-chars-per-token
+    heuristic of byte-pair vocabularies), digits and punctuation one
+    token each — the budget estimator a data pipeline runs over a
+    corpus before paying for real tokenization. Pure regexp + array
+    aggregation, JVM-side end to end; DuckDB twin uses the identical
+    patterns (CEIL casts guarded: Spark CEIL→BIGINT, DuckDB→DOUBLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))
+    subword = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0),
+    )
+    other = F.regexp_count("text", F.lit("[0-9]|[^A-Za-z0-9 ]"))
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(pieces).alias("n_word_pieces"),
+        subword.alias("n_subword_est"),
+        other.alias("n_other"),
+        (subword + other).alias("bpe_token_estimate"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

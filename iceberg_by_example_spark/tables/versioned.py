@@ -905,6 +905,7 @@ class VersionedTable:
                 s.timestamp_ms,
                 s.operation,
                 len(s.files),
+                len(s.delete_files),
                 json.dumps(s.summary),
             )
             for s in self._snapshots()
@@ -912,7 +913,8 @@ class VersionedTable:
         return self.spark.createDataFrame(
             rows,
             "snapshot_id string, parent_id string, timestamp_ms long, "
-            "operation string, file_count int, summary string",
+            "operation string, file_count int, delete_file_count int, "
+            "summary string",
         )
 
     def history(self) -> DataFrame:
@@ -931,13 +933,19 @@ class VersionedTable:
         )
 
     def files(self, branch: str = MAIN) -> DataFrame:
+        """≈ Iceberg's ``<table>.files``: data files (content=0) plus
+        live position-delete files (content=1, merge-on-read)."""
         snap = self._current(branch)
         rows = [
-            (f, os.path.getsize(os.path.join(self.location, f)))
+            (0, f, os.path.getsize(os.path.join(self.location, f)))
             for f in snap.files
+        ] + [
+            (1, f, os.path.getsize(os.path.join(self.location, f)))
+            for f in snap.delete_files
         ]
         return self.spark.createDataFrame(
-            rows if rows else [], "file_path string, file_size_bytes long"
+            rows if rows else [],
+            "content int, file_path string, file_size_bytes long",
         )
 
     def refs(self) -> DataFrame:

@@ -229,3 +229,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 3]
+
+
+def test_streaming_mor_upsert(spark, tmp_path):
+    """Streaming CDC upsert: foreachBatch MERGE on a merge-on-read
+    table — each microbatch commits O(batch) (position deletes + new
+    versions), never a rewrite, and last-write-wins materializes
+    through the overlay."""
+    from iceberg_by_example_spark.streaming.ingest import stream_append
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    src = str(tmp_path / "cdc_src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "k bigint, v string").write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, "a1"), (2, "b1"), (3, "c1")])
+    write_batch([(2, "b2"), (4, "d1")])  # update k=2, insert k=4
+
+    table = VersionedTable.create(
+        spark,
+        str(tmp_path / "cdc_lake"),
+        schema="k bigint, v string",
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_append(
+        stream,
+        table,
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+        merge_on="k",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a1", 2: "b2", 3: "c1", 4: "d1"}, got
+    # microbatches after the first must have committed MoR deletes for
+    # the matched keys instead of rewriting the first batch's files
+    merges = [s for s in table._snapshots() if s.operation == "merge"]
+    assert any(s.summary.get("mode") == "merge-on-read" for s in merges)
