@@ -79,3 +79,68 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     # escape hatch keeps last-writer-ambiguous behavior opt-in
     t.merge(dup_src.dropDuplicates(["k"]), on="k")
     assert t.read().count() == 1
+
+
+# -- CoW ≡ MoR equivalence under arbitrary mutation sequences ---------------
+
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), rows_strategy.filter(len)),
+        st.tuples(st.just("delete"), KEYS),
+        st.tuples(st.just("update"), KEYS, VALS),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(initial=rows_strategy, ops=OPS)
+def test_cow_and_mor_states_identical(spark, tmp_path_factory, initial, ops):
+    """The write mode is a physical-layout choice, never a semantics
+    choice: any sequence of merge/delete/update applied to a
+    copy-on-write table and to a merge-on-read table must read back
+    identically (and match a driver-side dict model)."""
+    base = tmp_path_factory.mktemp("modes")
+    model = dict(initial)
+    tables = {}
+    for mode in ("copy-on-write", "merge-on-read"):
+        props = {f"write.{op}.mode": mode for op in ("delete", "update", "merge")}
+        t = VersionedTable.create(
+            spark, str(base / mode), schema="k bigint, v bigint", properties=props
+        )
+        if initial:
+            t.append(spark.createDataFrame(initial, "k bigint, v bigint"))
+        tables[mode] = t
+    try:
+        for op in ops:
+            if op[0] == "merge":
+                src = op[1]
+                model.update(dict(src))
+                for t in tables.values():
+                    t.merge(
+                        spark.createDataFrame(src, "k bigint, v bigint"), on="k"
+                    )
+            elif op[0] == "delete":
+                k = op[1]
+                model.pop(k, None)
+                for t in tables.values():
+                    t.delete(f"k = {k}")
+            else:
+                _, k, v = op
+                if k in model:
+                    model[k] = v
+                for t in tables.values():
+                    t.update(f"k = {k}", {"v": f"CAST({v} AS BIGINT)"})
+        states = {
+            mode: {r["k"]: r["v"] for r in t.read().collect()}
+            for mode, t in tables.items()
+        }
+        assert states["copy-on-write"] == states["merge-on-read"] == model
+    finally:
+        for t in tables.values():
+            t.drop()
