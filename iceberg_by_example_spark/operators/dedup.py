@@ -437,15 +437,21 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("id"), F.col("u").alias("label")
         )
     )
-    for _ in range(_MAX_LABEL_ROUNDS):
+    for rnd in range(_MAX_LABEL_ROUNDS):
         neighbor_min = edges.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
         ).select(F.col("u").alias("id"), "label")
-        new_labels = detach(
+        new_labels = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
+        # Pin every other round: bounds lineage depth at 2 rounds of
+        # join+agg while holding at most one superseded label-set copy
+        # in block storage (Spark's ContextCleaner reclaims dropped
+        # checkpoints once the DataFrame is dereferenced).
+        if rnd % 2 == 1:
+            new_labels = detach(new_labels)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("label", "old_label"), "id"

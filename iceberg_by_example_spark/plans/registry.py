@@ -63,7 +63,7 @@ def register(
 # ever — scalar_map_struct plus this round's five new MoR / SQL-facade
 # queries; (2) operators whose code changed this round (dedup rewrites,
 # mutation paths now mode-dispatched, metadata summary single-action);
-# (3) the 43 queries graded only in round 1, minus seven unchanged
+# (3) the 43 queries graded only in round 1, minus nine unchanged
 # low-risk deferrals that don't fit the 50-slot window (named at the
 # bottom; they ship in the r4 window).  Names listed here are emitted
 # first (in this order); everything else follows in registration order.

@@ -21,10 +21,12 @@ from __future__ import annotations
 import os
 import re
 
-# A table NAME (vs a path): 2 or 3 dot-separated identifiers, e.g.
-# db.table or catalog.db.table. Anything with a slash, or a single
-# bare word, is treated as a filesystem location.
-_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_-]*){1,2}$")
+# A table NAME (vs a path): exactly three dot-separated identifiers —
+# catalog.db.table, the reference's shape (LT:14). Anything else
+# (slashes, bare words, two-segment dotted strings like a relative
+# "tables.v2" directory) is treated as a filesystem location, so
+# path-like arguments are never silently hijacked into the warehouse.
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_-]*){2}$")
 
 DEFAULT_WAREHOUSE = "./tmp/warehouse"
 
@@ -34,7 +36,7 @@ def is_table_name(s: str) -> bool:
 
 
 class Catalog:
-    """Maps ``[catalog.]db.table`` names to warehouse locations.
+    """Maps ``catalog.db.table`` names to warehouse locations.
 
     The catalog segment namespaces the warehouse the way the
     reference's two configured catalogs (``iceberg`` and
@@ -52,9 +54,8 @@ class Catalog:
 
     def location_for(self, name: str) -> str:
         if not is_table_name(name):
-            raise ValueError(f"not a [catalog.]db.table name: {name!r}")
-        parts = name.split(".")
-        db, table = parts[-2], parts[-1]
+            raise ValueError(f"not a catalog.db.table name: {name!r}")
+        _catalog, db, table = name.split(".")
         return os.path.join(self.warehouse, db, table)
 
     def resolve(self, location_or_name: str) -> str:

@@ -46,8 +46,10 @@ _METADATA_RELATIONS = {
 }
 
 _IDENT = r"[A-Za-z_]\w*"
-# 2-3 part dotted table name, optionally backquoted segments.
-_NAME = rf"{_IDENT}(?:\.{_IDENT}){{1,2}}"
+# Three-part dotted table name — catalog.db.table, the reference's
+# shape (LT:14). Matching exactly three parts keeps bare aliases and
+# qualified column refs (t.col) from ever looking like tables.
+_NAME = rf"{_IDENT}(?:\.{_IDENT}){{2}}"
 
 
 def _flags():
@@ -121,8 +123,17 @@ class SqlEngine:
         """CREATE OR REPLACE TABLE t USING iceberg [PARTITIONED BY (c)]
         AS <select> — the reference's schema-only staging CTAS uses
         ``AS select * from t limit 0`` (LT:45-49)."""
+        from iceberg_by_example_spark.util import detach
+
         name = m.group("name")
-        df = self.spark.sql(self._rewrite_table_refs(m.group("select")))
+        # Pin the SELECT's result BEFORE any drop: a self-referencing
+        # REPLACE ("create or replace table t ... as select * from t")
+        # must read the OLD table, and the lazily-built plan would
+        # otherwise execute only after drop() had deleted its input
+        # files (non-atomic data loss). Pinning also means the query
+        # runs exactly once — the isEmpty probe and the append both
+        # read the materialized blocks.
+        df = detach(self.spark.sql(self._rewrite_table_refs(m.group("select"))))
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -243,9 +254,31 @@ class SqlEngine:
         raise ValueError(f"unknown procedure: {proc}")
 
     @staticmethod
+    def _split_top_level(raw: str) -> list[str]:
+        """Split on commas at paren depth 0, outside quotes — so nested
+        call arguments (``options => map('k', 'v')``) stay whole."""
+        parts, cur, depth, in_quote = [], [], 0, False
+        for ch in raw:
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                    continue
+            cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur))
+        return parts
+
+    @staticmethod
     def _parse_call_args(raw: str) -> tuple[list[str], dict[str, str]]:
         pos, kw = [], {}
-        for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", raw):
+        for piece in SqlEngine._split_top_level(raw):
             piece = piece.strip()
             if not piece:
                 continue
@@ -306,24 +339,35 @@ class SqlEngine:
     # -- SELECT rewriting -----------------------------------------------------
 
     def _rewrite_table_refs(self, stmt: str) -> str:
-        """Replace every versioned-table reference — ``db.table``,
-        ``db.table VERSION AS OF 'x'``, ``db.table.<metadata>`` — with
-        a temp view bound to the right snapshot/relation. Non-matching
-        identifiers (functions, column refs, real temp views) pass
-        through untouched because resolution only fires when the named
-        table actually exists in the catalog's warehouse."""
+        """Replace every versioned-table reference — ``cat.db.table``,
+        ``cat.db.table VERSION AS OF 'x'``, ``cat.db.table.<metadata>``
+        — with a temp view bound to the right snapshot/relation.
+        Non-matching identifiers (functions, column refs, real temp
+        views) pass through untouched because resolution only fires
+        when the named table actually exists in the catalog's
+        warehouse; the full name is tried as a table BEFORE its last
+        segment is interpreted as a metadata suffix, so a table
+        literally named ``cat.db.files`` still resolves. References
+        inside single-quoted string literals are never rewritten."""
         pattern = re.compile(
             rf"(?P<name>{_NAME}(?:\.(?:{'|'.join(_METADATA_RELATIONS)}))?)"
             rf"(?:\s+version\s+as\s+of\s+'(?P<ver>[^']+)')?",
             _flags(),
         )
+        # spans of single-quoted literals ('' = escaped quote): a table
+        # reference can't START inside one.
+        quoted = [
+            m.span() for m in re.finditer(r"'(?:[^']|'')*'", stmt)
+        ]
 
         def repl(m: re.Match) -> str:
+            if any(a < m.start() < b for a, b in quoted):
+                return m.group(0)
             name, ver = m.group("name"), m.group("ver")
             meta = None
             base = name
             last = name.rsplit(".", 1)[-1].lower()
-            if last in _METADATA_RELATIONS and name.count(".") >= 2:
+            if not self._table_exists(base) and last in _METADATA_RELATIONS:
                 base = name.rsplit(".", 1)[0]
                 meta = last
             if not self._table_exists(base):

@@ -372,16 +372,29 @@ class VersionedTable:
         props = self.table_meta.get("properties") or {}
         return props.get(f"write.{op}.mode", "copy-on-write")
 
+    def _relativize_file_uri(self, uri_col) -> "F.Column":
+        """`_metadata.file_path` URI → table-relative path, as a column
+        expression (file:///abs/… and file:/abs/… both normalize).
+        Delete files store TABLE-RELATIVE data-file paths — like the
+        manifests — so a relocated/copied table keeps its overlay
+        (absolute URIs would silently stop matching after a move)."""
+        p = F.regexp_replace(uri_col, "^file:/+", "/")
+        return F.replace(p, F.lit(self.location + os.sep), F.lit(""))
+
     def _write_position_deletes(self, positions: DataFrame) -> tuple[list[str], int]:
-        """Write a position-delete batch — rows of (file: data-file URI,
-        pos: row index) — as parquet under its own commit dir. Returns
-        (table-relative paths, row count). The count comes from the
-        written files' parquet footers (a metadata-only Spark count), so
-        the positions plan executes exactly once. The reference declares
-        avro delete files (LT:34); parquet is this engine's uniform
-        format — same role, same O(batch) commit bytes."""
+        """Write a position-delete batch — rows of (file: TABLE-RELATIVE
+        data-file path, pos: row index) — as parquet under its own
+        commit dir. Returns (table-relative paths, row count). The
+        count comes from the written files' parquet footers (a
+        metadata-only Spark count), so the positions plan executes
+        exactly once. The reference declares avro delete files (LT:34);
+        parquet is this engine's uniform format — same role, same
+        O(batch) commit bytes."""
         commit_dir = f"delete-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._data_dir, commit_dir)
+        positions = positions.select(
+            self._relativize_file_uri(F.col("file")).alias("file"), "pos"
+        )
         positions.write.mode("append").format("parquet").save(out)
         rel = []
         for root, _dirs, names in os.walk(out):
@@ -842,13 +855,19 @@ class VersionedTable:
         for d in dfs[1:]:
             out = out.unionByName(d)
         if snap.delete_files:
+            # Delete entries carry table-relative paths; reserved
+            # __del_* aliases keep the join unambiguous whatever the
+            # data schema's column names are.
             dels = self.spark.read.schema("file string, pos long").parquet(
                 *[os.path.join(self.location, f) for f in snap.delete_files]
+            ).select(
+                F.col("file").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
             )
             out = out.join(
                 F.broadcast(dels),
-                (F.col("_file") == F.col("file"))
-                & (F.col("_pos") == F.col("pos")),
+                (self._relativize_file_uri(F.col("_file")) == F.col("__del_file"))
+                & (F.col("_pos") == F.col("__del_pos")),
                 "left_anti",
             )
         if need_meta:

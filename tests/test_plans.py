@@ -102,3 +102,28 @@ def test_pricing_summary_partial_aggregates(spark, registry):
     aggregation — the shape that scales."""
     plan = plan_of(registry["agg_pricing_summary"].fn(spark, SF))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mor_overlay_is_broadcast_anti_join(spark, tmp_path):
+    """The position-delete overlay must apply as a BROADCAST anti-join:
+    the delete set is O(mutations since compaction), while shuffling
+    the data side by (file, pos) would re-shuffle the table on every
+    read — the scale failure MoR exists to avoid."""
+    from pyspark.sql import functions as F
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "mor_plan"),
+        schema="id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 1000).select(
+            F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+    )
+    t.delete(F.col("id") % 7 == 0)
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan

@@ -237,3 +237,87 @@ def test_catalog_env_warehouse(spark, tmp_path, monkeypatch):
     loaded = VersionedTable.load(spark, "iceberg.finance.envtab")
     assert loaded.read().count() == 2
     assert loaded.location.startswith(str(tmp_path))
+
+
+def test_self_referencing_ctas_reads_old_table(spark, tmp_path_factory):
+    """CREATE OR REPLACE TABLE t AS SELECT * FROM t must materialize
+    the SELECT before the drop — otherwise the lazy plan executes
+    against deleted files (non-atomic data loss)."""
+    wh = str(tmp_path_factory.mktemp("ctas_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.selfref"), schema="id bigint"
+    )
+    t.append(spark.range(0, 7))
+    eng.sql(
+        "create or replace table iceberg.db.selfref USING iceberg "
+        "as select * from iceberg.db.selfref"
+    )
+    assert eng.sql("select * from iceberg.db.selfref").count() == 7
+
+
+def test_rewrite_skips_quoted_literals(spark, tmp_path_factory):
+    """A table name inside a string literal is data, not a reference."""
+    wh = str(tmp_path_factory.mktemp("quote_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.names"), schema="v string"
+    )
+    t.append(
+        spark.createDataFrame([("iceberg.db.names",), ("other",)], "v string")
+    )
+    rows = eng.sql(
+        "select * from iceberg.db.names where v = 'iceberg.db.names'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "iceberg.db.names"
+
+
+def test_mor_table_survives_relocation(spark, tmp_path):
+    """Delete files store table-relative paths, so moving the table
+    directory keeps the overlay (absolute URIs would silently
+    resurrect deleted rows)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    old = str(tmp_path / "before_move")
+    t = VersionedTable.create(
+        spark,
+        old,
+        schema="id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+    )
+    t.delete(F.col("id") < 40)
+    assert t.read().count() == 60
+    new = str(tmp_path / "after_move")
+    _shutil.move(old, new)
+    moved = VersionedTable.load(spark, new)
+    assert moved.read().count() == 60
+    assert moved.read().filter(F.col("id") < 40).count() == 0
+
+
+def test_mor_with_reserved_looking_column_names(spark, tmp_path):
+    """A data schema with columns literally named file/pos must not
+    collide with the overlay join's delete-side columns."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "clash"),
+        schema="file string, pos bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 50).select(
+            F.concat(F.lit("f"), F.col("id")).alias("file"),
+            F.col("id").alias("pos"),
+        )
+    )
+    t.delete(F.col("pos") >= 40)
+    assert t.read().count() == 40
+    assert t.read().filter(F.col("pos") >= 40).count() == 0
