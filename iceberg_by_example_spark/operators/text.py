@@ -162,6 +162,47 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                 t -> ('0x' || SUBSTR(MD5(t), 1, 8))::BIGINT)),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647
+           ) AS rolling_fp,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+    category="text",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin–Karp
+    polynomial over token hashes): h ← (h·B + hash(tok)) mod p. Unlike
+    the md5 content fingerprint this form extends incrementally — the
+    streaming/chunking fingerprint family. Token hashes come from the
+    first 8 md5 hex digits so both engines fold the identical integer
+    sequence (xxhash has no DuckDB twin); all arithmetic stays below
+    2^52, ANSI-safe. One ``F.aggregate`` over the pre-split token
+    array, zero shuffles, zero UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    B, P = 1000003, 2147483647
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rolling = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * B + tok_hash(t)) % P,
+    )
+    return d.select(
+        "doc_id",
+        rolling.alias("rolling_fp"),
+        token_count("text").alias("n_tokens"),
+    )
+
+
+@register(
     "text_bpe_token_estimate",
     oracle="""
     SELECT doc_id,

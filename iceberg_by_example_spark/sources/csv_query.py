@@ -85,3 +85,33 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach(result)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="source",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC → ORC read → aggregate: the third lake format
+    Spark ships a native vectorized reader for (the columnar
+    alternative where an existing warehouse is ORC-based). Same
+    round-trip pattern as the CSV/JSON sources."""
+    customer = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal").write.mode(
+            "overwrite"
+        ).orc(out)
+        back = spark.read.format("orc").load(out)
+        result = back.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"), dsum("c_acctbal").alias("total_bal")
+        )
+        return detach(result)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
