@@ -42,7 +42,14 @@ def test_star_join_broadcasts_all_dims(spark, registry):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "join_asof_events"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "join_asof_events",
+        "dedup_cluster_canonical",
+        "pipeline_training_set",
+    ],
 )
 def test_candidate_generation_never_cartesian(spark, registry, name):
     """Near-dup candidate generation and the as-of join must never plan
