@@ -114,7 +114,10 @@ NGRAM_DF_CAP = 1000
 
 
 def _shingle_sets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_short: bool = False,
 ) -> DataFrame:
     """(doc_id, sh: array<string>) — the shared two-phase shingle
     projection: split ONCE into a materialized token array, then build
@@ -129,14 +132,23 @@ def _shingle_sets(
     EXPLICIT: this stage is CPU-bound, not size-bound, and AQE's
     coalescePartitions (size-based) would merge the few-MB shuffle
     back onto one task, re-serializing the compute. An explicit count
-    pins the exchange against AQE coalescing."""
+    pins the exchange against AQE coalescing.
+
+    ``drop_short=True`` excludes docs with fewer than k tokens (whose
+    shingle set is empty) by filtering on the TOKEN count before the
+    shingle projection. Never filter on ``size(sh) > 0`` downstream:
+    a predicate over the computed array alias re-evaluates the whole
+    shingle expression for the condition — measured 5× slower than
+    the identical plan with the cheap pre-filter."""
     n = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    tok = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
         .repartition(n, "doc_id")
         .select("doc_id", tokens(text_col).alias("_t"))
-        .select("doc_id", shingles_from_tokens("_t").alias("sh"))
     )
+    if drop_short:
+        tok = tok.filter(F.size("_t") >= 3)
+    return tok.select("doc_id", shingles_from_tokens("_t").alias("sh"))
 
 
 def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -236,7 +248,7 @@ def minhash_signatures(
     with zero shingles (< k tokens) have no MinHash identity and are
     excluded. The 31-bit modulus keeps every product inside int64
     (ANSI-safe)."""
-    sh = _shingle_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
+    sh = _shingle_sets(docs, id_col, text_col, drop_short=True)
     hashed = sh.select(
         "doc_id",
         F.transform(
