@@ -234,8 +234,19 @@ class SqlEngine:
                 [(o,) for o in orphans], "orphan_file_location string"
             )
         if proc == "rewrite_data_files":
-            order = self._parse_sort_order(arg("sort_order", 2))
-            t.rewrite_data_files(sort_order=order)
+            raw_order = arg("sort_order", 2)
+            zm = raw_order and re.match(
+                r"(?i)^\s*zorder\s*\((.*)\)\s*$", raw_order
+            )
+            if zm:
+                # Iceberg's spelling: sort_order => 'zorder(c1, c2)'
+                t.rewrite_data_files(
+                    zorder_by=[c.strip() for c in zm.group(1).split(",")]
+                )
+            else:
+                t.rewrite_data_files(
+                    sort_order=self._parse_sort_order(raw_order)
+                )
             return None
         if proc == "rewrite_manifests":
             removed = t.rewrite_manifests()

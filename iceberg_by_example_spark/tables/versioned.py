@@ -1026,12 +1026,64 @@ class VersionedTable:
 
     # -- maintenance (reference C1-C4, LT:156-165) -----------------------------
 
-    def rewrite_data_files(self, sort_order: list | None = None, branch: str = MAIN) -> Snapshot:
-        """Sorted compaction (C2, LT:159: strategy=>'sort'). Rewrites the
-        branch's data clustered by sort_order within each partition —
-        `sortWithinPartitions` so no global shuffle barrier."""
+    _ZORDER_BITS = 12  # 4096 buckets per dimension; 2 dims → 24-bit key
+
+    def _zvalue(self, df: DataFrame, cols: list[str]):
+        """Morton (Z-order) key over numeric columns: each value is
+        min/max-scaled into 2^bits buckets and the bucket bits are
+        interleaved, so sorting by the single key co-locates rows that
+        are close in EVERY dimension — the multi-dimensional clustering
+        that makes file/row-group stats prune on any of the columns,
+        not just the leading sort key. The min/max fetch is one tiny
+        aggregate (2 numbers per column to the driver)."""
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        top = (1 << self._ZORDER_BITS) - 1
+        buckets = []
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None:
+                mn = mx = 0
+            span = float(mx - mn) or 1.0
+            v = F.coalesce(F.col(c), F.lit(mn))
+            buckets.append(
+                F.least(
+                    F.lit(top),
+                    F.floor((v - F.lit(mn)) / F.lit(span) * top),
+                ).cast("long")
+            )
+        z = F.lit(0).cast("long")
+        for i in range(self._ZORDER_BITS):
+            for j, b in enumerate(buckets):
+                bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, i * len(cols) + j)
+        return z
+
+    def rewrite_data_files(
+        self,
+        sort_order: list | None = None,
+        branch: str = MAIN,
+        zorder_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Sorted compaction (C2, LT:159: strategy=>'sort'), or Z-order
+        clustering when ``zorder_by`` names numeric columns (Iceberg's
+        ``sort_order => 'zorder(c1, c2)'`` spelling is accepted by the
+        SQL facade). Sort mode clusters within partitions with no
+        global barrier; Z-order range-partitions by the interleaved key
+        so every output file covers a narrow range of EVERY z-dimension
+        — point/box predicates on any of them then touch few files."""
         df = self.read(branch=branch)
-        if sort_order:
+        if zorder_by:
+            n = self.spark.sparkContext.defaultParallelism
+            df = (
+                df.withColumn("__z", self._zvalue(df, zorder_by))
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_order:
             df = df.sortWithinPartitions(*sort_order)
         new_files = self._write_data(df)
         # read() applied any position-delete overlay, so the rewritten

@@ -545,3 +545,40 @@ def test_expire_snapshots_older_than(spark, tmp_path):
     # retain_last keeps the newest snapshot regardless of refs
     assert orphan2.snapshot_id not in expired2
     assert t2.read().count() == 1  # main untouched
+
+
+def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction must co-locate rows by BOTH columns: after
+    clustering, the rows matching a narrow box predicate (and each
+    single-dimension slice) live in a small fraction of the files —
+    the property that lets file/row-group stats prune multi-dim
+    queries. A lexicographic sort only gives this for the leading key."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "z"), schema="x bigint, y bigint")
+    # two independent dimensions; interleaved appends → no natural order
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 141).alias("x"), ((F.col("id") * 7919) % 131).alias("y")
+    )
+    t.append(df)
+    snap = t.rewrite_data_files(zorder_by=["x", "y"])
+    n_files = len(snap.files)
+    assert n_files >= 8, "need several files for pruning to mean anything"
+
+    def files_touched(pred):
+        return (
+            t._read_snapshot(t._current(), with_file_path=True)
+            .filter(pred)
+            .select("_file")
+            .distinct()
+            .count()
+        )
+
+    box = files_touched((F.col("x").between(10, 20)) & (F.col("y").between(10, 20)))
+    x_slice = files_touched(F.col("x").between(10, 20))
+    y_slice = files_touched(F.col("y").between(10, 20))
+    assert box <= n_files // 4, (box, n_files)
+    assert x_slice < n_files, (x_slice, n_files)
+    assert y_slice < n_files, (y_slice, n_files)
+    # clustering is a rewrite, not a mutation
+    assert t.read().count() == 20000
