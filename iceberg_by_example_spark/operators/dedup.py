@@ -435,14 +435,17 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(n²); convergence is checked with a changed-label count.
     The oracle computes the same components via DuckDB's recursive
     transitive closure."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
-    edges = detach(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # Pin the pairs BEFORE symmetrizing: the union's two branches would
+    # otherwise each evaluate the whole candidate+verify pipeline.
+    pairs = detach(
+        ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP).filter(
+            F.col("jaccard") >= CLUSTER_JACCARD
         )
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
     labels = detach(
         edges.select("u").distinct().select(
