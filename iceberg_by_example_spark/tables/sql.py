@@ -184,6 +184,12 @@ class SqlEngine:
             raise ValueError(f"unsupported MERGE ON clause: {on!r}")
         key = om.group("k1")
 
+        if m.group("sets").strip() == "*":
+            # WHEN MATCHED THEN UPDATE SET * — update every column
+            self._table(target_name).merge(
+                self._read_relation(m.group("s")), on=key
+            )
+            return None
         update_cols = []
         for assign in m.group("sets").split(","):
             am = re.fullmatch(
@@ -227,6 +233,9 @@ class SqlEngine:
             t.fast_forward(arg("branch", 1), arg("to", 2))
             return None
         t = self._table(arg("table", 0))
+        if proc == "rollback_to_snapshot":
+            t.rollback(arg("snapshot_id", 1))
+            return None
         if proc == "remove_orphan_files":
             dry = str(arg("dry_run", 1, "false")).lower() == "true"
             orphans = t.remove_orphan_files(dry_run=dry)

@@ -911,6 +911,28 @@ class VersionedTable:
         refs[to_branch] = refs[from_branch]
         self._write_json("refs.json", refs)
 
+    def rollback(self, snapshot_id: str, branch: str = MAIN) -> None:
+        """≈ ``CALL system.rollback_to_snapshot``: move the branch ref
+        back to an ANCESTOR snapshot — the one-step undo for a bad
+        commit. The abandoned snapshots stay until ``expire_snapshots``
+        (so a rollback is itself reversible until then). Requires
+        ancestry, like Iceberg: restoring an arbitrary snapshot is a
+        different (more dangerous) operation this engine doesn't need."""
+        by_id = {s.snapshot_id: s for s in self._snapshots()}
+        if snapshot_id not in by_id:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        anc = self._refs()[branch]
+        while anc is not None and anc != snapshot_id:
+            anc = by_id[anc].parent_id if by_id[anc].parent_id in by_id else None
+        if anc != snapshot_id:
+            raise ValueError(
+                f"{snapshot_id} is not an ancestor of branch {branch!r}"
+            )
+        refs = self._refs()
+        refs[branch] = snapshot_id
+        self._write_json("refs.json", refs)
+        self._append_metadata_log(snapshot_id)
+
     def branches(self) -> dict[str, str]:
         return self._refs()
 

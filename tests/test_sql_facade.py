@@ -321,3 +321,56 @@ def test_mor_with_reserved_looking_column_names(spark, tmp_path):
     t.delete(F.col("pos") >= 40)
     assert t.read().count() == 40
     assert t.read().filter(F.col("pos") >= 40).count() == 0
+
+
+def test_rollback_to_snapshot(spark, tmp_path_factory):
+    """CALL system.rollback_to_snapshot: move main back to an ancestor;
+    non-ancestors are rejected (Iceberg's rollback contract)."""
+    import pytest as _pytest
+
+    wh = str(tmp_path_factory.mktemp("rb_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.rb"), schema="id bigint"
+    )
+    s1 = t.append(spark.range(0, 5))
+    t.append(spark.range(5, 9))
+    assert eng.sql("select * from iceberg.db.rb").count() == 9
+    eng.sql(
+        "call iceberg.system.rollback_to_snapshot(table => 'iceberg.db.rb', "
+        f"snapshot_id => '{s1.snapshot_id}')"
+    )
+    assert eng.sql("select * from iceberg.db.rb").count() == 5
+    # the abandoned commit is gone from main but still time-travelable
+    t2 = VersionedTable.load(spark, eng.catalog.resolve("iceberg.db.rb"))
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        # a branch head that is NOT on main's (rolled-back) chain
+        t2.create_branch("side")
+        orphan = t2.append(spark.range(100, 101), branch="side")
+        t2.rollback(orphan.snapshot_id)
+
+
+def test_merge_update_set_star(spark, tmp_path_factory):
+    """WHEN MATCHED THEN UPDATE SET * updates every column."""
+    wh = str(tmp_path_factory.mktemp("star_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.star"), schema="k bigint, v string"
+    )
+    t.append(spark.createDataFrame([(1, "old"), (2, "keep")], "k bigint, v string"))
+    s = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.star_src"), schema="k bigint, v string"
+    )
+    s.append(spark.createDataFrame([(1, "new"), (3, "ins")], "k bigint, v string"))
+    eng.sql(
+        """MERGE INTO iceberg.db.star as target
+           USING iceberg.db.star_src as src
+           ON target.k = src.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in eng.sql("select * from iceberg.db.star").collect()
+    }
+    assert got == {1: "new", 2: "keep", 3: "ins"}
