@@ -371,7 +371,7 @@ class SqlEngine:
         inside single-quoted string literals are never rewritten."""
         pattern = re.compile(
             rf"(?P<name>{_NAME}(?:\.(?:{'|'.join(_METADATA_RELATIONS)}))?)"
-            rf"(?:\s+version\s+as\s+of\s+'(?P<ver>[^']+)')?",
+            rf"(?:\s+(?P<kind>version|timestamp)\s+as\s+of\s+'(?P<ver>[^']+)')?",
             _flags(),
         )
         # spans of single-quoted literals ('' = escaped quote): a table
@@ -393,8 +393,11 @@ class SqlEngine:
             if not self._table_exists(base):
                 return m.group(0)
             t = self._table(base)
+            kind = (m.group("kind") or "").lower()
             if meta is not None:
                 df = getattr(t, meta)()
+            elif ver is not None and kind == "timestamp":
+                df = t.read(as_of_ms=self._parse_ts_ms(ver))
             elif ver is not None:
                 refs = t.branches()
                 df = (
@@ -405,7 +408,7 @@ class SqlEngine:
             else:
                 df = t.read()
             key = hashlib.md5(
-                f"{t.location}|{meta}|{ver}".encode()
+                f"{t.location}|{meta}|{kind}|{ver}".encode()
             ).hexdigest()[:10]
             view = f"__vt_{key}"
             df.createOrReplaceTempView(view)

@@ -349,8 +349,16 @@ class VersionedTable:
         files are never overwritten (snapshot isolation)."""
         commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._data_dir, commit_dir)
-        partition_by = self.table_meta.get("partition_by")
+        meta = self.table_meta
+        partition_by = meta.get("partition_by")
         writer = df.write.mode("append").format("parquet")
+        codec = (meta.get("properties") or {}).get(
+            "write.parquet.compression-codec"
+        )
+        if codec:
+            # honor the declared per-table codec (G7, LT:35) over the
+            # session default
+            writer = writer.option("compression", codec)
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.save(out)
@@ -880,14 +888,27 @@ class VersionedTable:
         self,
         branch: str | None = None,
         snapshot_id: str | None = None,
+        as_of_ms: "int | float | None" = None,
     ) -> DataFrame:
         """Table scan, optionally time-travelled (reference T1,
-        `VERSION AS OF 'day1'`, LT:114/129)."""
+        `VERSION AS OF 'day1'`, LT:114/129). ``as_of_ms`` reads the
+        state as of an epoch-millis instant — the newest snapshot on
+        the branch's lineage committed at or before it (Iceberg's
+        ``TIMESTAMP AS OF``)."""
         if snapshot_id is not None:
             return self._read_snapshot(self._snapshot_by_id(snapshot_id))
-        return self._read_snapshot(
-            self._current(self._resolve_read_branch(branch))
-        )
+        b = self._resolve_read_branch(branch)
+        if as_of_ms is not None:
+            by_id = {s.snapshot_id: s for s in self._snapshots()}
+            cur = self._refs()[b]
+            while cur is not None and by_id[cur].timestamp_ms > as_of_ms:
+                cur = by_id[cur].parent_id if by_id[cur].parent_id in by_id else None
+            if cur is None:
+                raise ValueError(
+                    f"no snapshot on branch {b!r} at or before {as_of_ms}"
+                )
+            return self._read_snapshot(by_id[cur])
+        return self._read_snapshot(self._current(b))
 
     # -- branches (reference D5/D6, LT:78-80/167; WAP WI:14-87) ---------------
 

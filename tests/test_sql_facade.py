@@ -374,3 +374,42 @@ def test_merge_update_set_star(spark, tmp_path_factory):
         for r in eng.sql("select * from iceberg.db.star").collect()
     }
     assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_timestamp_as_of(spark, tmp_path_factory):
+    """TIMESTAMP AS OF reads the newest snapshot committed at or
+    before the instant (Iceberg's timestamp travel, alongside the
+    reference's VERSION AS OF labels)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    wh = str(tmp_path_factory.mktemp("ts_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.ts"), schema="id bigint"
+    )
+    s1 = t.append(spark.range(0, 4))
+    t.append(spark.range(4, 10))
+    mid = dt.datetime.fromtimestamp(s1.timestamp_ms / 1000).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )[:-3]
+    got = eng.sql(
+        f"select * from iceberg.db.ts TIMESTAMP AS OF '{mid}'"
+    ).count()
+    assert got == 4
+    assert eng.sql("select * from iceberg.db.ts").count() == 10
+    with _pytest.raises(ValueError, match="at or before"):
+        t.read(as_of_ms=0)
+
+
+def test_table_codec_property_honored(spark, tmp_path):
+    """write.parquet.compression-codec (G7) routes to the writer."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "codec"),
+        schema="id bigint",
+        properties={"write.parquet.compression-codec": "snappy"},
+    )
+    snap = t.append(spark.range(0, 10))
+    assert any(".snappy.parquet" in f for f in snap.files), snap.files
