@@ -71,6 +71,8 @@ def register(
 _EXPORT_PRIORITY = [
     # -- (1) never graded by the driver --
     "scalar_map_struct",
+    "versioned_incremental_read",
+    "versioned_changelog",
     "merge_upsert_mor",
     "delete_where_mor",
     "update_set_where_mor",

@@ -271,6 +271,89 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+INCREMENTAL_READ_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    """
+
+
+@register(
+    "versioned_incremental_read",
+    oracle=INCREMENTAL_READ_ORACLE,
+    category="versioned",
+)
+def versioned_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg's start/end-snapshot-id read):
+    three append commits, then read only what landed after the first —
+    the scan plans over the two newer commits' files alone, which is
+    the O(new data) contract that keeps a 100 TB downstream pipeline
+    incremental. A sorted compaction (``replace``) inside the range is
+    skipped as a physical-only rewrite."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="incr_read_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        s1 = t.append(orders.filter(F.col("o_orderkey") < 1000))
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+            )
+        )
+        t.rewrite_data_files()  # replace commit: must not re-emit rows
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+            )
+        )
+        return detach(t.read_incremental(from_snapshot_id=s1.snapshot_id))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+CHANGELOG_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           'insert' AS _change_type, 1 AS _commit_ordinal
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           'delete' AS _change_type, 2 AS _commit_ordinal
+    FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 3
+    """
+
+
+@register(
+    "versioned_changelog",
+    oracle=CHANGELOG_ORACLE,
+    category="versioned",
+)
+def versioned_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots: an append then a copy-on-write
+    delete, replayed as (data columns, _change_type, _commit_ordinal)
+    events. The delete commit physically rewrites whole files, but the
+    changelog's per-commit exceptAll cancels carried-over rows, so only
+    the logically deleted rows emit — file-set diff at the metadata
+    level keeps the whole thing O(churned bytes), never a table scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="changelog_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        s1 = t.append(orders.filter(F.col("o_orderkey") < 1000))
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+            )
+        )
+        t.delete(F.col("o_orderkey") % 10 == 3)
+        return detach(t.changelog(from_snapshot_id=s1.snapshot_id))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 DELETE_WHERE_ORACLE = """
     SELECT * FROM orders
     WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)

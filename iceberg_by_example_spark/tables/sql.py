@@ -262,6 +262,19 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 [(removed,)], "rewritten_manifests_count int"
             )
+        if proc == "create_changelog_view":
+            # Iceberg's spelling: CALL …create_changelog_view(
+            #   table => 't', changelog_view => 'v'
+            #   [, options => map('start-snapshot-id','…',
+            #                     'end-snapshot-id','…')])
+            view = arg("changelog_view", 1) or "changelog_view"
+            opts = self._parse_map_literal(arg("options", 2, "") or "")
+            df = t.changelog(
+                from_snapshot_id=opts.get("start-snapshot-id"),
+                to_snapshot_id=opts.get("end-snapshot-id"),
+            )
+            df.createOrReplaceTempView(view)
+            return self.spark.createDataFrame([(view,)], "changelog_view string")
         if proc == "expire_snapshots":
             older = arg("older_than", 1)
             retain = int(arg("retain_last", 2, 3))
@@ -333,6 +346,20 @@ class SqlEngine:
             except ValueError:
                 continue
         raise ValueError(f"unparseable timestamp: {v!r}")
+
+    @staticmethod
+    def _parse_map_literal(raw: str) -> dict[str, str]:
+        """``map('k1','v1','k2','v2')`` → dict (Iceberg's CALL-arg map
+        spelling, reference F4/LT:159). Empty input → {}."""
+        m = re.match(r"(?is)^\s*map\s*\((.*)\)\s*$", raw.strip())
+        if not m:
+            return {}
+        items = [
+            SqlEngine._unquote(p) for p in SqlEngine._split_top_level(m.group(1))
+        ]
+        if len(items) % 2:
+            raise ValueError(f"map literal needs even arg count: {raw!r}")
+        return dict(zip(items[::2], items[1::2]))
 
     @staticmethod
     def _parse_sort_order(raw: str | None):

@@ -413,3 +413,29 @@ def test_table_codec_property_honored(spark, tmp_path):
     )
     snap = t.append(spark.range(0, 10))
     assert any(".snappy.parquet" in f for f in snap.files), snap.files
+
+
+def test_call_create_changelog_view(spark, tmp_path_factory):
+    """CALL iceberg.system.create_changelog_view registers a queryable
+    temp view of row-level changes (Iceberg's procedure spelling),
+    honoring start/end snapshot ids via the options map."""
+    wh = str(tmp_path_factory.mktemp("clog_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.clog"), schema="id bigint"
+    )
+    s1 = t.append(spark.range(0, 10))
+    t.append(spark.range(10, 30))
+    t.delete(F.col("id") >= 25)
+    eng.sql(
+        "CALL iceberg.system.create_changelog_view("
+        "table => 'iceberg.db.clog', changelog_view => 'clog_v', "
+        f"options => map('start-snapshot-id','{s1.snapshot_id}'))"
+    )
+    got = {
+        (r["_change_type"], r["id"])
+        for r in spark.sql("select _change_type, id from clog_v").collect()
+    }
+    assert got == {("insert", i) for i in range(10, 30)} | {
+        ("delete", i) for i in range(25, 30)
+    }

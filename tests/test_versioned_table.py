@@ -582,3 +582,108 @@ def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
     assert y_slice < n_files, (y_slice, n_files)
     # clustering is a rewrite, not a mutation
     assert t.read().count() == 20000
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """read_incremental emits exactly the rows appended in the range,
+    skips replace commits, and refuses row-mutating commits."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "incr"), schema="id bigint")
+    s1 = t.append(spark.range(0, 100))
+    s2 = t.append(spark.range(100, 250))
+    t.rewrite_data_files()  # replace: physical only, must be skipped
+    t.append(spark.range(250, 300))
+
+    got = {r["id"] for r in t.read_incremental(s1.snapshot_id).collect()}
+    assert got == set(range(100, 300))
+    # bounded range (from, to]
+    got2 = {
+        r["id"]
+        for r in t.read_incremental(s1.snapshot_id, s2.snapshot_id).collect()
+    }
+    assert got2 == set(range(100, 250))
+    # from=None → everything
+    assert t.read_incremental().count() == 300
+    # non-ancestor from
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.read_incremental("nope")
+    # mutating commit in range → changelog() is the right tool
+    t.delete(F.col("id") < 10)
+    with pytest.raises(ValueError, match="changelog"):
+        t.read_incremental(s1.snapshot_id)
+
+
+def test_changelog_mode_invariant(spark, tmp_path):
+    """The changelog of the same logical history is identical whether
+    mutations ran copy-on-write or merge-on-read — physical strategy
+    must never leak into the change stream."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    def history(loc, props):
+        t = VersionedTable.create(
+            spark, loc, schema="id bigint, v string", properties=props
+        )
+        base = spark.range(0, 200).select(
+            "id", F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        s1 = t.append(base)
+        t.append(
+            spark.range(200, 260).select(
+                "id", F.concat(F.lit("v"), F.col("id")).alias("v")
+            )
+        )
+        t.delete(F.col("id") % 7 == 1)
+        t.update(F.col("id") % 50 == 2, {"v": F.lit("patched")})
+        return t, s1
+
+    mor = {
+        "write.delete.mode": "merge-on-read",
+        "write.update.mode": "merge-on-read",
+        "write.merge.mode": "merge-on-read",
+    }
+    t_cow, s1_cow = history(str(tmp_path / "cow"), {})
+    t_mor, s1_mor = history(str(tmp_path / "mor"), mor)
+
+    def events(t, s1):
+        return sorted(
+            (r["_commit_ordinal"], r["_change_type"], r["id"], r["v"])
+            for r in t.changelog(from_snapshot_id=s1.snapshot_id).collect()
+        )
+
+    ev_cow, ev_mor = events(t_cow, s1_cow), events(t_mor, s1_mor)
+    assert ev_cow == ev_mor
+    # spot-check semantics: ordinal 2 deletes ids ≡1 (mod 7) present then
+    deleted = {e[2] for e in ev_cow if e[0] == 2 and e[1] == "delete"}
+    assert deleted == {i for i in range(260) if i % 7 == 1}
+    # ordinal 3: update = delete(old) + insert(new) for surviving ids ≡2 (mod 50)
+    upd_ids = {i for i in range(260) if i % 50 == 2 and i % 7 != 1}
+    ins = {e[2] for e in ev_cow if e[0] == 3 and e[1] == "insert"}
+    dels = {e[2] for e in ev_cow if e[0] == 3 and e[1] == "delete"}
+    assert ins == dels == upd_ids
+    assert all(e[3] == "patched" for e in ev_cow if e[0] == 3 and e[1] == "insert")
+
+
+def test_changelog_replays_to_current_state(spark, tmp_path):
+    """Folding the full changelog (from table creation) must
+    reconstruct exactly the current table state."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "replay"), schema="id bigint")
+    t.append(spark.range(0, 500))
+    t.delete(F.col("id").between(100, 199))
+    t.rewrite_data_files()
+    t.append(spark.range(500, 600))
+    t.delete(F.col("id") % 3 == 0)
+
+    log = t.changelog().collect()
+    state: dict = {}
+    for r in sorted(log, key=lambda r: r["_commit_ordinal"]):
+        key = r["id"]
+        if r["_change_type"] == "insert":
+            state[key] = state.get(key, 0) + 1
+        else:
+            state[key] -= 1
+    replayed = {k for k, n in state.items() if n > 0}
+    actual = {r["id"] for r in t.read().collect()}
+    assert replayed == actual
