@@ -150,14 +150,21 @@ class SqlEngine:
         return None
 
     def _h_branch_ddl(self, m: re.Match) -> None:
-        """ALTER TABLE t CREATE OR REPLACE BRANCH b / DROP BRANCH b
-        (LT:78-80, LT:167, WI:85)."""
+        """ALTER TABLE t CREATE OR REPLACE BRANCH/TAG x / DROP BRANCH/TAG x
+        (LT:78-80, LT:167, WI:85; tags are Iceberg's immutable refs)."""
         t = self._table(m.group("name"))
-        branch = m.group("branch").replace("`", "")
-        if m.group("op").lower().startswith("create"):
-            t.create_branch(branch)
+        ref = m.group("branch").replace("`", "")
+        op = m.group("op").lower()
+        kind = m.group("kind").lower()
+        if op.startswith("create"):
+            if kind == "tag":
+                t.create_tag(ref, replace="replace" in op)
+            else:
+                t.create_branch(ref)
+        elif kind == "tag":
+            t.drop_tag(ref)
         else:
-            t.drop_branch(branch)
+            t.drop_branch(ref)
         return None
 
     # -- MERGE ----------------------------------------------------------------
@@ -426,10 +433,10 @@ class SqlEngine:
             elif ver is not None and kind == "timestamp":
                 df = t.read(as_of_ms=self._parse_ts_ms(ver))
             elif ver is not None:
-                refs = t.branches()
+                named = set(t.branches()) | set(t.tags())
                 df = (
                     t.read(branch=ver)
-                    if ver in refs
+                    if ver in named
                     else t.read(snapshot_id=ver)
                 )
             else:
@@ -478,7 +485,8 @@ class SqlEngine:
         (
             lambda s: re.fullmatch(
                 rf"alter\s+table\s+(?P<name>{_NAME})\s+"
-                rf"(?P<op>create(?:\s+or\s+replace)?|drop)\s+branch\s+"
+                rf"(?P<op>create(?:\s+or\s+replace)?|drop)\s+"
+                rf"(?P<kind>branch|tag)\s+"
                 rf"(?P<branch>`?{_IDENT}`?)",
                 s,
                 _flags(),

@@ -250,6 +250,14 @@ class VersionedTable:
     def _refs(self) -> dict[str, str]:
         return self._read_json("refs.json")
 
+    def _tags(self) -> dict[str, str]:
+        """Immutable named refs (Iceberg TAGs). Stored separately from
+        branches so pre-tag tables keep loading unchanged."""
+        try:
+            return self._read_json("tags.json")
+        except FileNotFoundError:
+            return {}
+
     def _snapshot_by_id(self, sid: str) -> Snapshot:
         for s in self._snapshots():
             if s.snapshot_id == sid:
@@ -259,7 +267,13 @@ class VersionedTable:
     def _current(self, branch: str = MAIN) -> Snapshot:
         refs = self._refs()
         if branch not in refs:
-            raise ValueError(f"unknown branch {branch!r}; have {sorted(refs)}")
+            tags = self._tags()
+            if branch in tags:  # tags resolve for reads; writes guard
+                return self._snapshot_by_id(tags[branch])
+            raise ValueError(
+                f"unknown ref {branch!r}; have branches {sorted(refs)}"
+                f" and tags {sorted(tags)}"
+            )
         return self._snapshot_by_id(refs[branch])
 
     # -- ambient (session-conf) branch routing --------------------------------
@@ -271,6 +285,8 @@ class VersionedTable:
         """Explicit argument wins; else the session's ``spark.wap.branch``
         (created from main on first write, as Iceberg does); else main."""
         if branch is not None:
+            if branch in self._tags():
+                raise ValueError(f"cannot write to tag {branch!r} (immutable)")
             return branch
         wap = self._wap_conf()
         if wap:
@@ -1132,6 +1148,8 @@ class VersionedTable:
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
         """ALTER TABLE … CREATE OR REPLACE BRANCH (D5)."""
+        if name in self._tags():
+            raise ValueError(f"{name!r} is a tag")
         refs = self._refs()
         refs[name] = refs[from_branch]
         self._write_json("refs.json", refs)
@@ -1174,6 +1192,38 @@ class VersionedTable:
 
     def branches(self) -> dict[str, str]:
         return self._refs()
+
+    # -- tags (immutable refs — Iceberg's ALTER TABLE … CREATE TAG) -----------
+
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        replace: bool = False,
+    ) -> None:
+        """ALTER TABLE … CREATE [OR REPLACE] TAG: pin a name to a
+        snapshot forever. Unlike a branch, a tag never moves — writes
+        addressed to it are rejected — so it's the durable handle for
+        'the exact data release 1.2 trained on'."""
+        tags = self._tags()
+        if name in self._refs():
+            raise ValueError(f"{name!r} is a branch")
+        if name in tags and not replace:
+            raise ValueError(f"tag {name!r} exists")
+        sid = snapshot_id or self._refs()[MAIN]
+        self._snapshot_by_id(sid)  # must exist
+        tags[name] = sid
+        self._write_json("tags.json", tags)
+
+    def drop_tag(self, name: str) -> None:
+        tags = self._tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}")
+        tags.pop(name)
+        self._write_json("tags.json", tags)
+
+    def tags(self) -> dict[str, str]:
+        return self._tags()
 
     # -- metadata tables (reference S5/W2, LT:84-97) ---------------------------
 
@@ -1229,8 +1279,11 @@ class VersionedTable:
         )
 
     def refs(self) -> DataFrame:
+        rows = [(n, s, "BRANCH") for n, s in self._refs().items()] + [
+            (n, s, "TAG") for n, s in self._tags().items()
+        ]
         return self.spark.createDataFrame(
-            list(self._refs().items()), "name string, snapshot_id string"
+            rows, "name string, snapshot_id string, type string"
         )
 
     def manifests(self, branch: str = MAIN) -> DataFrame:
@@ -1401,7 +1454,7 @@ class VersionedTable:
         snaps = self._snapshots()
         by_id = {s.snapshot_id: s for s in snaps}
         live: set[str] = set()
-        for sid in self._refs().values():
+        for sid in {**self._refs(), **self._tags()}.values():
             cur = sid
             while cur is not None and cur not in live:
                 live.add(cur)

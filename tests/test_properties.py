@@ -45,7 +45,7 @@ def test_merge_equals_dict_upsert(spark, tmp_path_factory, target, source):
 
 def test_read_unknown_branch_raises(spark, tmp_path):
     t = VersionedTable.create(spark, str(tmp_path / "t"), schema="k bigint")
-    with pytest.raises(ValueError, match="unknown branch"):
+    with pytest.raises(ValueError, match="unknown ref"):
         t.read(branch="nope")
 
 

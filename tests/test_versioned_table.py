@@ -687,3 +687,66 @@ def test_changelog_replays_to_current_state(spark, tmp_path):
     replayed = {k for k, n in state.items() if n > 0}
     actual = {r["id"] for r in t.read().collect()}
     assert replayed == actual
+
+
+def test_tags_are_immutable_named_refs(spark, tmp_path):
+    """Tags pin a snapshot forever: reads resolve them like refs,
+    writes addressed to them fail, expiry protects them, and the refs
+    metadata table types them."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "tags"), schema="id bigint")
+    t.append(spark.range(0, 40))
+    t.create_tag("release-1")
+    t.append(spark.range(40, 100))
+
+    assert t.read(branch="release-1").count() == 40
+    assert t.read().count() == 100
+    # immutability
+    with pytest.raises(ValueError, match="immutable"):
+        t.append(spark.range(5), branch="release-1")
+    with pytest.raises(ValueError, match="exists"):
+        t.create_tag("release-1")
+    t.create_tag("release-1", replace=True)  # now pins the 100-row state
+    assert t.read(branch="release-1").count() == 100
+    # name collision across ref kinds
+    t.create_branch("dev")
+    with pytest.raises(ValueError, match="is a branch"):
+        t.create_tag("dev")
+    with pytest.raises(ValueError, match="is a tag"):
+        t.create_branch("release-1")
+    # refs metadata table carries the type
+    kinds = {(r["name"], r["type"]) for r in t.refs().collect()}
+    assert ("release-1", "TAG") in kinds and ("main", "BRANCH") in kinds
+    # expiry never drops a tagged snapshot
+    t.create_tag("pin-old", snapshot_id=t.snapshots().collect()[1]["snapshot_id"])
+    for i in range(6):
+        t.append(spark.range(100 + i, 101 + i))
+    t.expire_snapshots(retain_last=1)
+    assert t.read(branch="pin-old").count() == 40
+    t.drop_tag("pin-old")
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.drop_tag("pin-old")
+
+
+def test_sql_facade_tag_ddl_and_time_travel(spark, tmp_path_factory):
+    """ALTER TABLE … CREATE TAG / VERSION AS OF '<tag>' / DROP TAG
+    through the SQL facade (Iceberg's tag grammar)."""
+    from iceberg_by_example_spark.tables.catalog import Catalog
+    from iceberg_by_example_spark.tables.sql import SqlEngine
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    wh = str(tmp_path_factory.mktemp("tag_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    t = VersionedTable.create(
+        spark, eng.catalog.resolve("iceberg.db.tagged"), schema="id bigint"
+    )
+    t.append(spark.range(0, 7))
+    eng.sql("ALTER TABLE iceberg.db.tagged CREATE TAG `v1`")
+    t.append(spark.range(7, 20))
+    n = eng.sql(
+        "select count(*) as n from iceberg.db.tagged VERSION AS OF 'v1'"
+    ).collect()[0]["n"]
+    assert n == 7
+    eng.sql("ALTER TABLE iceberg.db.tagged DROP TAG `v1`")
+    assert t.tags() == {}
