@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_by_example_spark.functions.exact import dec, dsum, dsum_dec, one_minus
+from iceberg_by_example_spark.functions.exact import (
+    davg,
+    dec,
+    dsum,
+    dsum_dec,
+    one_minus,
+)
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
 
@@ -231,4 +237,271 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(dsum_dec(revenue).alias("volume"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+                         * CAST(l_discount AS DECIMAL(7,6)))
+                AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(7,6))
+          BETWEEN CAST(0.05 AS DECIMAL(7,6)) AND CAST(0.07 AS DECIMAL(7,6))
+      AND l_quantity < 24
+    """,
+    category="analytics",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: single-table scan-heavy aggregate — ALL predicates
+    (date range, discount band, quantity cap) push into the parquet
+    scan, the ideal pushdown showcase. The discount band compares in
+    exact decimal on BOTH engines: a double BETWEEN would hinge on
+    whether 0.05 parses to the same binary in each engine's literal
+    grammar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("0.05").cast("decimal(7,6)")
+    hi = F.lit("0.07").cast("decimal(7,6)")
+    disc = dec("l_discount", 7, 6)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (disc >= lo)
+            & (disc <= hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_dec(dec("l_extendedprice", 20, 2) * disc).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    category="analytics",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS over the fact table → LEFT SEMI
+    join, counted per priority class. The reference Q4 tests
+    commit-vs-receipt lateness; this corpus carries neither column, so
+    the late predicate is ship-lag > 90 days — same correlated-EXISTS
+    plan shape (semi join keeps lineitem's payload out of the agg).
+
+    The quarter filter prunes orders BEFORE the semi join; at 100 TB
+    the semi join shuffles only (orderkey, orderdate) against
+    lineitem's (orderkey, shipdate) projection."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY CAST(YEAR(l.l_shipdate) AS INT)
+    """,
+    category="analytics",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counting split by priority class over a
+    fact-fact join with a non-equi residual (ship lag ≥ 30 days). The
+    reference groups by l_shipmode (absent here); ship year is the
+    stand-in grouping key. The CASE sums are map-side combinable — the
+    shuffle carries (year, 2 longs) per partition, not rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(20,2))
+                        * (CAST(1 AS DECIMAL(1,0)) - CAST(l.l_discount AS DECIMAL(7,6)))
+                   ELSE CAST(0 AS DECIMAL(27,8)) END)
+                AS DECIMAL(27,6)) AS DOUBLE)
+           AS promo_revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                         * (CAST(1 AS DECIMAL(1,0)) - CAST(l.l_discount AS DECIMAL(7,6))))
+                AS DECIMAL(27,6)) AS DOUBLE)
+           AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    category="analytics",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotion revenue share — CASE-gated aggregate over a
+    fact⋈dim join (part broadcasts). Returns the two exact-decimal sums
+    rather than their ratio: the ratio is one IEEE division the caller
+    can do, and exposing both keeps every published column an exact
+    aggregate. The corpus's p_type is single-token ('PROMO'), so the
+    reference's LIKE 'PROMO%%' degenerates to equality."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", 20, 2) * one_minus("l_discount")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(27,8)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum_dec(promo_rev).alias("promo_revenue"),
+            dsum_dec(rev).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                         * (CAST(1 AS DECIMAL(1,0)) - CAST(l.l_discount AS DECIMAL(7,6))))
+                AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    category="analytics",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive mixed-side predicate (brand/size from the
+    dim, quantity from the fact) that can only be applied AFTER the
+    join — Catalyst still pushes the derivable per-side implications
+    (brand ∈ {…} onto part). The container/shipmode legs of the
+    reference predicate don't exist in this corpus; size stands in."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & sz.between(1, 50) & q.between(20, 30))
+    )
+    rev = dec("l_extendedprice", 20, 2) * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum_dec(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(c2.c_acctbal)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    category="analytics",
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: well-funded customers gone dormant — an uncorrelated
+    scalar subquery (average positive balance) gating an ANTI join
+    against recent orders, aggregated per nation. (The reference
+    derives country codes from c_phone, absent here, so c_nationkey is
+    the grouping stand-in; and every customer in this corpus has SOME
+    order, so dormant = no order since 1999 rather than never-ordered.)
+
+    The scalar threshold is computed once and crossed in as a 1-row
+    broadcast — NOT collected to the driver: the plan stays fully
+    lazy/distributed and the threshold join is a BroadcastNestedLoop
+    over exactly one row. The anti join shuffles only (custkey) from
+    orders' side after projection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
     )
