@@ -8,7 +8,7 @@ a DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.functions.text import (
@@ -267,4 +267,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+             CAST(tf.tf * (n.n_docs - docfreq.df) AS BIGINT) AS score
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+    """,
+    category="text",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document — the tf-idf idiom with
+    an integer rarity weight.  Instead of ``tf * ln(N/df)`` (whose last
+    float ulp differs between libm implementations, breaking the
+    cross-engine hash), the score is ``tf * (N - df)`` — a pure-integer
+    rarity weight that preserves the "frequent here, rare elsewhere"
+    ordering and is bit-identical everywhere.
+
+    Scale shape: explode → (doc_id, term) partial-agg (map-side
+    combine) → term-keyed df agg; N crosses in as a 1-row broadcast
+    (never collected); final top-k is one window shuffle on doc_id.
+    The df relation is vocabulary-sized, so its join back to tf is
+    broadcast-eligible under AQE at any corpus size where the
+    vocabulary fits an executor (true even at 100 TB for natural
+    language)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") - F.col("df")))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
     )

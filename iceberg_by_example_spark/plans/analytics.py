@@ -505,3 +505,65 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+    category="analytics",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): a user
+    converts at step k only with an event strictly after their step-k-1
+    conversion time.  The classic product-analytics sequence query.
+
+    Spark-first shape: each step is a per-user conditional MIN —
+    map-side combinable, one shuffle on user_id — and consecutive
+    steps meet in a user_id equi-join that AQE plans as broadcast once
+    the funnel narrows (step relations only shrink).  The step counts
+    union into one 3-row result; nothing is collected."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame | None,
+                    prev_t: str, out_t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = first_after(ev, "view", None, "", "t1")
+    s2 = first_after(ev, "click", s1, "t1", "t2")
+    s3 = first_after(ev, "purchase", s2, "t2", "t3")
+
+    def step(k: int, etype: str, s: DataFrame) -> DataFrame:
+        return s.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(k).alias("step"),
+            F.lit(etype).alias("event_type"),
+            "users",
+        )
+
+    return (
+        step(1, "view", s1)
+        .unionByName(step(2, "click", s2))
+        .unionByName(step(3, "purchase", s3))
+    )
