@@ -134,3 +134,23 @@ def test_mor_overlay_is_broadcast_anti_join(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_steps_push_event_type_to_scan(spark, registry):
+    """Each funnel step's event-type equality must reach the parquet
+    scan — at 100 TB the funnel reads three dictionary-filtered column
+    slices, never the full event log."""
+    plan = plan_of(registry["events_funnel_conversion"].fn(spark, SF))
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan, etype
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topterms_partial_aggregates(spark, registry):
+    """The (doc_id, term) tf aggregate must combine map-side before its
+    shuffle, and the corpus-size literal crosses in as a broadcast —
+    never a driver collect (no LocalTableScan of a collected count)."""
+    plan = plan_of(registry["text_tfidf_topterms"].fn(spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
