@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import epoch_micros
 
 
 def asof_join(
@@ -134,7 +135,7 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         "view_event_id",
-        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias(
+        (epoch_micros("ts") - epoch_micros("view_ts")).alias(
             "usecs_since_view"
         ),
     )

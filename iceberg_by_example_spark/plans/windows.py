@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import epoch_micros
 
 
 @register(
@@ -71,7 +72,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            epoch_micros("ts") - F.lag(epoch_micros("ts")).over(w)
         ).alias("usecs_since_prev"),
     )
 

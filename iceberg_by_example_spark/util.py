@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet
+    ``timestamp[us]`` without tz metadata loads as). The session
+    timezone is pinned to UTC (session.py), so casting NTZ -> TIMESTAMP
+    is a pure reinterpretation with no DST ambiguity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def detach(df: DataFrame) -> DataFrame:

@@ -24,7 +24,11 @@ def event_stream(spark, tmp_path):
     """A file-source stream over a bounded copy of the events table —
     maxFilesPerTrigger drips the files in so multiple microbatches run."""
     src = str(tmp_path / "events_stream")
-    events = load_table(spark, SF, "events")
+    # Watermarks require TIMESTAMP (not the TIMESTAMP_NTZ that tz-less
+    # parquet loads as); normalize event time once, for both modes.
+    events = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     events.repartition(4).write.parquet(src)
     schema = events.schema
     return (
