@@ -1,0 +1,252 @@
+"""Corpus sampling, splitting, and packing operators — the steps
+between a curated corpus (operators/pipeline.py) and a training run:
+deterministic train/val/test assignment, per-stratum sampling, domain
+reweighting, and fixed-budget sequence packing.
+
+All four are pure column/window plans (no UDFs, no driver loops) with
+DuckDB oracle twins. Determinism rule: every pseudo-random choice is a
+salted md5 of the row key — identical hex in every engine, stable
+across runs, partitionings, and cluster sizes, and independent of input
+order (the property `F.rand` does NOT have).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.functions.text import token_count
+from iceberg_by_example_spark.plans.registry import register
+from iceberg_by_example_spark.sources.tpch import load_table
+
+
+def hash_bucket(key, salt: str):
+    """First two md5 hex digits of ``salt:key`` — a uniform bucket in
+    ['00'..'ff'] (256 cells). String comparison against hex literals
+    carves deterministic fractions; both engines hash the identical
+    bytes."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 2
+    )
+
+
+@register(
+    "pipeline_split_hash",
+    oracle="""
+    SELECT doc_id, lang, source,
+           SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+                WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    category="pipeline",
+)
+def pipeline_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by salted content
+    key. Because membership is a pure function of doc_id, the split is
+    reproducible on any cluster, new documents never reshuffle old
+    assignments, and train/test never leak across reruns — the
+    properties random-number splits lose the moment the partitioning
+    changes. Narrow (no shuffle, no join): the assignment is a scan-time
+    expression."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), "split")
+    split = (
+        F.when(bucket < "cd", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id", "lang", "source", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             MD5('sample:' || CAST(doc_id AS VARCHAR)) AS k,
+             COUNT(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, stratum_n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id)
+               AS sample_rank
+      FROM keyed)
+    SELECT doc_id, lang, stratum_n, sample_rank
+    FROM ranked
+    WHERE sample_rank <= CAST(CEIL(stratum_n * 0.2) AS BIGINT)
+    """,
+    category="pipeline",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional 20% sample per language stratum, chosen by salted
+    hash order — every stratum contributes ceil(0.2·n) rows regardless
+    of how skewed the language mix is (a uniform Bernoulli sample
+    under-represents small strata).
+
+    Scale shape: one shuffle on the stratum key for the window; rank
+    only orders the stratum's own rows. For strata too hot for one
+    partition, the same hash key thresholds directly (keep rows with
+    k < quantile) — no global order needed."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        k.alias("k"),
+        F.count("*").over(Window.partitionBy("lang")).alias("stratum_n"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy("k", "doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", rk)
+        .filter(
+            F.col("sample_rank")
+            <= F.ceil(F.col("stratum_n") * 0.2).cast("long")
+        )
+        .select("doc_id", "lang", "stratum_n", "sample_rank")
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sized)
+    SELECT source,
+           CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY 1, 2
+    """,
+    category="pipeline",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in stable doc_id order,
+    per source) into ~2048-token training sequences, assigning each doc
+    to the pack where its exclusive prefix-sum of tokens lands. This is
+    the streaming-concatenation packer (docs may straddle a boundary;
+    the budget bounds the *start* offset) — one window per source
+    partition, no re-sorting, no driver state.
+
+    Scale shape: packing is embarrassingly parallel across sources; a
+    single hot source shards further by hash(doc_id) into independent
+    pack streams (the pack key becomes (source, shard, pack_id)) with
+    zero coordination, because prefix sums never cross shard
+    boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(2048.0))
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(LEN(STRING_SPLIT(text, ' '))) AS source_tokens
+      FROM documents GROUP BY source),
+    total AS (SELECT SUM(source_tokens) AS total_tokens FROM per_source),
+    weighted AS (
+      SELECT source, n_docs, source_tokens,
+             CASE WHEN source IN ('src0', 'src1')
+                  THEN CAST(0.2 AS DOUBLE)
+                  ELSE CAST(0.6 AS DOUBLE) / 18 END AS target_weight
+      FROM per_source)
+    SELECT w.source, w.n_docs, w.source_tokens, w.target_weight,
+           LEAST(CAST(1 AS DOUBLE),
+                 w.target_weight * t.total_tokens / w.source_tokens)
+             AS sample_rate,
+           LEAST(CAST(1 AS DOUBLE),
+                 w.target_weight * t.total_tokens / w.source_tokens)
+             * w.source_tokens AS effective_tokens
+    FROM weighted w CROSS JOIN total t
+    """,
+    category="pipeline",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: given target mixture weights per
+    source (here: 20% each for two up-weighted domains, the rest
+    sharing 60%), derive the per-source sampling rate that realizes the
+    mix within the corpus's token budget — rates cap at 1.0 (this
+    operator subsamples; epoch-repeat for up-sampling is a trainer
+    concern).
+
+    The aggregate is token-weighted, not doc-weighted: mixing is about
+    how many tokens the model sees. One groupBy(source) partial agg;
+    the grand total joins back as a 1-row broadcast, never collected."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("source_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("source_tokens").alias("total_tokens"))
+    weight = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(0.2))
+        .otherwise(F.lit(0.6) / F.lit(18))
+        .alias("target_weight")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("target_weight")
+        * F.col("total_tokens")
+        / F.col("source_tokens"),
+    )
+    return (
+        per_source.select("source", "n_docs", "source_tokens", weight)
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "target_weight",
+            rate.alias("sample_rate"),
+            (rate * F.col("source_tokens")).alias("effective_tokens"),
+        )
+    )

@@ -271,6 +271,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]{8,}')) AS n_redacted,
+           LENGTH(REGEXP_REPLACE(text, '[A-Za-z]{8,}', '<redacted>', 'g'))
+             AS redacted_chars,
+           REGEXP_REPLACE(text, '[A-Za-z]{8,}', '<redacted>', 'g')
+             AS redacted_text
+    FROM documents
+    """,
+    category="text",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction — the scrubbing primitive of a training-data
+    pipeline (PII patterns like emails/phones/SSNs plug in here as the
+    pattern; the synthetic corpus has no digits, so the demo pattern
+    redacts long alphabetic runs to exercise the machinery end to end).
+    Count + replace are both JVM regexp expressions over the scan — a
+    scrub pass at 100 TB is exactly one narrow map stage, no shuffle.
+    Both engines run greedy leftmost matching on the same RE2-compatible
+    pattern, so replacements align byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    pattern = "[A-Za-z]{8,}"
+    red = F.regexp_replace("text", pattern, "<redacted>")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pattern)).alias("n_redacted"),
+        F.length(red).alias("redacted_chars"),
+        red.alias("redacted_text"),
+    )
+
+
+@register(
     "text_tfidf_topterms",
     oracle="""
     WITH toks AS (

@@ -567,3 +567,269 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step(2, "click", s2))
         .unionByName(step(3, "purchase", s3))
     )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    category="analytics",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution; the reference
+    corpus has no o_comment, so the excluded class is urgent-priority
+    orders): LEFT join so zero-order customers survive with c_count=0,
+    then a distribution over the counts. Two shuffles total — the
+    outer join on custkey, then a tiny agg on c_count (the distinct
+    count values number in the dozens at any scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST({_REVENUE_SQL} AS DECIMAL(27,6)) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    category="analytics",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: quarterly revenue per supplier, return the max-revenue
+    supplier(s). The scalar-max subquery becomes a 1-row broadcast
+    joined back against the revenue relation — the agg runs once, not
+    per-row, and the exact-decimal revenue makes the equality
+    deterministic (a double sum would make 'the max' engine-dependent
+    in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue_expr = dec("l_extendedprice", 20, 2) * one_minus("l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_dec(revenue_expr).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("supplier_no", "total_revenue")
+    )
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2)))
+                AS DECIMAL(27,6)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresholds t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_type = 'SMALL'
+      AND l.l_quantity < t.qty_threshold
+    """,
+    category="analytics",
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q17 shape (p_container doesn't exist here; p_type stands in):
+    revenue lost to small-quantity orders of one brand. The correlated
+    AVG subquery decorrelates into a per-part aggregate joined back on
+    partkey — at scale that's one extra shuffle over (partkey, stats)
+    instead of a per-row subquery, and the part filter broadcasts into
+    both sides. The threshold mean is the exact quantized sum / count,
+    so the strict `<` boundary falls identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.2 * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(dec("l_extendedprice", 20, 2))
+                .cast("decimal(27,6)")
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+      SELECT YEAR(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(20,2))
+               * (CAST(1 AS DECIMAL(1,0))
+                  - CAST(l.l_discount AS DECIMAL(7,6))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_9'
+                              THEN volume ELSE CAST(0 AS DECIMAL(20,2)) END)
+                AS DECIMAL(27,6)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(27,6)) AS DOUBLE)
+             AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    category="analytics",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one supplier nation's share of ASIA-customer STANDARD
+    part revenue, by order year. Eight-way join where every dimension
+    broadcasts and only lineitem-orders shuffles; the share is a
+    conditional-sum / sum over the identical exact-decimal volume, with
+    the double division applied once per year-group at the very end."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    volume = dec("l_extendedprice", 20, 2) * one_minus("l_discount")
+    volumes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_volume = F.when(
+        F.col("supp_nation") == "NATION_9", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(20,2)"))
+    return (
+        volumes.groupBy("o_year")
+        .agg(
+            dsum_dec(nation_volume).alias("nation_rev"),
+            dsum_dec(F.col("volume")).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           YEAR(o.o_orderdate) AS o_year,
+           CAST(CAST({_REVENUE_SQL} AS DECIMAL(27,6)) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    category="analytics",
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (no ps_supplycost table exists, so profit reduces to
+    discounted revenue): profit on one product line by supplier nation
+    and order year. The p_name LIKE filter can't push into a join key —
+    it prunes the broadcast part relation instead, and AQE sees the
+    shrunken build side. lineitem-orders is the only exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice", 20, 2) * one_minus("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum_dec(profit).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )

@@ -73,6 +73,16 @@ def register(
 _EXPORT_PRIORITY = [
     # -- (1) never graded by the driver --
     "scalar_map_struct",
+    "pipeline_split_hash",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
+    "pipeline_domain_mix",
+    "text_redact",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
     "versioned_incremental_read",
     "versioned_changelog",
     "merge_upsert_mor",
@@ -161,6 +171,7 @@ _QUERY_MODULES = [
     "iceberg_by_example_spark.operators.skew",
     "iceberg_by_example_spark.plans.analytics",
     "iceberg_by_example_spark.operators.pipeline",
+    "iceberg_by_example_spark.operators.sampling",
 ]
 
 

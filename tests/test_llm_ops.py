@@ -224,3 +224,96 @@ def test_cluster_canonical_transitive_chain(spark, tmp_path):
         for r in dedup_cluster_canonical(spark, str(tmp_path)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}, got
+
+
+def test_split_hash_partitions_and_proportions(spark):
+    """The hash split covers every doc exactly once, lands near
+    80/10/10, and is a pure function of doc_id (recompute-identical)."""
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_split_hash,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = pipeline_split_hash(spark, sf)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert n == out.select("doc_id").distinct().count() == 500
+    assert 0.72 <= counts["train"] / n <= 0.88
+    assert counts["val"] / n <= 0.16 and counts["test"] / n <= 0.16
+    again = {
+        r["doc_id"]: r["split"] for r in pipeline_split_hash(spark, sf).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    """Every language stratum contributes exactly ceil(0.2 * n)."""
+    import math
+
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_stratified_sample,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    strata = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in pipeline_stratified_sample(spark, sf)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {k: math.ceil(0.2 * v) for k, v in strata.items()}
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing is a partition of the corpus: pack token sums and doc
+    counts reconstruct the totals, and every pack starts below the
+    budget boundary (the defining invariant of prefix-sum packing)."""
+    from iceberg_by_example_spark.functions.text import token_count
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_pack_sequences,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    total_docs = d.count()
+    total_tokens = (
+        d.select(token_count("text").alias("t")).agg(F.sum("t")).collect()[0][0]
+    )
+    packs = pipeline_pack_sequences(spark, sf).collect()
+    assert sum(p["n_docs"] for p in packs) == total_docs
+    assert sum(p["pack_tokens"] for p in packs) == total_tokens
+    # pack ids per source are dense from 0 (no empty packs)
+    by_src = {}
+    for p in packs:
+        by_src.setdefault(p["source"], []).append(p["pack_id"])
+    for ids in by_src.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_domain_mix_weights_and_caps(spark):
+    """Target weights sum to 1; rates cap at 1; effective tokens never
+    exceed what the source has."""
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_domain_mix,
+    )
+
+    rows = pipeline_domain_mix(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    assert abs(sum(r["target_weight"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert 0 < r["sample_rate"] <= 1.0
+        assert r["effective_tokens"] <= r["source_tokens"] + 1e-9

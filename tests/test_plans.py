@@ -154,3 +154,37 @@ def test_tfidf_topterms_partial_aggregates(spark, registry):
     assert "partial_count" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_hash_is_narrow(spark, registry):
+    """The train/val/test assignment is a scan-time expression — no
+    shuffle exchange, no join. At 100 TB, splitting is free."""
+    df = registry["pipeline_split_hash"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert not _shuffle_exchange_blocks(plan)
+    assert "Join" not in plan
+
+
+def test_redact_is_narrow(spark, registry):
+    """Pattern redaction is one narrow map stage over the scan."""
+    df = registry["text_redact"].fn(spark, SF)
+    assert not _shuffle_exchange_blocks(formatted_plan(df))
+
+
+def test_pack_sequences_shuffles_sizes_not_text(spark, registry):
+    """The packer's window shuffle carries (doc_id, source, n_tokens) —
+    never the document text (the plan computes sizes BEFORE the
+    exchange, so the corpus stays put)."""
+    df = registry["pipeline_pack_sequences"].fn(spark, SF)
+    blocks = _shuffle_exchange_blocks(formatted_plan(df))
+    assert blocks, "expected the per-source window shuffle"
+    for b in blocks:
+        assert "text#" not in b, f"document text entered a shuffle:\n{b}"
+
+
+def test_q8_single_fact_exchange(spark, registry):
+    """Q8's eight-way join broadcasts every dimension; only the
+    lineitem-orders equi-join shuffles."""
+    plan = plan_of(registry["tpch_q8_market_share"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
