@@ -385,7 +385,204 @@ class VersionedTable:
                     rel.append(
                         os.path.relpath(os.path.join(root, n), self.location)
                     )
-        return sorted(rel)
+        rel = sorted(rel)
+        self._collect_file_stats(commit_dir, rel)
+        return rel
+
+    # -- per-file column statistics (Iceberg manifest-stats analogue) ---------
+    #
+    # Each commit gets a stats sidecar in _meta/stats/<commit>.json:
+    # {relpath: {col: {"min": .., "max": .., "nulls": n}}}, read off the
+    # parquet FOOTERS of the just-written files — O(footer bytes), never
+    # a data re-scan. Iceberg's writers report the same stats from the
+    # write tasks into manifests; the footer read is the single-node
+    # stand-in (on a cluster this collection rides the task commit
+    # messages). scan() uses them to drop whole files whose [min,max]
+    # cannot satisfy a predicate — manifest-level pruning, one level
+    # above the parquet row-group stats Spark already applies.
+
+    @property
+    def _stats_dir(self) -> str:
+        return os.path.join(self._meta_dir, "stats")
+
+    @staticmethod
+    def _stat_encode(v):
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return {"t": "ts", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"t": "date", "v": v.isoformat()}
+        if isinstance(v, bytes):
+            return None  # binary min/max not comparable portably
+        return v
+
+    @staticmethod
+    def _stat_decode(v):
+        import datetime
+
+        if isinstance(v, dict):
+            if v.get("t") == "ts":
+                return datetime.datetime.fromisoformat(v["v"])
+            if v.get("t") == "date":
+                return datetime.date.fromisoformat(v["v"])
+        return v
+
+    def _collect_file_stats(self, commit_dir: str, rel_paths: list[str]) -> None:
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # stats are an optimization, never a requirement
+            return
+        stats: dict[str, dict] = {}
+        for rel in rel_paths:
+            per_col: dict[str, dict] = {}
+            try:
+                md = pq.ParquetFile(os.path.join(self.location, rel)).metadata
+            except Exception:
+                continue
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if "." in name:  # leaf of a nested type — skip
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        per_col[name] = None  # unknown for ≥1 row group
+                        continue
+                    try:
+                        lo = self._stat_encode(st.min)
+                        hi = self._stat_encode(st.max)
+                    except Exception:  # stats not extractable for type
+                        per_col[name] = None
+                        continue
+                    if lo is None or hi is None:
+                        per_col[name] = None
+                        continue
+                    cur = per_col.get(name)
+                    if name in per_col and cur is None:
+                        continue
+                    nulls = st.null_count if st.has_null_count else None
+                    if cur is None:
+                        per_col[name] = {"min": lo, "max": hi, "nulls": nulls}
+                    else:
+                        if self._stat_decode(lo) < self._stat_decode(cur["min"]):
+                            cur["min"] = lo
+                        if self._stat_decode(hi) > self._stat_decode(cur["max"]):
+                            cur["max"] = hi
+                        if nulls is None or cur["nulls"] is None:
+                            cur["nulls"] = None
+                        else:
+                            cur["nulls"] += nulls
+            stats[rel] = {k: v for k, v in per_col.items() if v is not None}
+        os.makedirs(self._stats_dir, exist_ok=True)
+        tmp = os.path.join(
+            self._stats_dir, f".{commit_dir}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(self._stats_dir, f"{commit_dir}.json"))
+
+    def _file_stats(self, files: list[str]) -> dict[str, dict]:
+        """Stats for the given table-relative files, keyed by path.
+        Files from commits predating stats collection simply have no
+        entry (→ never pruned)."""
+        cache = getattr(self, "_stats_cache", None)
+        if cache is None:
+            cache = self._stats_cache = {}
+        out: dict[str, dict] = {}
+        commits = {os.path.relpath(f, "data").split(os.sep, 1)[0] for f in files}
+        for commit in commits:
+            if commit not in cache:
+                path = os.path.join(self._stats_dir, f"{commit}.json")
+                try:
+                    with open(path) as fh:
+                        cache[commit] = json.load(fh)
+                except OSError:
+                    cache[commit] = {}
+            out.update(cache[commit])
+        return {f: out[f] for f in files if f in out}
+
+    _PRUNE_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+    def _prune_files(
+        self, files: list[str], filters: list[tuple]
+    ) -> list[str]:
+        """Drop files whose column stats PROVE no row can satisfy the
+        conjunction of ``filters`` [(col, op, value), ...]. Conservative
+        by construction: any missing stat, unknown column, or type
+        mismatch keeps the file."""
+        stats = self._file_stats(files)
+        kept = []
+        for f in files:
+            fstats = stats.get(f, {})
+            if not any(
+                self._filter_excludes(fstats.get(col), op, val)
+                for col, op, val in filters
+            ):
+                kept.append(f)
+        return kept
+
+    def _filter_excludes(self, cstat, op: str, val) -> bool:
+        if op not in self._PRUNE_OPS:
+            raise ValueError(f"unsupported scan filter op: {op!r}")
+        if cstat is None or val is None:
+            return False
+        lo = self._stat_decode(cstat["min"])
+        hi = self._stat_decode(cstat["max"])
+        try:
+            if op == "=":
+                return val < lo or val > hi
+            if op == "<":
+                return lo >= val
+            if op == "<=":
+                return lo > val
+            if op == ">":
+                return hi <= val
+            if op == ">=":
+                return hi < val
+            # "!=": only an all-constant file (min == max == val) with
+            # no nulls is provably empty under the predicate
+            return lo == hi == val and cstat.get("nulls") == 0
+        except TypeError:  # incomparable types (schema drift) — keep
+            return False
+
+    def scan(
+        self,
+        filters: list[tuple] | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
+        """Filtered table scan with manifest-level file skipping:
+        ``filters`` is a conjunction of (col, op, value) triples
+        (op ∈ =, !=, <, <=, >, >=). Files whose stats prove the
+        predicate empty never enter the plan — on a sorted/Z-ordered
+        table this is the difference between reading one file and
+        reading all of them. The same predicate is then applied as a
+        DataFrame filter, so results are exactly
+        ``read().filter(...)`` — pruning is a plan optimization, never
+        a semantics change. Position-delete overlays still apply (the
+        anti-join is per-surviving-file)."""
+        from dataclasses import replace
+
+        snap = self._current(self._resolve_read_branch(branch))
+        if filters:
+            snap = replace(
+                snap, files=self._prune_files(snap.files, filters)
+            )
+        df = self._read_snapshot(snap)
+        for col, op, val in filters or []:
+            c = F.col(col)
+            cond = {
+                "=": c == val,
+                "!=": c != val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+            df = df.filter(cond)
+        return df
 
     def _write_mode(self, op: str) -> str:
         """The declared write mode for ``op`` in {delete, update,

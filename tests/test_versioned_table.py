@@ -750,3 +750,81 @@ def test_sql_facade_tag_ddl_and_time_travel(spark, tmp_path_factory):
     assert n == 7
     eng.sql("ALTER TABLE iceberg.db.tagged DROP TAG `v1`")
     assert t.tags() == {}
+
+
+def test_scan_prunes_files_on_stats(spark, tmp_path):
+    """Manifest-level file skipping: three appends with disjoint key
+    ranges → a point/range scan keeps only the commits whose footer
+    stats admit the predicate, and results are exactly read().filter."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "stats"), schema="k bigint, v string"
+    )
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), F.lit(f"c{lo}").alias("v")
+            ).coalesce(1)
+        )
+    files = t._current().files
+    assert len(files) == 3
+    kept = t._prune_files(files, [("k", "<", 600)])
+    assert len(kept) == 1
+    kept = t._prune_files(files, [("k", ">=", 1200), ("k", "<", 1400)])
+    assert len(kept) == 1
+    kept = t._prune_files(files, [("k", "=", 2100)])
+    assert len(kept) == 1
+    # conjunction proved empty: ranges from different files
+    assert t._prune_files(files, [("k", ">", 600), ("k", "<", 300)]) == []
+    # unknown column / missing stats stay conservative
+    assert t._prune_files(files, [("nope", "=", 1)]) == files
+    got = sorted(r["k"] for r in t.scan([("k", "<", 600)]).collect())
+    want = sorted(
+        r["k"] for r in t.read().filter(F.col("k") < 600).collect()
+    )
+    assert got == want == list(range(500))
+
+
+def test_scan_pruning_composes_with_zorder(spark, tmp_path):
+    """After Z-order compaction the stats sidecar is regenerated for
+    the rewritten files, so scan() prunes on EITHER z-dimension."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "zstats"), schema="x bigint, y bigint"
+    )
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 141).alias("x"), ((F.col("id") * 7919) % 131).alias("y")
+    )
+    t.append(df)
+    snap = t.rewrite_data_files(zorder_by=["x", "y"])
+    n_files = len(snap.files)
+    kept_x = t._prune_files(snap.files, [("x", "<", 10)])
+    kept_y = t._prune_files(snap.files, [("y", "<", 10)])
+    assert len(kept_x) < n_files
+    assert len(kept_y) < n_files
+    got = t.scan([("x", "<", 10), ("y", "<", 10)]).count()
+    want = t.read().filter((F.col("x") < 10) & (F.col("y") < 10)).count()
+    assert got == want
+
+
+def test_scan_applies_mor_overlay_after_pruning(spark, tmp_path):
+    """Pruned scans still honor position-delete files — skipping files
+    must never resurrect deleted rows."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "morscan"),
+        schema="k bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")
+        ).coalesce(1)
+    )
+    t.append(
+        spark.range(1000, 2000).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")
+        ).coalesce(1)
+    )
+    t.delete(F.col("k") < 100)
+    assert len(t._current().delete_files) > 0
+    got = sorted(r["k"] for r in t.scan([("k", "<", 300)]).collect())
+    assert got == list(range(100, 300))
