@@ -83,6 +83,8 @@ _EXPORT_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
+    "text_tfidf_topterms",
+    "events_funnel_conversion",
     "versioned_incremental_read",
     "versioned_changelog",
     "merge_upsert_mor",
