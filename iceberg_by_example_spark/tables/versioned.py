@@ -56,6 +56,22 @@ MAIN = "main"
 WAP_BRANCH_CONF = "spark.wap.branch"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the branch since this operation read its
+    base snapshot, and the operation's result depends on that state
+    (merge/delete/update/replace). Re-run the operation against the new
+    head — Iceberg's optimistic-concurrency retry contract."""
+
+    def __init__(self, branch: str, expected: str, actual: str):
+        super().__init__(
+            f"branch {branch!r} moved: expected head {expected}, "
+            f"found {actual}; re-run the operation from the new head"
+        )
+        self.branch = branch
+        self.expected = expected
+        self.actual = actual
+
+
 @contextmanager
 def wap_session(spark: SparkSession, branch: str):
     """Session-level WAP branch routing — the reference sets the
@@ -306,6 +322,32 @@ class VersionedTable:
             return wap
         return MAIN
 
+    @contextmanager
+    def _commit_lock(self, timeout_s: float = 30.0):
+        """Serialize the metadata read-modify-write. ``os.mkdir`` is an
+        atomic create-if-absent on every POSIX filesystem — the local
+        stand-in for the catalog's atomic compare-and-swap that Iceberg
+        commits through. Contending writers spin briefly; the critical
+        section is metadata-only (file LISTS), so it is microseconds
+        long regardless of data volume."""
+        lock = os.path.join(self._meta_dir, ".commit.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock at {lock} held for >{timeout_s}s "
+                        "(stale lock from a crashed writer? remove it)"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.rmdir(lock)
+
     def _commit(
         self,
         branch: str,
@@ -313,32 +355,56 @@ class VersionedTable:
         files: list[str],
         summary: dict,
         delete_files: list[str] | None = None,
+        expected_parent_id: str | None = None,
     ) -> Snapshot:
         """``delete_files=None`` carries the parent's position-delete
         overlay forward (appends and CoW rewrites never invalidate it:
         new file names never collide with the deleted positions' file
         URIs). Pass an explicit list to extend it (MoR mutations) or
-        ``[]`` to clear it (compaction materializes the overlay)."""
-        parent = self._current(branch)
-        snap = Snapshot(
-            snapshot_id=uuid.uuid4().hex[:16],
-            parent_id=parent.snapshot_id,
-            timestamp_ms=int(time.time() * 1000),
-            operation=operation,
-            files=files,
-            summary=summary,
-            delete_files=(
-                list(parent.delete_files) if delete_files is None else delete_files
-            ),
-        )
-        snaps = self._read_json("snapshots.json")
-        snaps.append(self._snap_to_json(snap))
-        self._write_json("snapshots.json", snaps)
-        refs = self._refs()
-        refs[branch] = snap.snapshot_id
-        self._write_json("refs.json", refs)
-        self._append_metadata_log(snap.snapshot_id)
-        return snap
+        ``[]`` to clear it (compaction materializes the overlay).
+
+        Optimistic concurrency: ``expected_parent_id`` is the snapshot
+        the operation computed its result from. If the branch moved in
+        the meantime, appends REBASE (their added files are
+        state-independent, so they re-parent onto the new head and keep
+        its overlay — Iceberg's fast-append retry); every other
+        operation raises CommitConflictError for the caller to re-run."""
+        with self._commit_lock():
+            parent = self._current(branch)
+            if (
+                expected_parent_id is not None
+                and parent.snapshot_id != expected_parent_id
+            ):
+                if operation == "append":
+                    base = self._snapshot_by_id(expected_parent_id)
+                    base_files = set(base.files)
+                    added = [f for f in files if f not in base_files]
+                    files = parent.files + added
+                else:
+                    raise CommitConflictError(
+                        branch, expected_parent_id, parent.snapshot_id
+                    )
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                parent_id=parent.snapshot_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                files=files,
+                summary=summary,
+                delete_files=(
+                    list(parent.delete_files)
+                    if delete_files is None
+                    else delete_files
+                ),
+            )
+            snaps = self._read_json("snapshots.json")
+            snaps.append(self._snap_to_json(snap))
+            self._write_json("snapshots.json", snaps)
+            refs = self._refs()
+            refs[branch] = snap.snapshot_id
+            self._write_json("refs.json", refs)
+            self._append_metadata_log(snap.snapshot_id)
+            return snap
 
     def _append_metadata_log(self, latest_snapshot_id: str) -> None:
         """One metadata-log entry per metadata version (≈ Iceberg's
@@ -650,6 +716,7 @@ class VersionedTable:
             "append",
             cur.files + new_files,
             {"added-files": len(new_files)},
+            expected_parent_id=cur.snapshot_id,
         )
 
     def _merge_schema(self, df: DataFrame) -> None:
@@ -731,7 +798,11 @@ class VersionedTable:
         if not cur.files:
             new_files = self._write_data(source.select(*cols))
             return self._commit(
-                branch, "merge", new_files, {"matched": 0, "inserted": "all"}
+                branch,
+                "merge",
+                new_files,
+                {"matched": 0, "inserted": "all"},
+                expected_parent_id=cur.snapshot_id,
             )
 
         if (mode or self._write_mode("merge")) == "merge-on-read":
@@ -780,6 +851,7 @@ class VersionedTable:
             "merge",
             sorted(keep_files) + new_files,
             {"rewritten-files": len(affected_uris)},
+            expected_parent_id=cur.snapshot_id,
         )
 
     def _merge_mor(
@@ -837,6 +909,7 @@ class VersionedTable:
             cur.files + new_files,
             {"mode": "merge-on-read", "matched-rows": n_matched},
             delete_files=cur.delete_files + del_files,
+            expected_parent_id=cur.snapshot_id,
         )
 
     def delete(
@@ -880,6 +953,7 @@ class VersionedTable:
                 cur.files,
                 {"mode": "merge-on-read", "deleted-rows": n},
                 delete_files=cur.delete_files + del_files,
+                expected_parent_id=cur.snapshot_id,
             )
         with_path = self._read_snapshot(cur, with_file_path=True)
         affected_uris = [
@@ -896,6 +970,7 @@ class VersionedTable:
             "delete",
             sorted(keep_files) + new_files,
             {"rewritten-files": len(affected_uris)},
+            expected_parent_id=cur.snapshot_id,
         )
 
     def update(
@@ -957,6 +1032,7 @@ class VersionedTable:
                 cur.files + new_files,
                 {"mode": "merge-on-read", "updated-rows": n},
                 delete_files=cur.delete_files + del_files,
+                expected_parent_id=cur.snapshot_id,
             )
         with_path = self._read_snapshot(cur, with_file_path=True)
         affected_uris = [
@@ -981,6 +1057,7 @@ class VersionedTable:
             "update",
             sorted(keep_files) + new_files,
             {"rewritten-files": len(affected_uris)},
+            expected_parent_id=cur.snapshot_id,
         )
 
     @staticmethod
@@ -1347,23 +1424,26 @@ class VersionedTable:
         """ALTER TABLE … CREATE OR REPLACE BRANCH (D5)."""
         if name in self._tags():
             raise ValueError(f"{name!r} is a tag")
-        refs = self._refs()
-        refs[name] = refs[from_branch]
-        self._write_json("refs.json", refs)
+        with self._commit_lock():
+            refs = self._refs()
+            refs[name] = refs[from_branch]
+            self._write_json("refs.json", refs)
 
     def drop_branch(self, name: str) -> None:
         """ALTER TABLE … DROP BRANCH (D6)."""
         if name == MAIN:
             raise ValueError("cannot drop main")
-        refs = self._refs()
-        refs.pop(name, None)
-        self._write_json("refs.json", refs)
+        with self._commit_lock():
+            refs = self._refs()
+            refs.pop(name, None)
+            self._write_json("refs.json", refs)
 
     def fast_forward(self, to_branch: str, from_branch: str) -> None:
         """call system.fast_forward(tbl, 'main', 'feature_branch') (C5, WI:81)."""
-        refs = self._refs()
-        refs[to_branch] = refs[from_branch]
-        self._write_json("refs.json", refs)
+        with self._commit_lock():
+            refs = self._refs()
+            refs[to_branch] = refs[from_branch]
+            self._write_json("refs.json", refs)
 
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> None:
         """≈ ``CALL system.rollback_to_snapshot``: move the branch ref
@@ -1382,10 +1462,11 @@ class VersionedTable:
             raise ValueError(
                 f"{snapshot_id} is not an ancestor of branch {branch!r}"
             )
-        refs = self._refs()
-        refs[branch] = snapshot_id
-        self._write_json("refs.json", refs)
-        self._append_metadata_log(snapshot_id)
+        with self._commit_lock():
+            refs = self._refs()
+            refs[branch] = snapshot_id
+            self._write_json("refs.json", refs)
+            self._append_metadata_log(snapshot_id)
 
     def branches(self) -> dict[str, str]:
         return self._refs()
@@ -1402,15 +1483,16 @@ class VersionedTable:
         snapshot forever. Unlike a branch, a tag never moves — writes
         addressed to it are rejected — so it's the durable handle for
         'the exact data release 1.2 trained on'."""
-        tags = self._tags()
-        if name in self._refs():
-            raise ValueError(f"{name!r} is a branch")
-        if name in tags and not replace:
-            raise ValueError(f"tag {name!r} exists")
-        sid = snapshot_id or self._refs()[MAIN]
-        self._snapshot_by_id(sid)  # must exist
-        tags[name] = sid
-        self._write_json("tags.json", tags)
+        with self._commit_lock():
+            tags = self._tags()
+            if name in self._refs():
+                raise ValueError(f"{name!r} is a branch")
+            if name in tags and not replace:
+                raise ValueError(f"tag {name!r} exists")
+            sid = snapshot_id or self._refs()[MAIN]
+            self._snapshot_by_id(sid)  # must exist
+            tags[name] = sid
+            self._write_json("tags.json", tags)
 
     def drop_tag(self, name: str) -> None:
         tags = self._tags()
@@ -1585,7 +1667,8 @@ class VersionedTable:
         global barrier; Z-order range-partitions by the interleaved key
         so every output file covers a narrow range of EVERY z-dimension
         — point/box predicates on any of them then touch few files."""
-        df = self.read(branch=branch)
+        cur = self._current(self._resolve_read_branch(branch))
+        df = self._read_snapshot(cur)
         if zorder_by:
             n = self.spark.sparkContext.defaultParallelism
             df = (
@@ -1606,6 +1689,7 @@ class VersionedTable:
             new_files,
             {"compacted-to": len(new_files)},
             delete_files=[],
+            expected_parent_id=cur.snapshot_id,
         )
 
     def rewrite_manifests(self) -> int:

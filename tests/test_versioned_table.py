@@ -828,3 +828,86 @@ def test_scan_applies_mor_overlay_after_pruning(spark, tmp_path):
     assert len(t._current().delete_files) > 0
     got = sorted(r["k"] for r in t.scan([("k", "<", 300)]).collect())
     assert got == list(range(100, 300))
+
+
+def test_commit_conflict_detected_for_mutations(spark, tmp_path):
+    """Two writers race a mutation: the one whose base snapshot went
+    stale gets CommitConflictError, and re-running from the new head
+    succeeds (the optimistic-concurrency retry contract)."""
+    from iceberg_by_example_spark.tables.versioned import CommitConflictError
+
+    loc = str(tmp_path / "occ")
+    w1 = VersionedTable.create(spark, loc, schema="k bigint, v string")
+    w1.append(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    )
+    w2 = VersionedTable.load(spark, loc)
+    stale = w2._current().snapshot_id
+    # w1 commits first; w2's staged mutation is now based on a stale head
+    w1.delete(F.col("k") >= 90)
+    with pytest.raises(CommitConflictError):
+        w2._commit(
+            MAIN, "delete", [], {"staged": True}, expected_parent_id=stale
+        )
+    # the retry path: recompute against the current head
+    w2.delete(F.col("k") < 10)
+    assert w2.read().count() == 80
+
+
+def test_concurrent_appends_rebase_not_lost(spark, tmp_path):
+    """A stale-based APPEND must rebase onto the new head instead of
+    failing or clobbering it: both writers' rows land, history is
+    linear."""
+    loc = str(tmp_path / "occ_append")
+    w1 = VersionedTable.create(spark, loc, schema="k bigint")
+    w2 = VersionedTable.load(spark, loc)
+    base = w1._current()
+    # writer 1 appends normally
+    w1.append(spark.range(0, 100).select(F.col("id").alias("k")))
+    # writer 2 staged its files against the pre-append base
+    staged = w2._write_data(
+        spark.range(100, 200).select(F.col("id").alias("k"))
+    )
+    snap = w2._commit(
+        MAIN,
+        "append",
+        base.files + staged,
+        {"added-files": len(staged)},
+        expected_parent_id=base.snapshot_id,
+    )
+    assert w1.read().count() == 200
+    # linear chain: w2's snapshot parents w1's head, not the stale base
+    assert snap.parent_id == w1._snapshots()[-2].snapshot_id
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """Six threads appending concurrently through the commit lock: all
+    rows land exactly once and the snapshot chain is linear."""
+    import threading
+
+    loc = str(tmp_path / "occ_threads")
+    t = VersionedTable.create(spark, loc, schema="k bigint")
+    errs = []
+
+    def writer(i):
+        try:
+            t.append(
+                spark.range(i * 1000, i * 1000 + 1000).select(
+                    F.col("id").alias("k")
+                )
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.read().count() == 6000
+    assert t.read().select("k").distinct().count() == 6000
+    snaps = t._snapshots()
+    # linear history: each append's parent is the previous snapshot
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_id == prev.snapshot_id
