@@ -87,6 +87,7 @@ _EXPORT_PRIORITY = [
     "events_funnel_conversion",
     "versioned_pruned_scan",
     "events_retention_cohorts",
+    "merge_refresh_delete_unmatched",
     "versioned_incremental_read",
     "versioned_changelog",
     "merge_upsert_mor",

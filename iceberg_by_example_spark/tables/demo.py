@@ -503,3 +503,51 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach(t.scan(filters))
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "merge_refresh_delete_unmatched",
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        o_totalprice + 7.0 AS o_totalprice,
+                        o_orderdate, o_orderpriority
+                 FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT s.o_orderkey, s.o_custkey,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           s.o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate
+                ELSE s.o_orderdate END AS o_orderdate,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority
+                ELSE s.o_orderpriority END AS o_orderpriority
+    FROM src s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+    """,
+    category="versioned",
+)
+def merge_refresh_delete_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's third clause (WHEN NOT MATCHED BY SOURCE THEN DELETE)
+    through the real engine: the post-merge table is the source-driven
+    refresh — matched rows keep target columns except the updated
+    price, unmatched source rows insert, absent rows are gone. The
+    oracle is the source LEFT JOIN target projection (every surviving
+    row is source-present by definition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    )
+    loc = tempfile.mkdtemp(prefix="merge_refresh_")
+    shutil.rmtree(loc)
+    t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
+    try:
+        t.append(target)
+        t.merge(
+            src,
+            on="o_orderkey",
+            update_cols=["o_totalprice"],
+            when_not_matched_by_source="delete",
+        )
+        return detach(t.read())
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

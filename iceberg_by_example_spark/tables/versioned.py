@@ -748,6 +748,33 @@ class VersionedTable:
             )
             self._write_json("table.json", meta)
 
+    def alter_partition_by(self, partition_by: str | None) -> None:
+        """Partition-spec evolution (Iceberg: ALTER TABLE … ADD/DROP
+        PARTITION FIELD): change how FUTURE commits lay out their
+        files. Existing files keep their old layout and stay fully
+        readable — the scan already plans each commit directory with
+        its own partition discovery, so mixed layouts coexist in one
+        snapshot — and file-level column stats keep pruning old files
+        even when the predicate is on the new partition column. No data
+        is rewritten (run ``rewrite_data_files`` to migrate history to
+        the new spec)."""
+        from pyspark.sql import types as T
+
+        meta = self.table_meta
+        if partition_by is not None:
+            fields = {f.name for f in T.StructType.fromDDL(meta["schema"])}
+            if partition_by not in fields:
+                raise ValueError(
+                    f"partition column {partition_by!r} not in schema"
+                )
+        with self._commit_lock():
+            meta = self.table_meta
+            history = meta.get("partition_spec_history") or []
+            history.append(meta.get("partition_by"))
+            meta["partition_spec_history"] = history
+            meta["partition_by"] = partition_by
+            self._write_json("table.json", meta)
+
     def merge(
         self,
         source: DataFrame,
@@ -756,6 +783,7 @@ class VersionedTable:
         branch: str | None = None,
         validate_source_unique: bool = True,
         mode: str | None = None,
+        when_not_matched_by_source: str | None = None,
     ) -> Snapshot:
         """MERGE INTO … ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
@@ -770,7 +798,18 @@ class VersionedTable:
         common upsert case). Source rows with a NULL merge key never
         equal any target key, so they are inserted — real MERGE
         semantics — and row presence is tracked with literal marker
-        columns, not key nullability."""
+        columns, not key nullability.
+
+        ``when_not_matched_by_source="delete"`` adds Iceberg/Spark's
+        third MERGE clause (WHEN NOT MATCHED BY SOURCE THEN DELETE):
+        target rows absent from the source are dropped — the
+        full-refresh / dimension-replace pattern. This makes every file
+        holding an unmatched row affected, so the rewrite is inherently
+        table-wide (CoW only; the summary records the clause)."""
+        if when_not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "when_not_matched_by_source must be None or 'delete'"
+            )
         branch = self._resolve_write_branch(branch)
         cur = self._current(branch)
         target = self._read_snapshot(cur)
@@ -806,21 +845,36 @@ class VersionedTable:
             )
 
         if (mode or self._write_mode("merge")) == "merge-on-read":
+            if when_not_matched_by_source:
+                raise ValueError(
+                    "when_not_matched_by_source requires copy-on-write "
+                    "(pass mode='copy-on-write'): deleting every "
+                    "unmatched target row as a position-delete overlay "
+                    "would write O(table) delete entries"
+                )
             return self._merge_mor(branch, cur, source, on, update_cols, cols)
 
-        # Files containing at least one matched key must be rewritten
-        # (their matched rows change, or migrate partition); everything
-        # else carries over by reference.
-        with_path = self._read_snapshot(cur, with_file_path=True)
-        src_keys = source.select(on).distinct()
-        affected_uris = [
-            r[0]
-            for r in with_path.join(src_keys, on, "left_semi")
-            .select("_file")
-            .distinct()
-            .collect()
-        ]
-        in_scope, keep_files = self._scope_files(cur, with_path, affected_uris)
+        if when_not_matched_by_source == "delete":
+            # every file with an unmatched row changes → whole table
+            # is in scope; no discovery pass needed
+            in_scope, keep_files = self._read_snapshot(cur), []
+            affected_uris = list(cur.files)
+        else:
+            # Files containing at least one matched key must be
+            # rewritten (their matched rows change, or migrate
+            # partition); everything else carries over by reference.
+            with_path = self._read_snapshot(cur, with_file_path=True)
+            src_keys = source.select(on).distinct()
+            affected_uris = [
+                r[0]
+                for r in with_path.join(src_keys, on, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            ]
+            in_scope, keep_files = self._scope_files(
+                cur, with_path, affected_uris
+            )
 
         # matched → updated columns from source (including NULLs, per
         # MERGE UPDATE semantics); unmatched target → keep; unmatched
@@ -831,6 +885,8 @@ class VersionedTable:
         joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
         s_present = F.col("s._s_present").isNotNull()
         t_present = F.col("t._t_present").isNotNull()
+        if when_not_matched_by_source == "delete":
+            joined = joined.filter(s_present)  # unmatched target → gone
         merged = joined.select(
             *[
                 F.when(
@@ -846,11 +902,14 @@ class VersionedTable:
             ]
         )
         new_files = self._write_data(merged)
+        summary = {"rewritten-files": len(affected_uris)}
+        if when_not_matched_by_source:
+            summary["not-matched-by-source"] = when_not_matched_by_source
         return self._commit(
             branch,
             "merge",
             sorted(keep_files) + new_files,
-            {"rewritten-files": len(affected_uris)},
+            summary,
             expected_parent_id=cur.snapshot_id,
         )
 

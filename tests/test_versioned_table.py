@@ -911,3 +911,74 @@ def test_threaded_appends_all_land(spark, tmp_path):
     # linear history: each append's parent is the previous snapshot
     for prev, cur in zip(snaps, snaps[1:]):
         assert cur.parent_id == prev.snapshot_id
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the merge result is
+    exactly the source-driven refresh — matched rows updated, new rows
+    inserted, absent rows deleted."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "refresh"), schema="k bigint, v string"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k bigint, v string"
+    )
+    snap = t.merge(src, on="k", when_not_matched_by_source="delete")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {2: "B", 4: "d"}
+    assert snap.summary["not-matched-by-source"] == "delete"
+    # the clause is CoW-only: MoR would write O(table) delete entries
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "refresh_mor"),
+        schema="k bigint, v string",
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t2.append(src)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t2.merge(src, on="k", when_not_matched_by_source="delete")
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """alter_partition_by changes only FUTURE commits' layout; old and
+    new layouts coexist in one snapshot, reads see every row, and
+    per-commit partition discovery prunes the new-layout files."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "pevo"),
+        schema="k bigint, status string, day string",
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", "d1"), (2, "B", "d1")], "k bigint, status string, day string"
+        )
+    )
+    t.alter_partition_by("status")
+    t.append(
+        spark.createDataFrame(
+            [(3, "A", "d2"), (4, "B", "d2")], "k bigint, status string, day string"
+        )
+    )
+    t.alter_partition_by("day")
+    t.append(
+        spark.createDataFrame(
+            [(5, "A", "d3")], "k bigint, status string, day string"
+        )
+    )
+    assert t.read().count() == 5
+    got = {r["k"]: (r["status"], r["day"]) for r in t.read().collect()}
+    assert got[3] == ("A", "d2") and got[5] == ("A", "d3")
+    # layouts really differ on disk: hive dirs appear per spec
+    files = t._current().files
+    assert any("status=" in f for f in files)
+    assert any("day=" in f for f in files)
+    assert any("status=" not in f and "day=" not in f for f in files)
+    assert t.table_meta["partition_spec_history"] == [None, "status"]
+    # filters on either spec's column stay correct over mixed layouts
+    assert t.read().filter(F.col("status") == "A").count() == 3
+    assert t.scan([("k", ">=", 4)]).count() == 2
