@@ -393,3 +393,73 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             LIST_MAX(LIST_TRANSFORM(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT s.vec_id, s.label, s.scale,
+             LIST_TRANSFORM(e.embedding,
+               x -> GREATEST(-127, LEAST(127,
+                 CAST(FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))))
+               AS qv
+      FROM scaled s JOIN embeddings e USING (vec_id))
+    SELECT vec_id, label, scale,
+           LIST_SUM(qv) AS q_sum,
+           LIST_SUM(LIST_TRANSFORM(qv, v -> ABS(v))) AS q_l1,
+           LEN(LIST_FILTER(qv, v -> ABS(v) = 127)) AS n_saturated
+    FROM q
+    """,
+    category="similarity",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step an ANN index runs before storing vectors (4×
+    smaller, SIMD-friendly integer dot products downstream). Per-vector
+    absmax scaling: scale = max|x|/127, q = clamp(round(x/scale)).
+
+    Rounding is ``FLOOR(x/scale + 0.5)`` — identical in every engine,
+    unlike ROUND whose half-even/half-away convention differs. The
+    reported aggregates (component sum, L1 mass, saturation count) are
+    pure integers, so the oracle match is exact; ``scale`` is a single
+    max-reduce (order-independent double). One narrow map stage, no
+    shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") / F.col("scale") + 0.5),
+            ),
+        ),
+    )
+    return (
+        e.select("vec_id", "label", "embedding", scale.alias("scale"))
+        .select("vec_id", "label", "scale", qv.alias("qv"))
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("q_sum"),
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            ).alias("q_l1"),
+            F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias(
+                "n_saturated"
+            ),
+        )
+    )

@@ -365,3 +365,76 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 3
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents),
+    counted AS (
+      SELECT doc_id, t, n,
+             1 + CAST(FLOOR(GREATEST(n - {CHUNK_TOKENS}, 0)
+                            / {CHUNK_STRIDE}.0) AS BIGINT)
+               + CASE WHEN GREATEST(n - {CHUNK_TOKENS}, 0)
+                           % {CHUNK_STRIDE} > 0 THEN 1 ELSE 0 END
+               AS n_chunks
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, n, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS chunk_id
+      FROM counted)
+    SELECT c.doc_id, c.chunk_id,
+           c.chunk_id * {CHUNK_STRIDE} AS start_token,
+           LEAST({CHUNK_TOKENS}, c.n - c.chunk_id * {CHUNK_STRIDE})
+             AS chunk_tokens,
+           ARRAY_TO_STRING(t.t[c.chunk_id * {CHUNK_STRIDE} + 1 :
+                               c.chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM chunks c JOIN toks t USING (doc_id)
+    """,
+    category="text",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pre-training
+    preprocessing step that turns documents into model-sized passages
+    (64-token windows, 48-token stride → 16 tokens of overlap so no
+    boundary sentence is ever lost). Chunk count per doc covers every
+    token: the last window is short rather than dropped.
+
+    Shape: tokenize once, explode one small index array per doc (the
+    chunk ids), slice the token array per chunk — data grows only by
+    the overlap factor (~4/3), all inside codegen, no shuffle at all;
+    at 100 TB chunking is a pure map stage that pipelines into the
+    embedding batch that follows it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens("text").alias("t"), token_count("text").alias("n")
+    )
+    overflow = F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0))
+    n_chunks = (
+        F.lit(1)
+        + F.floor(overflow / float(CHUNK_STRIDE)).cast("long")
+        + F.when(overflow % CHUNK_STRIDE > 0, 1).otherwise(0)
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_token"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).alias("chunk_tokens"),
+        F.array_join(
+            F.slice("t", start + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+    )

@@ -88,6 +88,8 @@ _EXPORT_PRIORITY = [
     "versioned_pruned_scan",
     "events_retention_cohorts",
     "merge_refresh_delete_unmatched",
+    "text_chunk_windows",
+    "embed_quantize_int8",
     "versioned_incremental_read",
     "versioned_changelog",
     "merge_upsert_mor",
