@@ -131,7 +131,10 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens,
+           -- CAST: DuckDB's integer SUM yields HUGEINT, which the
+           -- driver's pandas hasher renders float64 and mismatches
+           -- Spark's BIGINT on value-identical results.
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM placed
@@ -186,7 +189,10 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             SUM(LEN(STRING_SPLIT(text, ' '))) AS source_tokens
+             -- CAST: integer SUM is HUGEINT in DuckDB (driver hashes
+             -- HUGEINT as float64; Spark emits BIGINT).
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS source_tokens
       FROM documents GROUP BY source),
     total AS (SELECT SUM(source_tokens) AS total_tokens FROM per_source),
     weighted AS (

@@ -406,13 +406,19 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT s.vec_id, s.label, s.scale,
              LIST_TRANSFORM(e.embedding,
-               x -> GREATEST(-127, LEAST(127,
-                 CAST(FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))))
+               x -> CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+                    ELSE GREATEST(-127, LEAST(127,
+                      CAST(FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5)
+                           AS BIGINT))) END)
                AS qv
       FROM scaled s JOIN embeddings e USING (vec_id))
     SELECT vec_id, label, scale,
-           LIST_SUM(qv) AS q_sum,
-           LIST_SUM(LIST_TRANSFORM(qv, v -> ABS(v))) AS q_l1,
+           -- CAST: DuckDB LIST_SUM over integers yields HUGEINT, which
+           -- the driver's pandas hasher renders float64 and mismatches
+           -- Spark's BIGINT on value-identical results.
+           CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+           CAST(LIST_SUM(LIST_TRANSFORM(qv, v -> ABS(v))) AS BIGINT)
+             AS q_l1,
            LEN(LIST_FILTER(qv, v -> ABS(v) = 127)) AS n_saturated
     FROM q
     """,
@@ -435,14 +441,21 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
         / 127
     )
+    # Zero-vector guard: an all-zero embedding has scale 0; x/0 is NaN
+    # and floor(NaN) renders differently across engines, so quantize it
+    # to the all-zero int vector explicitly (matching the oracle CASE).
     qv = F.transform(
         "embedding",
-        lambda x: F.greatest(
-            F.lit(-127).cast("long"),
-            F.least(
-                F.lit(127).cast("long"),
-                F.floor(x.cast("double") / F.col("scale") + 0.5),
-            ),
+        lambda x: F.when(
+            F.col("scale") == 0, F.lit(0).cast("long")
+        ).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") / F.col("scale") + 0.5),
+                ),
+            )
         ),
     )
     return (

@@ -474,24 +474,36 @@ class VersionedTable:
     @staticmethod
     def _stat_encode(v):
         import datetime
+        import decimal
 
         if isinstance(v, datetime.datetime):
             return {"t": "ts", "v": v.isoformat()}
         if isinstance(v, datetime.date):
             return {"t": "date", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"t": "dec", "v": str(v)}
         if isinstance(v, bytes):
             return None  # binary min/max not comparable portably
+        if not isinstance(v, (bool, int, float, str)):
+            # Unknown footer type (TIME, future pyarrow additions):
+            # stats are an optimization, never a requirement — drop the
+            # stat rather than risk a non-JSON-serializable value
+            # failing the commit.
+            return None
         return v
 
     @staticmethod
     def _stat_decode(v):
         import datetime
+        import decimal
 
         if isinstance(v, dict):
             if v.get("t") == "ts":
                 return datetime.datetime.fromisoformat(v["v"])
             if v.get("t") == "date":
                 return datetime.date.fromisoformat(v["v"])
+            if v.get("t") == "dec":
+                return decimal.Decimal(v["v"])
         return v
 
     def _collect_file_stats(self, commit_dir: str, rel_paths: list[str]) -> None:
@@ -542,13 +554,22 @@ class VersionedTable:
                         else:
                             cur["nulls"] += nulls
             stats[rel] = {k: v for k, v in per_col.items() if v is not None}
-        os.makedirs(self._stats_dir, exist_ok=True)
-        tmp = os.path.join(
-            self._stats_dir, f".{commit_dir}.{uuid.uuid4().hex[:8]}.tmp"
-        )
-        with open(tmp, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, os.path.join(self._stats_dir, f"{commit_dir}.json"))
+        try:
+            os.makedirs(self._stats_dir, exist_ok=True)
+            tmp = os.path.join(
+                self._stats_dir, f".{commit_dir}.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(
+                tmp, os.path.join(self._stats_dir, f"{commit_dir}.json")
+            )
+        except Exception:
+            # Stats can never fail a commit: a missing sidecar only
+            # means the commit's files are never pruned (correct, just
+            # slower). Swallowing here upholds that contract even for
+            # value types json can't encode.
+            return
 
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
         """Stats for the given table-relative files, keyed by path.
@@ -597,6 +618,16 @@ class VersionedTable:
             return False
         lo = self._stat_decode(cstat["min"])
         hi = self._stat_decode(cstat["max"])
+        if isinstance(lo, float) or isinstance(hi, float):
+            # Parquet min/max EXCLUDE NaN while Spark orders NaN above
+            # every value (and NaN != v is true), so a float file whose
+            # non-NaN max < v may still hold NaN rows that satisfy
+            # >, >=, or !=. Footers don't record NaN presence (Iceberg's
+            # nan_value_counts does; parquet's doesn't), so be
+            # conservative on exactly those ops. <, <=, = stay safe:
+            # NaN satisfies none of them.
+            if op in (">", ">=", "!="):
+                return False
         try:
             if op == "=":
                 return val < lo or val > hi
@@ -1554,11 +1585,14 @@ class VersionedTable:
             self._write_json("tags.json", tags)
 
     def drop_tag(self, name: str) -> None:
-        tags = self._tags()
-        if name not in tags:
-            raise ValueError(f"unknown tag {name!r}")
-        tags.pop(name)
-        self._write_json("tags.json", tags)
+        # Same lock as create_tag: an unlocked read-modify-write here
+        # could lose a concurrent tag() racing the rewrite of tags.json.
+        with self._commit_lock():
+            tags = self._tags()
+            if name not in tags:
+                raise ValueError(f"unknown tag {name!r}")
+            tags.pop(name)
+            self._write_json("tags.json", tags)
 
     def tags(self) -> dict[str, str]:
         return self._tags()

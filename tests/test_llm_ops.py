@@ -317,3 +317,51 @@ def test_domain_mix_weights_and_caps(spark):
     for r in rows:
         assert 0 < r["sample_rate"] <= 1.0
         assert r["effective_tokens"] <= r["source_tokens"] + 1e-9
+
+
+def test_quantize_int8_zero_vector_matches_oracle(spark, tmp_path):
+    """An all-zero embedding has scale 0; unguarded x/scale is NaN and
+    the engines disagree on floor(NaN). The guard quantizes it to the
+    all-zero int vector — identically in Spark and the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_by_example_spark.plans.registry import (
+        QUERY_REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0, 0.0], [1.0, -2.0, 0.5], [127.0, -127.0, 63.5]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 2], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    spec = QUERY_REGISTRY["embed_quantize_int8"]
+    srows = {
+        r["vec_id"]: r for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert srows[1]["scale"] == 0.0
+    assert srows[1]["q_sum"] == 0 and srows[1]["q_l1"] == 0
+    assert srows[1]["n_saturated"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    orows = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    for vid in (1, 2, 3):
+        s, o = srows[vid], orows[vid]
+        assert (s["scale"], s["q_sum"], s["q_l1"], s["n_saturated"]) == (
+            o[2], o[3], o[4], o[5],
+        ), f"vec {vid}: spark={s} oracle={o}"

@@ -982,3 +982,130 @@ def test_partition_spec_evolution(spark, tmp_path):
     # filters on either spec's column stay correct over mixed layouts
     assert t.read().filter(F.col("status") == "A").count() == 3
     assert t.scan([("k", ">=", 4)]).count() == 2
+
+
+def test_decimal_column_write_and_stats_survive(spark, tmp_path):
+    """ADVICE r3: a DECIMAL column used to crash writes — for parquet
+    layouts where pyarrow extracts decimal footer min/max it returns
+    decimal.Decimal, which json.dump can't serialize, and the uncaught
+    TypeError failed the whole append. Stats are an optimization, never
+    a requirement: the append must succeed, and when decimal stats ARE
+    extractable they must round-trip the sidecar and prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dec"),
+        schema="k bigint, amount decimal(12,2)",
+    )
+    # End-to-end: Spark-written decimal files commit fine (this pyarrow
+    # raises on their fixed-width decimal stats; collection skips them).
+    t.append(
+        spark.createDataFrame(
+            [(i, Decimal(f"{i}.50")) for i in range(10)],
+            "k bigint, amount decimal(12,2)",
+        ).coalesce(1)
+    )
+    assert t.read().count() == 10
+
+    # Direct: a parquet layout whose decimal stats pyarrow DOES extract
+    # (int-backed, as pyarrow writes) must encode to JSON-safe tagged
+    # values — this was the json.dump TypeError crash.
+    import os
+
+    commit_dir = "commit-pyarrowdec"
+    os.makedirs(os.path.join(t._data_dir, commit_dir))
+    rel = os.path.join("data", commit_dir, "f0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([100, 101], pa.int64()),
+                "amount": pa.array(
+                    [Decimal("1000.50"), Decimal("1009.50")],
+                    pa.decimal128(12, 2),
+                ),
+            }
+        ),
+        os.path.join(t.location, rel),
+    )
+    t._collect_file_stats(commit_dir, [rel])  # must not raise
+    st = t._file_stats([rel])[rel]["amount"]
+    assert t._stat_decode(st["min"]) == Decimal("1000.50")
+    assert t._stat_decode(st["max"]) == Decimal("1009.50")
+    # decimal stats prune: amount < 100 excludes this file
+    assert t._prune_files([rel], [("amount", "<", Decimal("100"))]) == []
+    assert t._prune_files([rel], [("amount", ">", Decimal("100"))]) == [rel]
+
+
+def test_nan_rows_never_pruned_away(spark, tmp_path):
+    """ADVICE r3: parquet min/max exclude NaN while Spark orders NaN
+    above every value, so stats-based pruning on >, >=, != must stay
+    conservative for float columns — scan() == read().filter() even
+    when the only satisfying rows are NaN."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "nan"), schema="k bigint, x double"
+    )
+    # file A: x in [0, 1] plus a NaN row; file B: x in [5, 6]
+    t.append(
+        spark.createDataFrame(
+            [(1, 0.0), (2, 1.0), (3, float("nan"))], "k bigint, x double"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(10, 5.0), (11, 6.0)], "k bigint, x double"
+        ).coalesce(1)
+    )
+    for op, val in ((">", 100.0), (">=", 100.0), ("!=", 0.0)):
+        got = sorted(
+            r["k"] for r in t.scan([("x", op, val)]).collect()
+        )
+        cond = {
+            ">": F.col("x") > val,
+            ">=": F.col("x") >= val,
+            "!=": F.col("x") != val,
+        }[op]
+        want = sorted(r["k"] for r in t.read().filter(cond).collect())
+        assert got == want, f"op {op}: scan {got} != filter {want}"
+    # NaN can't satisfy <, <= or = — pruning those is still allowed
+    assert len(t._prune_files(t._current().files, [("x", "<", -1.0)])) == 0
+
+
+def test_drop_tag_is_locked_against_concurrent_create(spark, tmp_path):
+    """ADVICE r3: drop_tag now runs under the same commit lock as
+    create_tag, so concurrent tag mutations serialize instead of one
+    silently losing the other's write."""
+    import threading
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "tags"), schema="k bigint"
+    )
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    for i in range(6):
+        t.create_tag(f"keep{i}")
+    errs = []
+
+    def dropper(i):
+        try:
+            t.drop_tag(f"keep{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def creator(i):
+        try:
+            t.create_tag(f"new{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=dropper, args=(i,)) for i in range(6)
+    ] + [threading.Thread(target=creator, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    # every create landed and every drop landed — nothing lost
+    assert set(t.tags()) == {f"new{i}" for i in range(6)}

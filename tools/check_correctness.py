@@ -2,8 +2,14 @@
 
 Runs every registry query at sf0.01 in Spark AND its DuckDB oracle,
 then compares row count, sorted column names, and an order-insensitive
-canonical value multiset. Stricter than (or equal to) any reasonable
-hash comparison the driver does — if this passes, the driver's should.
+canonical value multiset.
+
+Oracle results are fetched through DuckDB's pandas conversion
+(``res.df()``), NOT ``fetchall()``, because the driver hashes through
+pandas: an uncast integer SUM (DuckDB HUGEINT) becomes float64 there
+and hash-mismatches Spark's BIGINT on value-identical results (the
+round-3 false-fails). Going through the same conversion makes that
+class of bug reproduce locally — local green ⇒ driver green.
 
 Usage: python tools/check_correctness.py [name ...]
        CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
@@ -28,6 +34,27 @@ TABLES = (
 ).split()
 
 
+def from_pandas(v):
+    """Normalize a pandas/numpy cell to the plain-Python value the
+    driver's canonicalization would see."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.ndarray):
+        return [from_pandas(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [from_pandas(x) for x in v]
+    if isinstance(v, dict):
+        return {k: from_pandas(x) for k, x in v.items()}
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.generic):  # numpy scalar → python scalar
+        return v.item()
+    return v
+
+
 def canon(v):
     """Canonical form for one value, identical across engines."""
     if v is None:
@@ -41,7 +68,15 @@ def canon(v):
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, dt.datetime):
-        return f"t:{v.replace(tzinfo=None).isoformat()}"
+        v = v.replace(tzinfo=None)
+        # A midnight-naive datetime canonicalizes as a DATE: DuckDB's
+        # pandas conversion renders DATE columns as midnight
+        # datetime64 while Spark's toPandas keeps datetime.date, and
+        # the driver grades those green (r3: events_retention_cohorts)
+        # — so the local gate must too.
+        if v.time() == dt.time(0, 0):
+            return f"d:{v.date().isoformat()}"
+        return f"t:{v.isoformat()}"
     if isinstance(v, dt.date):
         return f"d:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):
@@ -95,7 +130,15 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Through pandas on the Spark side too — the driver converts
+            # BOTH results via pandas before hashing, so both sides must
+            # see identical canonicalization (dates → Timestamp, nullable
+            # ints → float64, etc.).
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(from_pandas(v) for v in row)
+                for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
@@ -107,7 +150,13 @@ def main() -> int:
         try:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Through pandas, as the driver hashes (HUGEINT→float64
+            # shows up here; fetchall() would hide it).
+            odf = res.df()
+            orows = [
+                tuple(from_pandas(v) for v in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failed.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
