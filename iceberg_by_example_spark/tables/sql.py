@@ -250,6 +250,23 @@ class SqlEngine:
                 [(o,) for o in orphans], "orphan_file_location string"
             )
         if proc == "rewrite_data_files":
+            # Iceberg signature: (table, strategy, sort_order, options)
+            # — the reference passes all four (LT:159). Unknown values
+            # raise: silently dropping an argument the caller spelled
+            # out is worse than rejecting it.
+            strategy = (arg("strategy", 1) or "sort").lower()
+            if strategy not in ("sort", "binpack"):
+                raise ValueError(
+                    f"unsupported rewrite strategy: {strategy!r}"
+                )
+            opts = self._parse_map_literal(arg("options", 3, "") or "")
+            unknown = set(opts) - {"delete-file-threshold"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported rewrite_data_files options: {sorted(unknown)}"
+                )
+            thr = opts.get("delete-file-threshold")
+            thr = int(thr) if thr is not None else None
             raw_order = arg("sort_order", 2)
             zm = raw_order and re.match(
                 r"(?i)^\s*zorder\s*\((.*)\)\s*$", raw_order
@@ -257,11 +274,17 @@ class SqlEngine:
             if zm:
                 # Iceberg's spelling: sort_order => 'zorder(c1, c2)'
                 t.rewrite_data_files(
-                    zorder_by=[c.strip() for c in zm.group(1).split(",")]
+                    zorder_by=[c.strip() for c in zm.group(1).split(",")],
+                    delete_file_threshold=thr,
                 )
             else:
                 t.rewrite_data_files(
-                    sort_order=self._parse_sort_order(raw_order)
+                    sort_order=(
+                        self._parse_sort_order(raw_order)
+                        if strategy == "sort"
+                        else None
+                    ),
+                    delete_file_threshold=thr,
                 )
             return None
         if proc == "rewrite_manifests":

@@ -699,29 +699,96 @@ class VersionedTable:
         p = F.regexp_replace(uri_col, "^file:/+", "/")
         return F.replace(p, F.lit(self.location + os.sep), F.lit(""))
 
+    _AVRO_AVAILABLE: "bool | None" = None  # per-process classpath probe
+
+    def _avro_available(self) -> bool:
+        """True iff the spark-avro datasource is usable (it's an
+        external module since Spark 2.4 — classes may be present in the
+        distribution without the datasource being registered, so probe
+        the actual write path with an empty frame, once per process)."""
+        cls = VersionedTable
+        if cls._AVRO_AVAILABLE is None:
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="avroprobe-")
+            try:
+                self.spark.createDataFrame(
+                    [], self._DELETE_SCHEMA
+                ).write.mode("overwrite").format("avro").save(
+                    os.path.join(tmp, "probe")
+                )
+                cls._AVRO_AVAILABLE = True
+            except Exception:
+                cls._AVRO_AVAILABLE = False
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return cls._AVRO_AVAILABLE
+
+    def _delete_format(self) -> str:
+        """The position-delete file format: honors the reference's
+        ``write.delete.format.default=avro`` (LT:34) when spark-avro is
+        on the classpath, else parquet — a documented substitution
+        (COVERAGE.md), identical in role and O(batch) commit bytes."""
+        fmt = (
+            (self.table_meta.get("properties") or {})
+            .get("write.delete.format.default", "parquet")
+            .lower()
+        )
+        if fmt == "avro" and not self._avro_available():
+            return "parquet"
+        if fmt not in ("parquet", "avro"):
+            raise ValueError(f"unsupported delete file format: {fmt!r}")
+        return fmt
+
+    _DELETE_SCHEMA = "file string, pos long"
+
+    def _read_position_deletes(self, rel_paths: list[str]) -> DataFrame:
+        """Read position-delete files in whatever format each was
+        written (extension-dispatched — a table whose
+        write.delete.format.default changed mid-history reads fine)."""
+        paths = [os.path.join(self.location, p) for p in rel_paths]
+        avro = [p for p in paths if p.endswith(".avro")]
+        parq = [p for p in paths if not p.endswith(".avro")]
+        parts = []
+        if parq:
+            parts.append(
+                self.spark.read.schema(self._DELETE_SCHEMA).parquet(*parq)
+            )
+        if avro:
+            parts.append(
+                self.spark.read.format("avro")
+                .schema(self._DELETE_SCHEMA)
+                .load(*avro)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def _write_position_deletes(self, positions: DataFrame) -> tuple[list[str], int]:
         """Write a position-delete batch — rows of (file: TABLE-RELATIVE
-        data-file path, pos: row index) — as parquet under its own
-        commit dir. Returns (table-relative paths, row count). The
-        count comes from the written files' parquet footers (a
-        metadata-only Spark count), so the positions plan executes
-        exactly once. The reference declares avro delete files (LT:34);
-        parquet is this engine's uniform format — same role, same
-        O(batch) commit bytes."""
+        data-file path, pos: row index) — under its own commit dir in
+        the table's declared delete format (``write.delete.format.
+        default``, LT:34; avro honored when spark-avro is present,
+        parquet otherwise). Returns (table-relative paths, row count).
+        The count comes from reading the written files back (footer
+        metadata for parquet), so the positions plan executes exactly
+        once."""
+        fmt = self._delete_format()
         commit_dir = f"delete-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._data_dir, commit_dir)
         positions = positions.select(
             self._relativize_file_uri(F.col("file")).alias("file"), "pos"
         )
-        positions.write.mode("append").format("parquet").save(out)
+        positions.write.mode("append").format(fmt).save(out)
         rel = []
         for root, _dirs, names in os.walk(out):
             for n in names:
-                if n.endswith(".parquet"):
+                if n.endswith((".parquet", ".avro")):
                     rel.append(
                         os.path.relpath(os.path.join(root, n), self.location)
                     )
-        n_rows = self.spark.read.parquet(out).count()
+        n_rows = self.spark.read.format(fmt).load(out).count()
         if n_rows == 0:
             shutil.rmtree(out, ignore_errors=True)
             return [], 0
@@ -1254,9 +1321,7 @@ class VersionedTable:
             # Delete entries carry table-relative paths; reserved
             # __del_* aliases keep the join unambiguous whatever the
             # data schema's column names are.
-            dels = self.spark.read.schema("file string, pos long").parquet(
-                *[os.path.join(self.location, f) for f in snap.delete_files]
-            ).select(
+            dels = self._read_position_deletes(snap.delete_files).select(
                 F.col("file").alias("__del_file"),
                 F.col("pos").alias("__del_pos"),
             )
@@ -1747,11 +1812,33 @@ class VersionedTable:
                 z = z + F.shiftleft(bit, i * len(cols) + j)
         return z
 
+    def _delete_file_refs(self, snap) -> list[tuple[str, str]]:
+        """Distinct (data file, delete file) reference pairs, both
+        table-relative. One scan over the position-delete files —
+        O(delete rows) reduced to O(distinct pairs), never a data-file
+        read. Powers Iceberg's ``delete-file-threshold`` rewrite
+        criterion and droppable-delete-file detection."""
+        if not snap.delete_files:
+            return []
+        pairs = (
+            self._read_position_deletes(snap.delete_files)
+            .select(
+                "file",
+                self._relativize_file_uri(F.input_file_name()).alias(
+                    "_delete_file"
+                ),
+            )
+            .distinct()
+            .collect()
+        )
+        return [(r["file"], r["_delete_file"]) for r in pairs]
+
     def rewrite_data_files(
         self,
         sort_order: list | None = None,
         branch: str = MAIN,
         zorder_by: list[str] | None = None,
+        delete_file_threshold: int | None = None,
     ) -> Snapshot:
         """Sorted compaction (C2, LT:159: strategy=>'sort'), or Z-order
         clustering when ``zorder_by`` names numeric columns (Iceberg's
@@ -1759,9 +1846,48 @@ class VersionedTable:
         SQL facade). Sort mode clusters within partitions with no
         global barrier; Z-order range-partitions by the interleaved key
         so every output file covers a narrow range of EVERY z-dimension
-        — point/box predicates on any of them then touch few files."""
+        — point/box predicates on any of them then touch few files.
+
+        ``delete_file_threshold`` (the reference CALL's ``options =>
+        map('delete-file-threshold','1')``, LT:159) restricts the
+        rewrite to data files referenced by at least that many
+        position-delete files — the targeted compaction that bounds
+        MoR read amplification without rewriting cold files. Untouched
+        files keep the existing overlay; delete rows pointing at
+        rewritten (now unreferenced) paths become inert."""
+        from dataclasses import replace
+
         cur = self._current(self._resolve_read_branch(branch))
-        df = self._read_snapshot(cur)
+        kept: list[str] = []
+        keep_deletes: list[str] = []
+        snap = cur
+        if delete_file_threshold is not None:
+            refs = self._delete_file_refs(cur)
+            live = set(cur.files)
+            by_file: dict[str, int] = {}
+            for f, _d in refs:
+                if f in live:
+                    by_file[f] = by_file.get(f, 0) + 1
+            affected = {
+                f
+                for f in cur.files
+                if by_file.get(f, 0) >= delete_file_threshold
+            }
+            if not affected:  # nothing meets the criterion — no-op
+                return cur
+            kept = [f for f in cur.files if f not in affected]
+            kept_set = set(kept)
+            # A delete file stays referenced only while it targets a
+            # surviving data file; one whose targets were all rewritten
+            # (their overlays now materialized) is dropped from the
+            # snapshot and becomes orphan-GC fodder.
+            keep_deletes = [
+                d
+                for d in cur.delete_files
+                if any(f in kept_set for f, dd in refs if dd == d)
+            ]
+            snap = replace(cur, files=sorted(affected))
+        df = self._read_snapshot(snap)
         if zorder_by:
             n = self.spark.sparkContext.defaultParallelism
             df = (
@@ -1774,14 +1900,16 @@ class VersionedTable:
             df = df.sortWithinPartitions(*sort_order)
         new_files = self._write_data(df)
         # read() applied any position-delete overlay, so the rewritten
-        # files materialize it: the new snapshot carries NO delete files
-        # — this is the compaction that bounds the MoR read-side cost.
+        # files materialize it: a full rewrite carries NO delete files
+        # forward — this is the compaction that bounds the MoR
+        # read-side cost. A threshold-scoped rewrite keeps the overlay
+        # for the files it didn't touch.
         return self._commit(
             branch,
             "replace",
-            new_files,
+            kept + new_files,
             {"compacted-to": len(new_files)},
-            delete_files=[],
+            delete_files=keep_deletes,
             expected_parent_id=cur.snapshot_id,
         )
 

@@ -439,3 +439,79 @@ def test_call_create_changelog_view(spark, tmp_path_factory):
     assert got == {("insert", i) for i in range(10, 30)} | {
         ("delete", i) for i in range(25, 30)
     }
+
+
+# The reference's FULL CREATE for the WAP table, every TBLPROPERTY it
+# declares (WI:24-45) — including the avro delete format and
+# metadata-GC knobs — must parse and apply.
+WAP_CREATE = """create table if not exists {tbl}(
+account string,
+txn_date date,
+txn_id string,
+merchant string,
+amount double,
+category string,
+last_updated timestamp
+) USING iceberg
+TBLPROPERTIES(
+   'write.wap.enabled'='true',
+   'write.delete.mode'='copy-on-write',
+   'write.update.mode'='merge-on-read',
+   'write.merge.mode'='merge-on-read',
+   'read.parquet.vectorization.enabled'='true',
+   'write.format.default'='parquet',
+   'write.delete.format.default'='avro',
+   'write.parquet.compression-codec'='zstd',
+   'write.metadata.delete-after-commit.enabled'='true',
+   'write.metadata.previous-versions-max'='80',
+   'comment'='Transaction Table'
+)
+partitioned by (txn_date) """
+
+
+def test_wap_full_lifecycle_reference_statements(spark, tmp_path_factory):
+    """WapIceberg.scala's loadForDate sequence (WI:14-87), replayed for
+    both of its dates with only reference-spelled statements: ambient
+    ``spark.wap.branch`` session conf, append to the audit branch,
+    ``version as of 'feature_branch'`` null audit, publish via CALL
+    fast_forward when clean (2024-03-02) and discard via DROP BRANCH
+    when not (2024-03-10 carries null amounts/timestamps)."""
+    wh = str(tmp_path_factory.mktemp("wap_full_wh"))
+    eng = SqlEngine(spark, Catalog(warehouse=wh))
+    tbl = "iceberg.finance.activity2"
+    eng.sql(f"drop table if exists {tbl}")
+    spark.conf.set("spark.wap.branch", "feature_branch")
+    try:
+        counts = {}
+        for day in ("2024-03-02", "2024-03-10"):
+            eng.sql(WAP_CREATE.format(tbl=tbl))
+            batch = read_activity_csv(
+                spark, os.path.join(REFERENCE_INPUT_DIR, day)
+            )
+            VersionedTable.load(spark, eng.catalog.resolve(tbl)).append(
+                batch
+            )
+            audited = eng.sql(
+                f"select * from {tbl} version as of 'feature_branch'"
+            )
+            invalid = audited.filter(
+                " OR ".join(f"{c} IS NULL" for c in audited.columns)
+            ).count()
+            if invalid == 0:
+                eng.sql(
+                    f"call iceberg.system.fast_forward('{tbl}', 'main', 'feature_branch')"
+                )
+            eng.sql(f"alter table {tbl} drop branch feature_branch")
+            counts[day] = invalid
+        assert counts["2024-03-02"] == 0  # clean day published
+        assert counts["2024-03-10"] > 0  # dirty day detected
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    # main holds exactly the published day; the dirty day was discarded
+    # with its branch
+    assert eng.sql(f"select * from {tbl}").count() == 15
+    t = VersionedTable.load(spark, eng.catalog.resolve(tbl))
+    assert "feature_branch" not in t.branches()
+    assert (
+        t.table_meta["properties"]["write.delete.format.default"] == "avro"
+    )

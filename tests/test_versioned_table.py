@@ -1109,3 +1109,96 @@ def test_drop_tag_is_locked_against_concurrent_create(spark, tmp_path):
     assert not errs
     # every create landed and every drop landed — nothing lost
     assert set(t.tags()) == {f"new{i}" for i in range(6)}
+
+
+def test_rewrite_delete_file_threshold_targets_only_deleted_files(
+    spark, tmp_path
+):
+    """LT:159's ``options => map('delete-file-threshold','1')``: the
+    rewrite touches ONLY data files referenced by >= threshold delete
+    files — cold files keep their exact paths — and delete files whose
+    targets were all rewritten leave the snapshot."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "thr"),
+        schema="k bigint, v string",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")
+        ).coalesce(1)
+    )
+    t.append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")
+        ).coalesce(1)
+    )
+    # MoR update hits only the first file's key range
+    t.update(F.col("k") < 50, {"v": F.lit("a2")})
+    cur = t._current()
+    assert len(cur.delete_files) >= 1
+    snaps = t._snapshots()
+    cold = sorted(set(snaps[2].files) - set(snaps[1].files))  # 2nd append
+
+    # threshold higher than any file's delete count → no-op commit
+    before = cur.snapshot_id
+    t.rewrite_data_files(delete_file_threshold=99)
+    assert t._current().snapshot_id == before
+
+    t.rewrite_data_files(delete_file_threshold=1)
+    after = t._current()
+    assert after.delete_files == []  # overlay fully materialized
+    # the cold file survived under its original path
+    for f in cold:
+        if f in after.files:
+            break
+    else:
+        raise AssertionError("cold file was rewritten")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == "a2" and got[49] == "a2"
+    assert got[50] == "a" and got[150] == "b"
+    assert len(got) == 200
+
+
+def test_delete_format_property_seam(spark, tmp_path):
+    """LT:34 declares write.delete.format.default=avro. The format is
+    honored when spark-avro is on the classpath; in this sandbox (no
+    avro jar) it falls back to parquet — either way the MoR lifecycle
+    must work end-to-end under the property, and the chosen format
+    must match avro availability."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "avrofmt"),
+        schema="k bigint, v string",
+        properties={
+            "write.update.mode": "merge-on-read",
+            "write.delete.format.default": "avro",
+        },
+    )
+    assert t._delete_format() == (
+        "avro" if t._avro_available() else "parquet"
+    )
+    t.append(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+    )
+    t.update(F.col("k") < 3, {"v": F.lit("y")})
+    cur = t._current()
+    assert cur.delete_files  # MoR overlay landed in the chosen format
+    ext = ".avro" if t._avro_available() else ".parquet"
+    assert all(f.endswith(ext) for f in cur.delete_files)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == "y" and got[5] == "x" and len(got) == 10
+    # unknown formats are rejected, not silently dropped
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "orcfmt"),
+        schema="k bigint",
+        properties={"write.delete.format.default": "orc"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t2._delete_format()
