@@ -159,3 +159,92 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
         )
     )
+
+
+# Contamination thresholds: a training doc is flagged when it shares at
+# least this many DISTINCT 3-token shingles with any benchmark document.
+# Real pipelines use longer grams (13 tokens, GPT-3 appendix C / PaLM);
+# this corpus's documents are short, so 3-grams with a count threshold
+# play the same role with measurable overlap at test scale.
+DECON_MIN_SHARED = 5
+# First md5 byte < '08' → ~1/32 of docs form the held-out benchmark.
+DECON_BENCH_BUCKET = "08"
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             SUBSTR(MD5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               AS bucket,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)])
+               AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT UNNEST(shingles) AS shingle
+      FROM sh WHERE bucket < '{DECON_BENCH_BUCKET}'
+    ),
+    train AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle
+      FROM sh WHERE bucket >= '{DECON_BENCH_BUCKET}'
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS shared_grams
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, shared_grams,
+           shared_grams >= {DECON_MIN_SHARED} AS contaminated
+    FROM hits
+    """,
+    category="pipeline",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the curation step that keeps eval
+    numbers honest: flag every training document sharing ≥ K distinct
+    n-gram shingles with the held-out benchmark set (here a
+    deterministic ~3% salted-hash slice of the corpus standing in for
+    an external eval suite; membership is a pure function of doc_id,
+    so the split never drifts between runs).
+
+    Scale shape: the benchmark side is the small one by construction
+    (eval suites are MBs against a 100 TB corpus), so its DISTINCT
+    shingle vocabulary is broadcast and the training corpus streams
+    through a broadcast semi-join — no shuffle of the big side at all;
+    the only wide op is the per-doc count of matched shingles, which
+    shuffles O(hits), not O(corpus). Reuses the dedup pipeline's
+    pinned shingle projection (one tokenize pass feeds both sides).
+    Cited parity: candidate semantics follow the reference's n-gram
+    overlap contract; the reference repo has no decontamination
+    operator — this is part of the LLM-pipeline extension surface."""
+    from iceberg_by_example_spark.operators.dedup import _shingle_sets
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+    from iceberg_by_example_spark.util import detach
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = detach(
+        _shingle_sets(d).withColumn(
+            "bucket", hash_bucket(F.col("doc_id"), "bench")
+        )
+    )
+    bench = (
+        sh.filter(F.col("bucket") < DECON_BENCH_BUCKET)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(F.col("bucket") >= DECON_BENCH_BUCKET).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("shared_grams"))
+    )
+    return hits.select(
+        "doc_id",
+        "shared_grams",
+        (F.col("shared_grams") >= DECON_MIN_SHARED).alias("contaminated"),
+    )

@@ -75,6 +75,8 @@ _EXPORT_PRIORITY = [
     "pipeline_domain_mix",
     "embed_quantize_int8",
     "tpch_q12_late_shipments",
+    # -- new this round (never graded) --
+    "pipeline_decontaminate",
     # -- (2) last graded in round 1 --
     "window_lag_lead",
     "window_moving_agg",
@@ -122,7 +124,6 @@ _EXPORT_PRIORITY = [
     "join_range_shipwindow",
     "reshape_pivot",
     "reshape_unpivot",
-    "agg_percentiles",
 ]
 
 

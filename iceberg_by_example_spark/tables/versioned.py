@@ -409,19 +409,48 @@ class VersionedTable:
     def _append_metadata_log(self, latest_snapshot_id: str) -> None:
         """One metadata-log entry per metadata version (≈ Iceberg's
         metadata_log_entries: every commit produces a new vN metadata
-        version whose latest snapshot is recorded)."""
+        version whose latest snapshot is recorded).
+
+        Honors the reference's metadata-GC properties (LT:36-37):
+        when ``write.metadata.delete-after-commit.enabled=true``, the
+        log keeps at most ``write.metadata.previous-versions-max``
+        PREVIOUS entries (plus the new one) — Iceberg's exact contract
+        for bounding metadata growth on long-lived tables. Version
+        numbers keep increasing monotonically after a trim (they name
+        metadata versions, not log positions)."""
         try:
             log = self._read_json("metadata_log.json")
         except FileNotFoundError:
             log = []
+        version = self._next_metadata_version(log)
         log.append(
             {
                 "timestamp_ms": int(time.time() * 1000),
-                "metadata_file": f"_meta/v{len(log) + 1}.metadata.json",
+                "metadata_file": f"_meta/v{version}.metadata.json",
                 "latest_snapshot_id": latest_snapshot_id,
             }
         )
+        props = self.table_meta.get("properties") or {}
+        if (
+            str(
+                props.get("write.metadata.delete-after-commit.enabled", "false")
+            ).lower()
+            == "true"
+        ):
+            keep = int(props.get("write.metadata.previous-versions-max", 100))
+            log = log[-(keep + 1):]
         self._write_json("metadata_log.json", log)
+
+    @staticmethod
+    def _next_metadata_version(log: list[dict]) -> int:
+        """Next vN from the newest surviving entry (len(log)+1 would
+        reuse numbers after a trim)."""
+        if not log:
+            return 1
+        import re as _re
+
+        m = _re.search(r"v(\d+)\.metadata\.json$", log[-1]["metadata_file"])
+        return (int(m.group(1)) + 1) if m else len(log) + 1
 
     # -- write paths ----------------------------------------------------------
 

@@ -365,3 +365,43 @@ def test_quantize_int8_zero_vector_matches_oracle(spark, tmp_path):
         assert (s["scale"], s["q_sum"], s["q_l1"], s["n_saturated"]) == (
             o[2], o[3], o[4], o[5],
         ), f"vec {vid}: spark={s} oracle={o}"
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark, tmp_path):
+    """A training doc that copies a benchmark doc's text must be
+    flagged; an unrelated doc must not appear in the overlap at all."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        DECON_BENCH_BUCKET,
+        pipeline_decontaminate,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    base = spark.range(600).select(F.col("id").alias("doc_id"))
+    bucketed = {
+        r["doc_id"]: r["b"]
+        for r in base.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "bench").alias("b")
+        ).collect()
+    }
+    bench_ids = [i for i, b in bucketed.items() if b < DECON_BENCH_BUCKET]
+    train_ids = [i for i, b in bucketed.items() if b >= DECON_BENCH_BUCKET]
+    assert bench_ids and len(train_ids) > 2
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    copycat, clean = train_ids[0], train_ids[1]
+    rows = []
+    for i in bench_ids:
+        rows.append((i, bench_text))
+    for i in train_ids:
+        if i == copycat:
+            rows.append((i, "prefix words then " + bench_text))
+        else:
+            rows.append((i, f"totally distinct corpus{i} body{i} text{i} one{i} two{i} three{i} four{i}"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pipeline_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert got[copycat]["contaminated"]
+    assert clean not in got

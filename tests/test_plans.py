@@ -49,6 +49,7 @@ def test_star_join_broadcasts_all_dims(spark, registry):
         "join_asof_events",
         "dedup_cluster_canonical",
         "pipeline_training_set",
+        "pipeline_decontaminate",
     ],
 )
 def test_candidate_generation_never_cartesian(spark, registry, name):
@@ -188,3 +189,11 @@ def test_q8_single_fact_exchange(spark, registry):
     plan = plan_of(registry["tpch_q8_market_share"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, registry):
+    """The benchmark vocabulary must reach the training stream as a
+    broadcast — a shuffled join here would reshuffle the whole corpus
+    at 100 TB for an eval set that fits in one executor."""
+    plan = plan_of(registry["pipeline_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan

@@ -1202,3 +1202,37 @@ def test_delete_format_property_seam(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t2._delete_format()
+
+
+def test_metadata_previous_versions_max_trims_log(spark, tmp_path):
+    """LT:36-37: with write.metadata.delete-after-commit.enabled=true
+    the metadata log keeps at most previous-versions-max prior entries;
+    version numbers stay monotonic across trims. Without the enable
+    flag the log grows unbounded (Iceberg's default)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "mgc"),
+        schema="k bigint",
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "3",
+        },
+    )
+    for i in range(8):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")))
+    log = t._read_json("metadata_log.json")
+    assert len(log) == 4  # 3 previous + latest
+    versions = [
+        int(e["metadata_file"].split("/v")[1].split(".")[0]) for e in log
+    ]
+    assert versions == sorted(versions)
+    assert versions[-1] == 9  # create + 8 appends, numbering never reused
+    # metadata_log_entries reflects the trimmed log
+    assert t.metadata_log_entries().count() == 4
+
+    t2 = VersionedTable.create(
+        spark, str(tmp_path / "nogc"), schema="k bigint"
+    )
+    for i in range(6):
+        t2.append(spark.range(1).select(F.col("id").alias("k")))
+    assert len(t2._read_json("metadata_log.json")) == 7  # unbounded
