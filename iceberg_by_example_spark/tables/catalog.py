@@ -3,15 +3,22 @@
 The reference dispatches a three-level namespace — ``iceberg.finance.
 activity`` — through a catalog whose warehouse root comes from the
 ``CATALOG_WAREHOUSE`` env var with a local fallback
-(`IcebergSupport.scala:6-9`). The reference's JDBC/REST catalog
-*servers* (IS:25-36, dispatched on ``CATALOG_URL``) need network + jars
-this environment doesn't have, so the name service here is the same
-deterministic mapping those servers implement for a filesystem
-warehouse: ``catalog.db.table`` → ``<warehouse>/<db>/<table>``.
+(`IcebergSupport.scala:6-9`), and picks the catalog BACKEND on
+``CATALOG_URL``: an http URL selects the REST catalog, anything else
+the JDBC/filesystem mode (IS:25-36). Same dispatch here:
 
-``VersionedTable.create/load`` accept either a filesystem location or a
-dotted table name; names route through the default catalog, so the
-reference's spelling works verbatim:
+- ``CATALOG_URL=http://…`` → names resolve through the REST catalog
+  server (`rest_catalog.py` — the in-process stand-in for the
+  reference's ``tabulario/iceberg-rest`` container, README.md:19-22);
+  the warehouse root comes from the server's ``GET /v1/config``.
+- otherwise → the deterministic filesystem mapping a JDBC-backed
+  catalog implements for a filesystem warehouse:
+  ``catalog.db.table`` → ``<warehouse>/<db>/<table>``.
+
+Both modes resolve a name to the SAME location, so flipping the env
+var never moves data. ``VersionedTable.create/load`` accept either a
+filesystem location or a dotted table name; names route through the
+default catalog, so the reference's spelling works verbatim:
 
     VersionedTable.load(spark, "iceberg.finance.activity")
 """
@@ -45,17 +52,34 @@ class Catalog:
     directories under it.
     """
 
-    def __init__(self, warehouse: str | None = None):
-        self.warehouse = (
-            warehouse
-            or os.environ.get("CATALOG_WAREHOUSE")
-            or DEFAULT_WAREHOUSE
-        )
+    def __init__(
+        self, warehouse: str | None = None, url: str | None = None
+    ):
+        self.url = url or os.environ.get("CATALOG_URL")
+        self._rest = None
+        if self.url and self.url.startswith("http"):
+            from iceberg_by_example_spark.tables.rest_catalog import (
+                RestCatalogClient,
+            )
+
+            self._rest = RestCatalogClient(self.url)
+            # REST mode: the server owns the warehouse root (IS:27-30 —
+            # the client gets only a URL); explicit/env warehouse args
+            # apply to the filesystem fallback only.
+            self.warehouse = self._rest.config()["overrides"]["warehouse"]
+        else:
+            self.warehouse = (
+                warehouse
+                or os.environ.get("CATALOG_WAREHOUSE")
+                or DEFAULT_WAREHOUSE
+            )
 
     def location_for(self, name: str) -> str:
         if not is_table_name(name):
             raise ValueError(f"not a catalog.db.table name: {name!r}")
         _catalog, db, table = name.split(".")
+        if self._rest is not None:
+            return self._rest.location_for(db, table)
         return os.path.join(self.warehouse, db, table)
 
     def resolve(self, location_or_name: str) -> str:
