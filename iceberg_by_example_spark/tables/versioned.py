@@ -828,11 +828,15 @@ class VersionedTable:
         df: DataFrame,
         branch: str | None = None,
         merge_schema: bool = False,
+        summary_extra: dict | None = None,
     ) -> Snapshot:
         """Append (reference S6, LT:64-67: DataFrameWriterV2.append with
         ``.option("mergeSchema","true")`` — pass ``merge_schema=True``
         for that behavior: new columns in ``df`` widen the table schema;
-        old files read NULL for them)."""
+        old files read NULL for them). ``summary_extra`` lands in the
+        snapshot summary atomically with the commit (the streaming
+        sink's exactly-once batch markers ride here, like Iceberg's
+        ``spark.sql.streaming`` snapshot properties)."""
         branch = self._resolve_write_branch(branch)
         if merge_schema:
             self._merge_schema(df)
@@ -842,7 +846,7 @@ class VersionedTable:
             branch,
             "append",
             cur.files + new_files,
-            {"added-files": len(new_files)},
+            {"added-files": len(new_files), **(summary_extra or {})},
             expected_parent_id=cur.snapshot_id,
         )
 
@@ -911,6 +915,7 @@ class VersionedTable:
         validate_source_unique: bool = True,
         mode: str | None = None,
         when_not_matched_by_source: str | None = None,
+        summary_extra: dict | None = None,
     ) -> Snapshot:
         """MERGE INTO … ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
@@ -967,7 +972,7 @@ class VersionedTable:
                 branch,
                 "merge",
                 new_files,
-                {"matched": 0, "inserted": "all"},
+                {"matched": 0, "inserted": "all", **(summary_extra or {})},
                 expected_parent_id=cur.snapshot_id,
             )
 
@@ -979,7 +984,9 @@ class VersionedTable:
                     "unmatched target row as a position-delete overlay "
                     "would write O(table) delete entries"
                 )
-            return self._merge_mor(branch, cur, source, on, update_cols, cols)
+            return self._merge_mor(
+                branch, cur, source, on, update_cols, cols, summary_extra
+            )
 
         if when_not_matched_by_source == "delete":
             # every file with an unmatched row changes → whole table
@@ -1029,7 +1036,7 @@ class VersionedTable:
             ]
         )
         new_files = self._write_data(merged)
-        summary = {"rewritten-files": len(affected_uris)}
+        summary = {"rewritten-files": len(affected_uris), **(summary_extra or {})}
         if when_not_matched_by_source:
             summary["not-matched-by-source"] = when_not_matched_by_source
         return self._commit(
@@ -1048,6 +1055,7 @@ class VersionedTable:
         on: str,
         update_cols: list[str],
         cols: list[str],
+        summary_extra: dict | None = None,
     ) -> Snapshot:
         """MERGE as merge-on-read (reference declares
         ``write.merge.mode=merge-on-read``, LT:31): matched target rows
@@ -1093,7 +1101,11 @@ class VersionedTable:
             branch,
             "merge",
             cur.files + new_files,
-            {"mode": "merge-on-read", "matched-rows": n_matched},
+            {
+                "mode": "merge-on-read",
+                "matched-rows": n_matched,
+                **(summary_extra or {}),
+            },
             delete_files=cur.delete_files + del_files,
             expected_parent_id=cur.snapshot_id,
         )

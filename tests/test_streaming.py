@@ -281,3 +281,67 @@ def test_streaming_mor_upsert(spark, tmp_path):
     # the matched keys instead of rewriting the first batch's files
     merges = [s for s in table._snapshots() if s.operation == "merge"]
     assert any(s.summary.get("mode") == "merge-on-read" for s in merges)
+
+
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a restart the sink sees the
+    last batch AGAIN. The committer must acknowledge a replayed batch id
+    without writing — same row count, same snapshot count — while a NEW
+    batch id still commits; an independent stream id is not deduped."""
+    from iceberg_by_example_spark.streaming.ingest import (
+        last_committed_batch_id,
+        make_batch_committer,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "eo"), schema="k bigint, v string"
+    )
+    commit = make_batch_committer(t, stream_id="q1")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k bigint, v string")
+
+    commit(b0, 0)
+    commit(b1, 1)
+    assert t.read().count() == 3
+    snaps_before = len(t._snapshots())
+    assert last_committed_batch_id(t, "q1") == 1
+
+    # replay after simulated restart: both old ids are acknowledged idly
+    commit(b1, 1)
+    commit(b0, 0)
+    assert t.read().count() == 3
+    assert len(t._snapshots()) == snaps_before
+
+    # a fresh batch id commits; a different stream has its own lineage
+    commit(b0, 2)
+    assert t.read().count() == 5
+    other = make_batch_committer(t, stream_id="q2")
+    other(b1, 0)
+    assert t.read().count() == 6
+    assert last_committed_batch_id(t, "q1") == 2
+    assert last_committed_batch_id(t, "q2") == 0
+
+
+def test_streaming_merge_replay_is_idempotent(spark, tmp_path):
+    """Same contract on the MERGE path: a replayed upsert batch neither
+    duplicates rows nor advances the table."""
+    from iceberg_by_example_spark.streaming.ingest import (
+        make_batch_committer,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "eom"), schema="k bigint, v string"
+    )
+    t.append(spark.createDataFrame([(1, "old")], "k bigint, v string"))
+    commit = make_batch_committer(t, merge_on="k", stream_id="m1")
+    batch = spark.createDataFrame(
+        [(1, "new"), (2, "ins")], "k bigint, v string"
+    )
+    commit(batch, 0)
+    assert {r["v"] for r in t.read().collect()} == {"new", "ins"}
+    snaps = len(t._snapshots())
+    commit(batch, 0)  # replay
+    assert {r["v"] for r in t.read().collect()} == {"new", "ins"}
+    assert len(t._snapshots()) == snaps
