@@ -210,8 +210,19 @@ def ngram_jaccard_pairs(
     identical subplans)."""
     d = load_table(spark, sf_dir, "documents")
     sh = detach(_shingle_sets(d))  # repartitions before tokenizing
+    # Join/census/correction all key on the 64-bit shingle hash, not
+    # the ~25-byte shingle string: the self-join and its groupBy are
+    # the pipeline's widest shuffles, and an 8-byte key cuts their
+    # bytes ~3× with identical counts (distinct hashes = distinct
+    # shingles up to a ~n²/2⁶⁵ collision chance — ~1e-9 at a million
+    # distinct shingles; the same trade dedup_minhash_lsh already
+    # makes, and it never reaches the result columns).
     sized = sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     hot = (
         sized.groupBy("shingle")
