@@ -876,3 +876,170 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST({_REVENUE_SQL} AS DECIMAL(27,6)) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(v) AS DECIMAL(30,6)) AS t,
+                   COUNT(*) AS n_parts FROM val)
+    SELECT val.p_partkey, CAST(val.v AS DOUBLE) AS part_value
+    FROM val CROSS JOIN tot
+    WHERE val.v * tot.n_parts > 2 * tot.t
+    """,
+    category="analytics",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (adapted — this corpus has no partsupp, so "value" is
+    a part's discounted lineitem revenue through one nation's
+    suppliers): per-group value vs a global threshold. The group agg's
+    1-row grand total joins back as a broadcast — never a driver-side
+    collect. TPC-H pins its fraction to 0.0001/SF because a fixed
+    fraction empties as the corpus grows; here the threshold is
+    SCALE-FREE — keep parts above 2× the mean part value
+    (``v * n_parts > 2 * total``) — and the compare stays in DECIMAL
+    × integer (exact in both engines); only the reported value casts
+    to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(revenue).cast("decimal(27,6)").alias("v"))
+    )
+    tot = val.agg(
+        F.sum("v").cast("decimal(30,6)").alias("t"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v") * F.col("n_parts") > 2 * F.col("t"))
+        .select("p_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 4, 7, 10, 13)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    category="analytics",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted — supplier/part relationships come from
+    lineitem instead of partsupp, and the "complaints" exclusion is
+    suppliers with negative balance): filtered dims → anti-join the
+    excluded-supplier set → COUNT(DISTINCT) per (brand, type, size).
+    The excluded set and the part dim broadcast; the distinct-agg is
+    Spark's two-phase partial_count(distinct …) — the shuffle carries
+    (group key, suppkey) pairs, already locally deduped."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp,
+             CAST(SUM(is_late) AS BIGINT) AS n_late
+      FROM flagged GROUP BY 1)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM flagged f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE f.is_late = 1 AND p.n_supp > 1 AND p.n_late = 1
+      AND n.n_name = 'NATION_3'
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    category="analytics",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted: lateness = shipped >60 days after the order
+    date, since this corpus has no receipt/commit dates): suppliers who
+    were the ONLY late supplier on a multi-supplier order. The classic
+    EXISTS / NOT EXISTS pair is reformulated as two aggregations —
+    per-(order, supplier) late flags, then per-order supplier/late
+    counts — turning correlated subqueries into one extra groupBy and
+    an equi-join; at scale that's two partial-agg shuffles on orderkey
+    instead of two more lineitem self-joins. Ties broken on s_name for
+    a deterministic top-10."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").cast("long").alias("n_late"),
+    )
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (
+        flagged.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(nat_sup), flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -77,6 +77,9 @@ _EXPORT_PRIORITY = [
     "tpch_q12_late_shipments",
     # -- new this round (never graded) --
     "pipeline_decontaminate",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_variety",
+    "tpch_q21_waiting_suppliers",
     # -- (2) last graded in round 1 --
     "window_lag_lead",
     "window_moving_agg",
@@ -119,11 +122,8 @@ _EXPORT_PRIORITY = [
     "scan_projection_filter",
     "versioned_branch_counts",
     "csv_source_roundtrip",
-    "json_source_roundtrip",
     "join_asof_events",
     "join_range_shipwindow",
-    "reshape_pivot",
-    "reshape_unpivot",
 ]
 
 
