@@ -201,6 +201,7 @@ DECON_BENCH_BUCKET = "08"
     FROM hits
     """,
     category="pipeline",
+    bench=True,
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the curation step that keeps eval
