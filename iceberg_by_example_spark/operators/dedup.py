@@ -496,15 +496,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one cluster, not three independent pairs; dropping per-pair
     would discard all three).
 
-    Distributed shape: iterative min-label propagation — each round is
-    one key-join of labels onto the (symmetrized) edge list plus a
-    map-side-combinable MIN aggregate, materialized with
-    ``localCheckpoint`` to truncate the lineage. Rounds needed = graph
-    diameter, which for duplicate clusters is a small constant (verify
-    thresholds make most clusters near-cliques). O(E) work per round,
-    never O(n²); convergence is checked with a changed-label count.
-    The oracle computes the same components via DuckDB's recursive
-    transitive closure."""
+    Distributed shape: iterative min-label propagation with pointer
+    jumping (see ``min_label_components``). The oracle computes the
+    same components via DuckDB's recursive transitive closure."""
     # Pin the pairs BEFORE symmetrizing: the union's two branches would
     # otherwise each evaluate the whole candidate+verify pipeline.
     pairs = detach(
@@ -517,31 +511,57 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
+    return min_label_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """Connected components of a symmetrized (u, v) edge list:
+    (id, label) with label = the component's minimum node id.
+
+    Each round combines MIN-LABEL PROPAGATION (take the smallest label
+    among self and neighbors — one key-join plus a map-side-combinable
+    MIN) with POINTER JUMPING (then take the label OF your label —
+    labels are always node ids, so one more self-join; reach doubles
+    per round). Propagation alone needs diameter rounds — fine for the
+    near-clique clusters a verified dedup graph mostly produces, but a
+    chain-shaped component (A~B~C~… from borderline-threshold overlaps)
+    has diameter O(n); the jump bounds rounds at O(log n) for the same
+    O(E + V) work per round, so the cap covers every graph shape.
+
+    ONE Spark job per round: the old label rides next to the new one
+    into a single eager pin (localCheckpoint truncates lineage), and
+    the convergence count reads the pinned partitions — a separate
+    count() would re-execute the round's joins (measured 2× at sf0.1).
+    The superseded pin is reclaimed by the ContextCleaner once
+    dereferenced."""
     labels = detach(
         edges.select("u").distinct().select(
             F.col("u").alias("id"), F.col("u").alias("label")
         )
     )
-    for rnd in range(_MAX_LABEL_ROUNDS):
+    for _rnd in range(_MAX_LABEL_ROUNDS):
         neighbor_min = edges.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
         ).select(F.col("u").alias("id"), "label")
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        # ONE Spark job per round: carry the old label alongside the
-        # new one into a single eager pin, then read the convergence
-        # count off the pinned partitions — a separate count() would
-        # re-execute the round's join+agg lineage, doubling every
-        # round's work (measured 12.1s → ~6s at sf0.1). Lineage depth
-        # stays at one round; the superseded pin is reclaimed by the
-        # ContextCleaner once dereferenced.
+        # pointer jump: follow the label's own (just-propagated) label.
+        # Min-propagation keeps label[x] <= x, so the grandparent is
+        # never larger; coalesce covers a label whose node has no row
+        # on this side of the join.
+        grand = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("_grand")
+        )
+        jumped = propagated.join(grand, "label", "left").select(
+            "id", F.coalesce("_grand", "label").alias("label")
+        )
         stepped = detach(
-            new_labels.join(
-                labels.withColumnRenamed("label", "old_label"), "id"
-            )
+            jumped.join(labels.withColumnRenamed("label", "old_label"), "id")
         )
         changed = stepped.filter(
             F.col("label") < F.col("old_label")
@@ -553,9 +573,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"label propagation did not converge in {_MAX_LABEL_ROUNDS} rounds"
         )
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -405,3 +405,25 @@ def test_decontaminate_flags_planted_benchmark_copy(spark, tmp_path):
     }
     assert got[copycat]["contaminated"]
     assert clean not in got
+
+
+def test_label_propagation_chain_converges_logarithmically(spark):
+    """A 300-node chain is the worst case for plain min-label
+    propagation (diameter 299 > the 50-round cap); pointer jumping must
+    close it in O(log n) rounds — the test converging at all under the
+    cap proves the jump works — with every node labeled by the chain's
+    minimum, and a second disjoint component keeping its own label."""
+    from iceberg_by_example_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    chain = [(i, i + 1) for i in range(299)]
+    other = [(1000, 1001), (1001, 1002)]
+    pairs = spark.createDataFrame(chain + other, "a long, b long")
+    edges = pairs.selectExpr("a AS u", "b AS v").unionByName(
+        pairs.selectExpr("b AS u", "a AS v")
+    )
+    got = {r["id"]: r["label"] for r in min_label_components(edges).collect()}
+    assert len(got) == 303
+    assert all(got[i] == 0 for i in range(300))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))

@@ -144,3 +144,80 @@ def test_cow_and_mor_states_identical(spark, tmp_path_factory, initial, ops):
     finally:
         for t in tables.values():
             t.drop()
+
+
+# Small token vocabulary forces heavy shingle sharing, exercising the
+# inverted index, the join-count intersection math, and (with the tiny
+# df_cap below) the hot-shingle correction path together.
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(_WORDS), min_size=3, max_size=8
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy, df_cap=st.sampled_from([2, 3, 10**6]))
+def test_ngram_jaccard_matches_bruteforce(
+    spark, tmp_path_factory, docs, df_cap
+):
+    """The inverted-index count-based Jaccard (with hot-shingle
+    correction) must equal the O(n²) set-based definition for every
+    candidate pair it emits — and emit every pair that shares at least
+    one UNCAPPED shingle (pairs linked only through hot shingles are
+    the documented recall trade)."""
+    import os
+
+    from iceberg_by_example_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("njp"))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(rows_toks(docs))}
+    # document frequency per shingle → the capped vocabulary
+    df = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    hot = {g for g, n in df.items() if n > df_cap}
+
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = sets[a] & sets[b]
+            if not (inter - hot):
+                continue  # candidate only via hot shingles → not emitted
+            jac = len(inter) / len(sets[a] | sets[b])
+            if jac >= 0.08:
+                expected[(a, b)] = jac
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir, df_cap=df_cap).collect()
+    }
+    assert set(got) == set(expected), (set(got), set(expected))
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12, (k, got[k], expected[k])
+
+
+def rows_toks(docs):
+    return list(docs)
