@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from iceberg_by_example_spark.functions.text import (
     fingerprint,
     shingles_from_tokens,
+    token_count,
     tokens,
 )
 from iceberg_by_example_spark.plans.registry import register
@@ -663,3 +664,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY fp
+                 ORDER BY n_tokens DESC, doc_id ASC) AS rk
+        FROM scored)
+      WHERE rk = 1)
+    SELECT d.* FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM winners)
+    """,
+    category="dedup",
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy per normalized-content
+    fingerprint, not the first: real pipelines keep the most complete
+    version of a duplicated document (here: most tokens, tie-broken by
+    lowest doc_id — deterministic in both engines). Whitespace
+    normalization means copies can differ in raw length, so the choice
+    is not vacuous.
+
+    Same scale shape as keep-first ``dedup_exact``: the shuffle carries
+    (digest, n_tokens, doc_id) — three narrow columns with a map-side-
+    combinable MAX over the packed (n_tokens, -doc_id) ordering key —
+    and a keys-only semi join fetches winning payloads. The argmax is
+    a single struct-MAX aggregate, NOT a row_number window (a window
+    would shuffle full rows and sort within every fingerprint group)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        fingerprint("text").alias("_fp"),
+        token_count("text").alias("_n"),
+        "doc_id",
+    )
+    # argmax via struct ordering: (n_tokens, -doc_id) max ⇒ most
+    # tokens, then smallest id — one map-side-combinable aggregate.
+    winners = (
+        scored.select(
+            "_fp",
+            F.struct(
+                F.col("_n").alias("n"), (-F.col("doc_id")).alias("neg_id")
+            ).alias("_key"),
+        )
+        .groupBy("_fp")
+        .agg(F.max("_key").alias("_best"))
+        .select((-F.col("_best.neg_id")).alias("doc_id"))
+    )
+    return d.join(winners, "doc_id", "left_semi")

@@ -77,6 +77,7 @@ _EXPORT_PRIORITY = [
     "tpch_q12_late_shipments",
     # -- new this round (never graded) --
     "pipeline_decontaminate",
+    "dedup_exact_keep_best",
     "tpch_q11_important_parts",
     "tpch_q16_supplier_variety",
     "tpch_q21_waiting_suppliers",
@@ -123,7 +124,6 @@ _EXPORT_PRIORITY = [
     "versioned_branch_counts",
     "csv_source_roundtrip",
     "join_asof_events",
-    "join_range_shipwindow",
 ]
 
 

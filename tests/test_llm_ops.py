@@ -427,3 +427,43 @@ def test_label_propagation_chain_converges_logarithmically(spark):
     assert len(got) == 303
     assert all(got[i] == 0 for i in range(300))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_dedup_keep_best_prefers_longest_copy(spark, tmp_path):
+    """Copies normalize to the same fingerprint but differ in raw
+    tokens; keep-best must pick the most-token copy (NOT the lowest
+    id, which keep-first would), tie-breaking equal lengths by id."""
+    from iceberg_by_example_spark.plans.registry import (
+        QUERY_REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    # Normalization collapses whitespace + case, so copies share a
+    # fingerprint while RAW single-space-split token counts differ
+    # ("a  b" splits to 3 tokens, "a b" to 2).
+    rows = [
+        (10, "alpha beta gamma"),        # fp X, 3 tokens
+        (11, "alpha  beta   gamma"),     # fp X, 6 raw split tokens
+        (12, "ALPHA BETA GAMMA"),        # fp X, 3 tokens
+        (20, "unique text here"),        # fp Y, alone
+        (30, "tie one two"),             # fp Z, 3 tokens
+        (31, "TIE ONE TWO"),             # fp Z, 3 tokens -> lower id 30
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spec = QUERY_REGISTRY["dedup_exact_keep_best"]
+    kept = sorted(
+        r["doc_id"] for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    assert kept == [11, 20, 30]
+    # and the oracle agrees on the same corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert sorted(r[0] for r in con.execute(spec.oracle).fetchall()) == kept
