@@ -11,6 +11,11 @@ the JDBC/filesystem mode (IS:25-36). Same dispatch here:
   server (`rest_catalog.py` — the in-process stand-in for the
   reference's ``tabulario/iceberg-rest`` container, README.md:19-22);
   the warehouse root comes from the server's ``GET /v1/config``.
+- ``CATALOG_URI=jdbc:sqlite:…`` (the reference's non-REST branch,
+  IS:12-14) → a sqlite-backed registration catalog
+  (``SqliteCatalogStore`` — Iceberg's JDBC-catalog ``iceberg_tables``
+  relation via stdlib sqlite3 on the same database file the JDBC URI
+  names), falling back to the path mapping for unregistered names.
 - otherwise → the deterministic filesystem mapping a JDBC-backed
   catalog implements for a filesystem warehouse:
   ``catalog.db.table`` → ``<warehouse>/<db>/<table>``.
@@ -53,10 +58,15 @@ class Catalog:
     """
 
     def __init__(
-        self, warehouse: str | None = None, url: str | None = None
+        self,
+        warehouse: str | None = None,
+        url: str | None = None,
+        uri: str | None = None,
     ):
         self.url = url or os.environ.get("CATALOG_URL")
+        self.uri = uri or os.environ.get("CATALOG_URI")
         self._rest = None
+        self._jdbc = None
         if self.url and self.url.startswith("http"):
             from iceberg_by_example_spark.tables.rest_catalog import (
                 RestCatalogClient,
@@ -67,11 +77,20 @@ class Catalog:
             # the client gets only a URL); explicit/env warehouse args
             # apply to the filesystem fallback only.
             self.warehouse = self._rest.config()["overrides"]["warehouse"]
-        else:
-            self.warehouse = (
-                warehouse
-                or os.environ.get("CATALOG_WAREHOUSE")
-                or DEFAULT_WAREHOUSE
+            return
+        self.warehouse = (
+            warehouse
+            or os.environ.get("CATALOG_WAREHOUSE")
+            or DEFAULT_WAREHOUSE
+        )
+        if self.uri and self.uri.startswith("jdbc:sqlite:"):
+            # IS:12-14/31-36's other branch: a JDBC catalog backed by a
+            # sqlite file. Python's stdlib sqlite3 speaks to the same
+            # database a jdbc:sqlite: URI names, so the registration
+            # table is real; the reference's in-memory default maps to
+            # sqlite's :memory:.
+            self._jdbc = SqliteCatalogStore(
+                self.uri[len("jdbc:sqlite:"):], self.warehouse
             )
 
     def location_for(self, name: str) -> str:
@@ -80,6 +99,8 @@ class Catalog:
         _catalog, db, table = name.split(".")
         if self._rest is not None:
             return self._rest.location_for(db, table)
+        if self._jdbc is not None:
+            return self._jdbc.location_for(db, table)
         return os.path.join(self.warehouse, db, table)
 
     def resolve(self, location_or_name: str) -> str:
@@ -87,3 +108,81 @@ class Catalog:
         if is_table_name(location_or_name):
             return self.location_for(location_or_name)
         return location_or_name
+
+
+class SqliteCatalogStore:
+    """JDBC-mode catalog backing store (reference IS:12-14: the non-REST
+    branch points ``spark.sql.catalog.iceberg.uri`` at
+    ``jdbc:sqlite:file:./tmp/iceberg_rest_mode=memory``). Iceberg's
+    JDBC catalog keeps a ``iceberg_tables`` relation mapping
+    (namespace, table) → metadata location; same shape here via
+    stdlib sqlite3 against the same database file a JDBC URI names.
+
+    Resolution is registration-first: a registered row wins (so a
+    renamed/relocated table keeps resolving), and an unregistered name
+    falls back to the deterministic ``<warehouse>/<db>/<table>`` path,
+    registering it if a table already lives there — the lazy migration
+    path for warehouses that predate the catalog database. The sqlite
+    write is serialized by sqlite's own locking; the catalog is never
+    on a query's data path (one lookup per table reference)."""
+
+    def __init__(self, db_path: str, warehouse: str):
+        import sqlite3
+
+        # jdbc:sqlite:file:PATH and jdbc:sqlite:PATH both name PATH;
+        # the reference's `file:..._mode=memory` spelling means an
+        # in-memory database, which sqlite spells :memory:.
+        if db_path.startswith("file:"):
+            db_path = db_path[len("file:"):]
+        if db_path.endswith("_mode=memory") or db_path == ":memory:":
+            db_path = ":memory:"
+        else:
+            parent = os.path.dirname(db_path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+        self.warehouse = warehouse
+        self._con = sqlite3.connect(db_path, check_same_thread=False)
+        self._con.execute(
+            """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                 table_namespace TEXT NOT NULL,
+                 table_name      TEXT NOT NULL,
+                 table_location  TEXT NOT NULL,
+                 PRIMARY KEY (table_namespace, table_name))"""
+        )
+        self._con.commit()
+
+    def register(self, namespace: str, table: str, location: str) -> None:
+        self._con.execute(
+            "INSERT OR REPLACE INTO iceberg_tables VALUES (?, ?, ?)",
+            (namespace, table, location),
+        )
+        self._con.commit()
+
+    def drop(self, namespace: str, table: str) -> None:
+        self._con.execute(
+            "DELETE FROM iceberg_tables "
+            "WHERE table_namespace = ? AND table_name = ?",
+            (namespace, table),
+        )
+        self._con.commit()
+
+    def tables(self, namespace: str) -> list[str]:
+        rows = self._con.execute(
+            "SELECT table_name FROM iceberg_tables "
+            "WHERE table_namespace = ? ORDER BY table_name",
+            (namespace,),
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def location_for(self, namespace: str, table: str) -> str:
+        row = self._con.execute(
+            "SELECT table_location FROM iceberg_tables "
+            "WHERE table_namespace = ? AND table_name = ?",
+            (namespace, table),
+        ).fetchone()
+        if row:
+            return row[0]
+        loc = os.path.join(self.warehouse, namespace, table)
+        if os.path.isfile(os.path.join(loc, "_meta", "table.json")):
+            self.register(namespace, table, loc)  # lazy migration
+        return loc

@@ -105,3 +105,42 @@ def test_facade_lifecycle_through_rest_catalog(spark, warehouse):
         assert os.path.isdir(os.path.join(warehouse, "finance", "activity"))
     finally:
         srv.stop()
+
+
+def test_jdbc_sqlite_catalog_mode(spark, tmp_path, monkeypatch):
+    """IS:12-14's non-REST branch: CATALOG_URI=jdbc:sqlite:<file>
+    selects a sqlite-backed registration catalog. Registered locations
+    win over the path mapping; unregistered existing tables migrate
+    lazily; the reference's `_mode=memory` spelling works too."""
+    wh = str(tmp_path / "wh")
+    db = str(tmp_path / "cat.db")
+    monkeypatch.delenv("CATALOG_URL", raising=False)
+    monkeypatch.setenv("CATALOG_WAREHOUSE", wh)
+    monkeypatch.setenv("CATALOG_URI", f"jdbc:sqlite:{db}")
+    cat = Catalog()
+    default_loc = os.path.join(wh, "finance", "activity")
+    assert cat.resolve("iceberg.finance.activity") == default_loc
+    # a registration overrides the deterministic path
+    custom = str(tmp_path / "elsewhere" / "activity")
+    cat._jdbc.register("finance", "activity", custom)
+    assert cat.resolve("iceberg.finance.activity") == custom
+    # registrations persist in the sqlite file across catalog instances
+    cat2 = Catalog()
+    assert cat2.resolve("iceberg.finance.activity") == custom
+    assert cat2._jdbc.tables("finance") == ["activity"]
+    cat2._jdbc.drop("finance", "activity")
+    assert cat2.resolve("iceberg.finance.activity") == default_loc
+    # lazy migration: an existing unregistered table self-registers
+    VersionedTable.create(
+        spark, os.path.join(wh, "finance", "ledger"), schema="k bigint"
+    )
+    assert cat2.resolve("iceberg.finance.ledger") == os.path.join(
+        wh, "finance", "ledger"
+    )
+    assert "ledger" in cat2._jdbc.tables("finance")
+    # the reference's literal in-memory URI parses
+    monkeypatch.setenv(
+        "CATALOG_URI", "jdbc:sqlite:file:./tmp/iceberg_rest_mode=memory"
+    )
+    mem = Catalog()
+    assert mem.resolve("iceberg.finance.activity") == default_loc
