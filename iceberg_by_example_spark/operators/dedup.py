@@ -721,3 +721,76 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((-F.col("_best.neg_id")).alias("doc_id"))
     )
     return d.join(winners, "doc_id", "left_semi")
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh
+      FROM sh WHERE LEN(shingles) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           common / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+    FROM pairs
+    WHERE common / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
+    """,
+    category="dedup",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: pairs where the SMALLER document's shingle
+    set is ≥80% inside the larger's — the quoted/embedded-copy case
+    Jaccard structurally misses (a 100-token doc fully contained in a
+    10,000-token doc has Jaccard ≈ 0.01 but containment 1.0; training
+    corpora are full of such nestings: quoted articles, boilerplate-
+    wrapped reposts, concatenated shards).
+
+    Same inverted-index scale shape as ``ngram_jaccard_pairs`` — the
+    candidate join IS the |A∩B| count; only the denominator changes to
+    min(|A|, |B|). No df cap here: containment's hot denominators are
+    small docs, and a cap would delete exactly the shared shingles a
+    contained doc consists of — at 100 TB, bound the join with a
+    min-shingle-count floor on the SMALL side (drop docs with < k
+    shingles, which can't meet the threshold meaningfully) rather than
+    a frequency cap."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = detach(_shingle_sets(d, drop_short=True))
+    sized = sh.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common") / F.least("na", "nb").cast("double")
+    return pairs.select(
+        "doc_a", "doc_b", cont.alias("containment")
+    ).filter(F.col("containment") >= 0.8)

@@ -467,3 +467,40 @@ def test_dedup_keep_best_prefers_longest_copy(spark, tmp_path):
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
     assert sorted(r[0] for r in con.execute(spec.oracle).fetchall()) == kept
+
+
+def test_containment_catches_embedded_copy_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a much longer one: containment
+    must flag the pair even though its Jaccard is far below any dedup
+    threshold."""
+    from iceberg_by_example_spark.plans.registry import (
+        QUERY_REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(60))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler[::-1].lower()),
+        (3, "totally unrelated content body here nine distinct words"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in QUERY_REGISTRY["dedup_containment"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERY_REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert cont[(1, 2)] == 1.0  # fully contained
+    assert jac.get((1, 2), 0.0) < 0.1  # jaccard can't see it
+    assert (1, 3) not in cont and (2, 3) not in cont
