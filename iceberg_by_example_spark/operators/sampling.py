@@ -257,3 +257,91 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rate * F.col("source_tokens")).alias("effective_tokens"),
         )
     )
+
+
+# Upsampling cap: a source repeated more than this many epochs degrades
+# models faster than it helps coverage (the standard small-domain
+# repeat ceiling); the plan clips there and reports the shortfall.
+MAX_EPOCHS = 4.0
+
+
+@register(
+    "pipeline_epoch_plan",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS source_tokens
+      FROM documents GROUP BY source),
+    total AS (
+      SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens
+      FROM per_source),
+    weighted AS (
+      SELECT source, n_docs, source_tokens,
+             CASE WHEN source IN ('src0', 'src1')
+                  THEN CAST(0.2 AS DOUBLE)
+                  ELSE CAST(0.6 AS DOUBLE) / 18 END AS target_weight
+      FROM per_source)
+    SELECT w.source, w.n_docs, w.source_tokens, w.target_weight,
+           LEAST(CAST({MAX_EPOCHS} AS DOUBLE),
+                 w.target_weight * t.total_tokens / w.source_tokens)
+             AS epochs,
+           LEAST(CAST({MAX_EPOCHS} AS DOUBLE),
+                 w.target_weight * t.total_tokens / w.source_tokens)
+             * w.source_tokens AS planned_tokens,
+           w.target_weight * t.total_tokens / w.source_tokens
+             > CAST({MAX_EPOCHS} AS DOUBLE) AS clipped
+    FROM weighted w CROSS JOIN total t
+    """,
+    category="pipeline",
+)
+def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning — the UPSAMPLING half of domain mixing
+    (``pipeline_domain_mix`` caps rates at 1.0 and subsamples; this
+    operator computes how many EPOCHS of each source realize the target
+    mixture when a source is too small, clipping at {MAX_EPOCHS}
+    repeats — the standard ceiling past which repetition hurts — and
+    flagging clipped sources so the trainer knows the realized mix
+    diverges from the target).
+
+    Same scale shape as domain_mix: one groupBy(source) partial agg
+    over token counts; the grand total joins back as a 1-row broadcast,
+    never collected. Arithmetic is double-on-exact-integers (token
+    sums are BIGINT), identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("source_tokens"),
+        )
+    )
+    total = per_source.agg(
+        F.sum("source_tokens").cast("long").alias("total_tokens")
+    )
+    weight = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(0.2))
+        .otherwise(F.lit(0.6) / F.lit(18))
+        .alias("target_weight")
+    )
+    raw_epochs = (
+        F.col("target_weight")
+        * F.col("total_tokens")
+        / F.col("source_tokens")
+    )
+    epochs = F.least(F.lit(MAX_EPOCHS), raw_epochs)
+    return (
+        per_source.select("source", "n_docs", "source_tokens", weight)
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "target_weight",
+            epochs.alias("epochs"),
+            (epochs * F.col("source_tokens")).alias("planned_tokens"),
+            (raw_epochs > MAX_EPOCHS).alias("clipped"),
+        )
+    )

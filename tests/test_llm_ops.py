@@ -504,3 +504,26 @@ def test_containment_catches_embedded_copy_jaccard_misses(spark, tmp_path):
     assert cont[(1, 2)] == 1.0  # fully contained
     assert jac.get((1, 2), 0.0) < 0.1  # jaccard can't see it
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_epoch_plan_realizes_mix_within_cap(spark):
+    """Epoch counts reproduce the target token mix exactly for
+    unclipped sources (epochs x source_tokens / total == weight), never
+    exceed the repeat ceiling, and flag exactly the sources whose
+    demanded repetition was clipped."""
+    from iceberg_by_example_spark.operators.sampling import (
+        MAX_EPOCHS,
+        pipeline_epoch_plan,
+    )
+
+    rows = pipeline_epoch_plan(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    total = sum(r["source_tokens"] for r in rows)
+    for r in rows:
+        assert 0 < r["epochs"] <= MAX_EPOCHS
+        assert r["clipped"] == (
+            r["target_weight"] * total / r["source_tokens"] > MAX_EPOCHS
+        )
+        if not r["clipped"]:
+            realized = r["planned_tokens"] / total
+            assert abs(realized - r["target_weight"]) < 1e-9

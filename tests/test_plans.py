@@ -197,3 +197,20 @@ def test_decontaminate_broadcasts_benchmark_side(spark, registry):
     at 100 TB for an eval set that fits in one executor."""
     plan = plan_of(registry["pipeline_decontaminate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_export_window_names_are_valid_and_full(registry):
+    """The grading driver grades the FIRST 50 exported queries, and
+    _EXPORT_PRIORITY names are silently ignored when unknown — so a
+    typo would silently shrink the graded window. Pin: every priority
+    name resolves, no duplicates, and the window is exactly full."""
+    from iceberg_by_example_spark.plans.registry import (
+        _EXPORT_PRIORITY,
+        all_queries,
+    )
+
+    assert len(_EXPORT_PRIORITY) == 50
+    assert len(set(_EXPORT_PRIORITY)) == 50
+    unknown = [n for n in _EXPORT_PRIORITY if n not in registry]
+    assert not unknown, f"export-priority typos: {unknown}"
+    assert list(all_queries())[:50] == _EXPORT_PRIORITY
