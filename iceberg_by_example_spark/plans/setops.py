@@ -146,16 +146,27 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_deterministic",
-    oracle=None,  # engine samplers differ by design; invariants in pytest
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE SUBSTR(MD5('devsample:' || CAST(o_orderkey AS VARCHAR)), 1, 4)
+          < '199a'
+    """,
     category="setop",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — reproducible given the seed and input
-    layout (same files, same split planning). The scalable way to build
-    dev subsets of a 100 TB table: no shuffle, each task samples its
-    split independently."""
+    """~10% deterministic sample by salted content hash: keep rows whose
+    md5('devsample:' || key) prefix falls under 0x199a/0x10000 ≈ 0.1000.
+    Unlike ``.sample(seed=...)`` (reproducible only for a fixed file
+    layout and split planning), membership is a pure function of the row
+    key — the same subset on any cluster, any partitioning, any engine,
+    which also makes it oracle-checkable. Narrow: a scan-time predicate,
+    no shuffle; each task filters its split independently."""
+    key = F.md5(
+        F.concat(F.lit("devsample:"), F.col("o_orderkey").cast("string"))
+    )
     return (
         load_table(spark, sf_dir, "orders")
-        .sample(fraction=0.1, seed=42)
+        .filter(F.substring(key, 1, 4) < "199a")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
