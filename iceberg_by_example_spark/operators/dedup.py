@@ -15,7 +15,7 @@ checks, with pytest asserting their internal invariants instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.functions.text import (
@@ -517,59 +517,74 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _propagate_jump(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One MIN-LABEL PROPAGATION step (smallest label among self and
+    neighbors — a key-join plus a map-side-combinable MIN) followed by
+    one POINTER JUMP (take the label OF your label — labels are always
+    node ids, so one self-join; reach doubles per step).
+    Min-propagation keeps label[x] <= x, so the grandparent is never
+    larger; the coalesce covers a label whose node has no row on this
+    side of the join."""
+    neighbor_min = edges.join(
+        labels.select(F.col("id").alias("v"), "label"), "v"
+    ).select(F.col("u").alias("id"), "label")
+    propagated = (
+        labels.unionByName(neighbor_min)
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    grand = propagated.select(
+        F.col("id").alias("label"), F.col("label").alias("_grand")
+    )
+    return propagated.join(grand, "label", "left").select(
+        "id", F.coalesce("_grand", "label").alias("label")
+    )
+
+
 def min_label_components(edges: DataFrame) -> DataFrame:
     """Connected components of a symmetrized (u, v) edge list:
     (id, label) with label = the component's minimum node id.
 
-    Each round combines MIN-LABEL PROPAGATION (take the smallest label
-    among self and neighbors — one key-join plus a map-side-combinable
-    MIN) with POINTER JUMPING (then take the label OF your label —
-    labels are always node ids, so one more self-join; reach doubles
-    per round). Propagation alone needs diameter rounds — fine for the
-    near-clique clusters a verified dedup graph mostly produces, but a
-    chain-shaped component (A~B~C~… from borderline-threshold overlaps)
-    has diameter O(n); the jump bounds rounds at O(log n) for the same
-    O(E + V) work per round, so the cap covers every graph shape.
+    Propagation alone needs diameter rounds — fine for the near-clique
+    clusters a verified dedup graph mostly produces, but a chain-shaped
+    component (A~B~C~… from borderline-threshold overlaps) has diameter
+    O(n); the pointer jump in every step bounds rounds at O(log n) for
+    the same O(E + V) work per step, so the cap covers every graph
+    shape.
 
-    ONE Spark job per round: the old label rides next to the new one
-    into a single eager pin (localCheckpoint truncates lineage), and
-    the convergence count reads the pinned partitions — a separate
-    count() would re-execute the round's joins (measured 2× at sf0.1).
-    The superseded pin is reclaimed by the ContextCleaner once
-    dereferenced."""
+    Wall-clock shape (the operator is iterative, so per-round fixed
+    costs dominate at small scale): (1) labels are SEEDED with one
+    aggregation-only neighbor-min pass — min(self, neighbors) straight
+    off the edge list, no join — so clique-shaped components arrive at
+    their fixpoint before the loop runs; (2) each loop iteration runs
+    TWO propagate+jump steps into a single eager pin (localCheckpoint
+    truncates lineage — one Spark job per iteration instead of two);
+    (3) convergence is read from the pinned partitions as SUM(label):
+    labels only ever decrease, so an unchanged sum ⟺ no label moved —
+    an O(V) aggregate with no old-vs-new join, and a check skipped for
+    a step can never miss convergence (the sequence is monotone).  The
+    sum accumulates in decimal(38,0): at 10¹² nodes with 64-bit ids a
+    BIGINT sum would overflow.  Superseded pins are reclaimed by the
+    ContextCleaner once dereferenced."""
     labels = detach(
-        edges.select("u").distinct().select(
-            F.col("u").alias("id"), F.col("u").alias("label")
-        )
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .select(F.col("u").alias("id"), "label")
     )
+
+    def label_sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _rnd in range(_MAX_LABEL_ROUNDS):
-        neighbor_min = edges.join(
-            labels.select(F.col("id").alias("v"), "label"), "v"
-        ).select(F.col("u").alias("id"), "label")
-        propagated = (
-            labels.unionByName(neighbor_min)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: follow the label's own (just-propagated) label.
-        # Min-propagation keeps label[x] <= x, so the grandparent is
-        # never larger; coalesce covers a label whose node has no row
-        # on this side of the join.
-        grand = propagated.select(
-            F.col("id").alias("label"), F.col("label").alias("_grand")
-        )
-        jumped = propagated.join(grand, "label", "left").select(
-            "id", F.coalesce("_grand", "label").alias("label")
-        )
-        stepped = detach(
-            jumped.join(labels.withColumnRenamed("label", "old_label"), "id")
-        )
-        changed = stepped.filter(
-            F.col("label") < F.col("old_label")
-        ).count()
-        labels = stepped.select("id", "label")
-        if changed == 0:
+        stepped = _propagate_jump(edges, labels)
+        labels = detach(_propagate_jump(edges, stepped))
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"label propagation did not converge in {_MAX_LABEL_ROUNDS} rounds"
@@ -686,6 +701,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id IN (SELECT doc_id FROM winners)
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the BEST copy per normalized-content
@@ -723,32 +739,78 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(winners, "doc_id", "left_semi")
 
 
+# Probe budget for containment candidate generation: each document
+# nominates its B globally-rarest shingles (rank by document frequency,
+# tie-broken by the shingle string so both engines agree) as probes
+# into the full inverted index. The explode is bounded at B·n rows, and
+# with the probe-side NGRAM_DF_CAP the join fan-out is ≤ B·n·cap —
+# finite at any corpus size, unlike the full self-join's Σdf². Recall
+# trade, by design: a pair surfaces only if one side's rarest-B probes
+# hit the other's shingle set. A contained doc shares ≥80% of ALL its
+# shingles with its container, so a miss needs every one of its B
+# rarest to fall in the ≤20% unshared tail — only possible at all when
+# the contained side has > 5·B shingles, and adversarial even then.
+CONTAINMENT_RAREST_B = 20
+
+
+def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact containment for candidate (doc_a, doc_b) pairs in ONE pass
+    over the shingle-set relation — the melt shape of
+    ``_exact_jaccard``, with min(|A|, |B|) as the denominator."""
+    melted = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    both = (
+        melted.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_list("sh").alias("_sets"))
+    )
+    s1, s2 = F.element_at("_sets", 1), F.element_at("_sets", 2)
+    cont = F.size(F.array_intersect(s1, s2)) / F.least(
+        F.size(s1), F.size(s2)
+    ).cast("double")
+    return both.select("doc_a", "doc_b", cont.alias("containment"))
+
+
 @register(
     "dedup_containment",
-    oracle="""
-    WITH sh AS (
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
       SELECT doc_id,
              LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                             for i in generate_series(1, LEN(t) - 2)]) AS shingles
-      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
-    ),
-    exploded AS (
-      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh
-      FROM sh WHERE LEN(shingles) > 0
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
-      FROM exploded a JOIN exploded b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           common / CAST(LEAST(na, nb) AS DOUBLE) AS containment
-    FROM pairs
-    WHERE common / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
+      FROM toks WHERE LEN(t) >= 3),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    census AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    probes AS (
+      SELECT doc_id, shingle FROM (
+        SELECT e.doc_id, e.shingle, c.df,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                  ORDER BY c.df, e.shingle) AS rk
+        FROM ex e JOIN census c USING (shingle))
+      WHERE rk <= {CONTAINMENT_RAREST_B} AND df <= {NGRAM_DF_CAP}),
+    cand AS (
+      SELECT DISTINCT LEAST(p.doc_id, o.doc_id) AS doc_a,
+                      GREATEST(p.doc_id, o.doc_id) AS doc_b
+      FROM probes p JOIN ex o USING (shingle)
+      WHERE p.doc_id <> o.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+             / CAST(LEAST(LEN(sa.shingles), LEN(sb.shingles)) AS DOUBLE)
+             AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+            / CAST(LEAST(LEN(sa.shingles), LEN(sb.shingles)) AS DOUBLE)
+          >= 0.8
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup: pairs where the SMALLER document's shingle
@@ -758,39 +820,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora are full of such nestings: quoted articles, boilerplate-
     wrapped reposts, concatenated shards).
 
-    Same inverted-index scale shape as ``ngram_jaccard_pairs`` — the
-    candidate join IS the |A∩B| count; only the denominator changes to
-    min(|A|, |B|). No df cap here: containment's hot denominators are
-    small docs, and a cap would delete exactly the shared shingles a
-    contained doc consists of — at 100 TB, bound the join with a
-    min-shingle-count floor on the SMALL side (drop docs with < k
-    shingles, which can't meet the threshold meaningfully) rather than
-    a frequency cap."""
+    Candidate generation is BOUNDED (unlike a full inverted-index
+    self-join, whose worst shingle contributes O(df²) pairs): each doc
+    probes the index with only its ``CONTAINMENT_RAREST_B`` rarest
+    shingles (global-df rank, capped at ``NGRAM_DF_CAP``), and each
+    surviving pair is then verified EXACTLY against the full shingle
+    sets — reported containments are exact, the probe budget costs only
+    recall (see ``CONTAINMENT_RAREST_B`` for the bound). The oracle
+    mirrors the same probe selection, so both engines compute the
+    identical pair set.
+
+    Scale shape: shingle explode B·n probe rows; probe→posting join
+    fan-out ≤ B·n·df_cap; verify is the one-pass melt join, O(candidate
+    pairs × array bytes). The df census and the probe ranking reuse the
+    pinned shingle relation."""
     d = load_table(spark, sf_dir, "documents")
     sh = detach(_shingle_sets(d, drop_short=True))
-    sized = sh.select(
-        "doc_id",
-        F.size("sh").alias("n_sh"),
-        F.explode(
-            F.transform("sh", lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+    cand = _containment_candidates(sh)
+    return _exact_containment(sh, cand).filter(
+        F.col("containment") >= 0.8
     )
-    a, b = sized.alias("a"), sized.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("common"))
+
+
+def _containment_candidates(sh: DataFrame) -> DataFrame:
+    """Bounded candidate pairs for containment: each doc's
+    ``CONTAINMENT_RAREST_B`` rarest shingles (df-ranked, df-capped)
+    probe the full inverted index. Exposed for the bound/recall tests;
+    see ``dedup_containment`` for the semantics."""
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    census = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")
     )
-    cont = F.col("common") / F.least("na", "nb").cast("double")
-    return pairs.select(
-        "doc_a", "doc_b", cont.alias("containment")
-    ).filter(F.col("containment") >= 0.8)
+    probes = (
+        ex.join(census, "shingle")
+        .withColumn("rk", rk)
+        .filter(
+            (F.col("rk") <= CONTAINMENT_RAREST_B)
+            & (F.col("df") <= NGRAM_DF_CAP)
+        )
+        .select("doc_id", "shingle")
+    )
+    return (
+        probes.alias("p")
+        .join(ex.alias("o"), "shingle")
+        .filter(F.col("p.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.least("p.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -506,6 +506,49 @@ def test_containment_catches_embedded_copy_jaccard_misses(spark, tmp_path):
     assert (1, 3) not in cont and (2, 3) not in cont
 
 
+def test_containment_candidates_bounded_by_rarest_probes(spark):
+    """The probe budget bounds candidate generation: docs that share
+    ONLY a hot boilerplate shingle (each having ≥B rarer unique
+    shingles that outrank it) produce ZERO candidate pairs — the
+    old full self-join would have produced all O(m²) of them — while a
+    genuinely contained doc still surfaces via its rare probes."""
+    from iceberg_by_example_spark.operators.dedup import (
+        CONTAINMENT_RAREST_B,
+        _containment_candidates,
+        _shingle_sets,
+    )
+
+    boiler = "terms and conditions apply"
+    m = 8
+    rows = [
+        # Each doc: shared boilerplate + > B unique (df=1) shingles.
+        (
+            i,
+            boiler
+            + " "
+            + " ".join(
+                f"u{i}w{j}" for j in range(CONTAINMENT_RAREST_B + 10)
+            ),
+        )
+        for i in range(m)
+    ]
+    # Doc 100 is fully contained in doc 0 (its unique tail quoted).
+    rows.append((100, " ".join(f"u0w{j}" for j in range(8))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_sets(docs).localCheckpoint(eager=True)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _containment_candidates(sh).collect()
+    }
+    assert (0, 100) in cand, "contained doc must stay a candidate"
+    boiler_only = {
+        (a, b) for (a, b) in cand if a < 100 and b < 100 and a != b
+    }
+    assert not boiler_only, (
+        f"hot-shingle-only pairs must be pruned, got {boiler_only}"
+    )
+
+
 def test_epoch_plan_realizes_mix_within_cap(spark):
     """Epoch counts reproduce the target token mix exactly for
     unclipped sources (epochs x source_tokens / total == weight), never
