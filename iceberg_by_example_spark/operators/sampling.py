@@ -295,6 +295,7 @@ MAX_EPOCHS = 4.0
     FROM weighted w CROSS JOIN total t
     """,
     category="pipeline",
+    bench=True,
 )
 def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch planning — the UPSAMPLING half of domain mixing

@@ -1043,3 +1043,108 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+_Q2_SQL = """
+WITH eursup AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice * (1 - l.l_discount)) AS supply_cost
+  FROM lineitem l
+  JOIN eursup e ON l.l_suppkey = e.s_suppkey
+  GROUP BY 1, 2)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       c.supply_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN eursup e ON c.l_suppkey = e.s_suppkey
+WHERE p.p_size IN (5, 15, 25, 35, 45)
+  AND p.p_type IN ('LARGE', 'SMALL')
+  AND c.supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                       WHERE c2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=_Q2_SQL,
+    category="analytics",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted — no partsupp in this corpus, so a part's
+    "supply cost" through a supplier is the minimum discounted price
+    the supplier has ever shipped it at): for each qualifying part,
+    the EU supplier(s) offering the region-wide minimum cost — the
+    classic CORRELATED SCALAR SUBQUERY over a join
+    (``supply_cost = (SELECT MIN(...) WHERE partkey = outer.partkey)``).
+
+    Deliberately expressed in SQL, correlated form intact: Catalyst
+    decorrelates it into a per-part MIN aggregate re-joined on
+    partkey — the same plan one would hand-write, but the correlated
+    spelling exercises the subquery planner (RewriteCorrelatedScalarSubquery)
+    end to end. MIN over per-row doubles is order-independent, so the
+    cost and the equality compare are exact in both engines; ties
+    (several suppliers at the minimum) are all returned, as in TPC-H.
+    Scale shape: nation/region broadcast into supplier; the lineitem
+    agg shuffles on (partkey, suppkey); the per-part MIN is a second,
+    narrower partial agg of the first's output — no lineitem re-scan."""
+    from iceberg_by_example_spark.sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q20_SQL = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small %')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(l.l_quantity) > 0.5 * (
+        SELECT SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+          AND l2.l_suppkey = l.l_suppkey))
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name IN ('NATION_1', 'NATION_4'))
+"""
+
+
+@register(
+    "tpch_q20_concentrated_suppliers",
+    oracle=_Q20_SQL,
+    category="analytics",
+)
+def tpch_q20_concentrated_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20 shape (adapted — availqty doesn't exist without partsupp,
+    so the "excess stock" predicate becomes a shipping-concentration
+    one: more than half of a (supplier, part)'s all-time shipped
+    quantity moved within 1996): suppliers in two nations who
+    concentrated shipments of any 'small *' part into that year — the
+    classic NESTED IN-CHAIN (supplier IN → lineitem group IN → part)
+    with a CORRELATED AGGREGATE inside the HAVING.
+
+    Deliberately expressed in SQL with the nesting intact: Catalyst
+    turns the IN chains into left-semi joins and decorrelates the
+    HAVING's scalar aggregate into a per-(supplier, part) join —
+    exercising both untested subquery-planner paths at once. Quantities
+    are integral doubles, so both engines' sums are exact regardless
+    of reduction order and the 0.5× compare is deterministic.
+    Scale shape: the part filter semi-joins (broadcast) below the
+    lineitem agg; the correlated total is a second agg over the same
+    shuffle key (partkey, suppkey) — co-partitioned, no extra lineitem
+    scan pattern; supplier is only semi-joined at the top."""
+    from iceberg_by_example_spark.sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

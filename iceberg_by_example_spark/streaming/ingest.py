@@ -37,13 +37,28 @@ def last_committed_batch_id(
     table: VersionedTable, stream_id: str, branch: str = MAIN
 ) -> int | None:
     """Highest batch id this stream has committed on ``branch``'s
-    lineage — a walk over driver-side snapshot summaries (O(snapshots)
-    metadata rows, no file I/O beyond the snapshot log)."""
+    lineage — a walk up the branch ref's ANCESTOR CHAIN (follow
+    parent_id from ``_refs()[branch]``), O(snapshots) driver-side
+    metadata rows, no data I/O.
+
+    Only ancestors count, not the global snapshot list: after a
+    rollback (the advertised recovery path — a bad batch is one
+    snapshot rollback away) the abandoned snapshot still carries its
+    (stream-id, batch-id) marker until ``expire_snapshots``, and a
+    marker on another branch (e.g. a dropped WAP/staging branch) was
+    never published here. Either would acknowledge a replayed batch
+    without writing it — silent data loss. A marker suppresses a
+    replay only while its snapshot is reachable from the branch head,
+    which is exactly the exactly-once contract."""
+    by_id = {s.snapshot_id: s for s in table._snapshots()}
+    cur = table._refs().get(branch)
     best: int | None = None
-    for s in table._snapshots():
+    while cur is not None and cur in by_id:
+        s = by_id[cur]
         if s.summary.get(STREAM_ID_KEY) == stream_id:
             bid = int(s.summary[BATCH_ID_KEY])
             best = bid if best is None or bid > best else best
+        cur = s.parent_id
     return best
 
 

@@ -122,12 +122,16 @@ class SqliteCatalogStore:
     renamed/relocated table keeps resolving), and an unregistered name
     falls back to the deterministic ``<warehouse>/<db>/<table>`` path,
     registering it if a table already lives there — the lazy migration
-    path for warehouses that predate the catalog database. The sqlite
-    write is serialized by sqlite's own locking; the catalog is never
-    on a query's data path (one lookup per table reference)."""
+    path for warehouses that predate the catalog database. sqlite's own
+    locking serializes separate CONNECTIONS, not concurrent use of one
+    shared connection (check_same_thread=False only disables the
+    ownership check), so every execute/commit pair holds an in-process
+    lock; the catalog is never on a query's data path (one lookup per
+    table reference), so the serialization is invisible to queries."""
 
     def __init__(self, db_path: str, warehouse: str):
         import sqlite3
+        import threading
 
         # jdbc:sqlite:file:PATH and jdbc:sqlite:PATH both name PATH;
         # the reference's `file:..._mode=memory` spelling means an
@@ -141,45 +145,51 @@ class SqliteCatalogStore:
             if parent:
                 os.makedirs(parent, exist_ok=True)
         self.warehouse = warehouse
+        self._lock = threading.Lock()
         self._con = sqlite3.connect(db_path, check_same_thread=False)
-        self._con.execute(
-            """CREATE TABLE IF NOT EXISTS iceberg_tables (
-                 table_namespace TEXT NOT NULL,
-                 table_name      TEXT NOT NULL,
-                 table_location  TEXT NOT NULL,
-                 PRIMARY KEY (table_namespace, table_name))"""
-        )
-        self._con.commit()
+        with self._lock:
+            self._con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                     table_namespace TEXT NOT NULL,
+                     table_name      TEXT NOT NULL,
+                     table_location  TEXT NOT NULL,
+                     PRIMARY KEY (table_namespace, table_name))"""
+            )
+            self._con.commit()
 
     def register(self, namespace: str, table: str, location: str) -> None:
-        self._con.execute(
-            "INSERT OR REPLACE INTO iceberg_tables VALUES (?, ?, ?)",
-            (namespace, table, location),
-        )
-        self._con.commit()
+        with self._lock:
+            self._con.execute(
+                "INSERT OR REPLACE INTO iceberg_tables VALUES (?, ?, ?)",
+                (namespace, table, location),
+            )
+            self._con.commit()
 
     def drop(self, namespace: str, table: str) -> None:
-        self._con.execute(
-            "DELETE FROM iceberg_tables "
-            "WHERE table_namespace = ? AND table_name = ?",
-            (namespace, table),
-        )
-        self._con.commit()
+        with self._lock:
+            self._con.execute(
+                "DELETE FROM iceberg_tables "
+                "WHERE table_namespace = ? AND table_name = ?",
+                (namespace, table),
+            )
+            self._con.commit()
 
     def tables(self, namespace: str) -> list[str]:
-        rows = self._con.execute(
-            "SELECT table_name FROM iceberg_tables "
-            "WHERE table_namespace = ? ORDER BY table_name",
-            (namespace,),
-        ).fetchall()
+        with self._lock:
+            rows = self._con.execute(
+                "SELECT table_name FROM iceberg_tables "
+                "WHERE table_namespace = ? ORDER BY table_name",
+                (namespace,),
+            ).fetchall()
         return [r[0] for r in rows]
 
     def location_for(self, namespace: str, table: str) -> str:
-        row = self._con.execute(
-            "SELECT table_location FROM iceberg_tables "
-            "WHERE table_namespace = ? AND table_name = ?",
-            (namespace, table),
-        ).fetchone()
+        with self._lock:
+            row = self._con.execute(
+                "SELECT table_location FROM iceberg_tables "
+                "WHERE table_namespace = ? AND table_name = ?",
+                (namespace, table),
+            ).fetchone()
         if row:
             return row[0]
         loc = os.path.join(self.warehouse, namespace, table)

@@ -40,6 +40,7 @@ import os
 import re
 import shutil
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 

@@ -323,6 +323,47 @@ def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
     assert last_committed_batch_id(t, "q2") == 0
 
 
+def test_streaming_replay_after_rollback_recommits(spark, tmp_path):
+    """The exactly-once marker must track the BRANCH LINEAGE, not the
+    global snapshot list: after rolling back a bad batch, its abandoned
+    snapshot still carries the (stream-id, batch-id) marker until
+    expire_snapshots — but a restarted query replaying that batch must
+    COMMIT it again, not be silently acknowledged (that would be data
+    loss). Markers on another branch must not suppress replays here
+    either."""
+    from iceberg_by_example_spark.streaming.ingest import (
+        last_committed_batch_id,
+        make_batch_committer,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "rb"), schema="k bigint, v string"
+    )
+    commit = make_batch_committer(t, stream_id="q1")
+    b0 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    b1 = spark.createDataFrame([(2, "bad")], "k bigint, v string")
+    commit(b0, 0)
+    good_head = t._refs()["main"]
+    commit(b1, 1)
+    assert last_committed_batch_id(t, "q1") == 1
+
+    # operator rolls back the bad batch; its snapshot (and marker)
+    # remain in the snapshot list but off the branch lineage
+    t.rollback(good_head)
+    assert last_committed_batch_id(t, "q1") == 0
+    commit(b1, 1)  # replay must WRITE, not be acknowledged idly
+    assert last_committed_batch_id(t, "q1") == 1
+    assert {r["v"] for r in t.read().collect()} == {"a", "bad"}
+
+    # a marker committed to a side branch never suppresses main
+    t.create_branch("staging")
+    side = make_batch_committer(t, branch="staging", stream_id="q9")
+    side(b0, 7)
+    assert last_committed_batch_id(t, "q9", branch="staging") == 7
+    assert last_committed_batch_id(t, "q9") is None
+
+
 def test_streaming_merge_replay_is_idempotent(spark, tmp_path):
     """Same contract on the MERGE path: a replayed upsert batch neither
     duplicates rows nor advances the table."""

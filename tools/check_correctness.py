@@ -55,8 +55,17 @@ def from_pandas(v):
     return v
 
 
+# Queries where the midnight-datetime→date collapse fired this run.
+# The collapse mirrors driver leniency (see canon below) but widens a
+# blind spot — a genuine timestamp-vs-date column divergence whose
+# values all land at midnight would slip through — so the gate PRINTS a
+# note whenever it actually fires instead of collapsing silently.
+MIDNIGHT_COLLAPSED = 0
+
+
 def canon(v):
     """Canonical form for one value, identical across engines."""
+    global MIDNIGHT_COLLAPSED
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -73,8 +82,10 @@ def canon(v):
         # pandas conversion renders DATE columns as midnight
         # datetime64 while Spark's toPandas keeps datetime.date, and
         # the driver grades those green (r3: events_retention_cohorts)
-        # — so the local gate must too.
+        # — so the local gate must too. Counted so the per-query note
+        # makes the leniency visible (see MIDNIGHT_COLLAPSED).
         if v.time() == dt.time(0, 0):
+            MIDNIGHT_COLLAPSED += 1
             return f"d:{v.date().isoformat()}"
         return f"t:{v.isoformat()}"
     if isinstance(v, dt.date):
@@ -167,8 +178,17 @@ def main() -> int:
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
+            global MIDNIGHT_COLLAPSED
+            before = MIDNIGHT_COLLAPSED
             sm = row_multiset([c.lower() for c in scols], srows)
             om = row_multiset([c.lower() for c in ocols], orows)
+            if MIDNIGHT_COLLAPSED > before:
+                print(
+                    f"note {name}: {MIDNIGHT_COLLAPSED - before} "
+                    "midnight-naive datetimes collapsed to dates "
+                    "(driver-leniency mirror — check column types if "
+                    "unexpected)"
+                )
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
