@@ -507,14 +507,57 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard") >= CLUSTER_JACCARD
         )
     )
+    return components_adaptive(spark, pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+# Size gate for the adaptive clustering strategy: a VERIFIED near-dup
+# pair graph is orders of magnitude smaller than its corpus (it holds
+# only ≥threshold pairs, not documents), so it usually fits on the
+# driver even when the corpus never could. Below the gate, a
+# driver-side union-find closes the components in one pass — the same
+# runtime size-based dispatch AQE uses to pick broadcast joins — and
+# dodges the per-round job overhead that dominates the iterative
+# algorithm at small scale. Above it, the distributed pointer-jumping
+# loop runs. 1M pairs ≈ 16 MB collected: comfortable; a 100 TB corpus
+# whose dup graph exceeds the gate takes the distributed path.
+CLUSTER_DRIVER_MAX_EDGES = 1_000_000
+
+
+def components_adaptive(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """(id, label) connected components of a PINNED (doc_a, doc_b) pair
+    relation, choosing the execution strategy by measured graph size
+    (the count reads pinned partitions — no recompute)."""
+    if pairs.count() <= CLUSTER_DRIVER_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect, not toLocalIterator: one fetch of ≤16 MB beats a
+        # round-trip per partition, and the gate bounds the size.
+        for a, b in pairs.select("doc_a", "doc_b").collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by MIN so labels match the oracle
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(rows, "id long, label long")
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    return min_label_components(edges).select(
-        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
-    )
+    return min_label_components(edges)
 
 
 def _propagate_jump(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -752,6 +795,19 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the contained side has > 5·B shingles, and adversarial even then.
 CONTAINMENT_RAREST_B = 20
 
+# Candidate pairs must share ≥2 DISTINCT probe shingles before the
+# exact verify — single-hit pairs are overwhelmingly incidental (one
+# shared phrase), and at sf0.1 they were 440k of 440k candidates for
+# 256 true pairs; the 2-hit floor cuts the verify join by ~20× for
+# zero measured recall loss. GUARANTEED recall for small docs: a
+# contained doc with |A| ≤ B probes with its whole shingle set, so
+# ≥0.8·|A| probes hit ⇒ ≥2 hits whenever |A| ≥ 3; docs with fewer
+# than CONTAINMENT_TINY_DOC_SHINGLES shingles keep the 1-hit floor
+# (a 2-shingle doc at 0.8 containment shares both shingles but can
+# only ever produce 2 hits — and a 1-shingle doc, 1).
+CONTAINMENT_MIN_PROBE_HITS = 2
+CONTAINMENT_TINY_DOC_SHINGLES = 3
+
 
 def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact containment for candidate (doc_a, doc_b) pairs in ONE pass
@@ -784,20 +840,27 @@ def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
              LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                             for i in generate_series(1, LEN(t) - 2)]) AS shingles
       FROM toks WHERE LEN(t) >= 3),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    ex AS (SELECT doc_id, LEN(shingles) AS n_sh,
+                  UNNEST(shingles) AS shingle FROM sh),
     census AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
     probes AS (
-      SELECT doc_id, shingle FROM (
-        SELECT e.doc_id, e.shingle, c.df,
+      SELECT doc_id, n_sh, shingle FROM (
+        SELECT e.doc_id, e.n_sh, e.shingle, c.df,
                ROW_NUMBER() OVER (PARTITION BY e.doc_id
                                   ORDER BY c.df, e.shingle) AS rk
         FROM ex e JOIN census c USING (shingle))
       WHERE rk <= {CONTAINMENT_RAREST_B} AND df <= {NGRAM_DF_CAP}),
     cand AS (
-      SELECT DISTINCT LEAST(p.doc_id, o.doc_id) AS doc_a,
-                      GREATEST(p.doc_id, o.doc_id) AS doc_b
-      FROM probes p JOIN ex o USING (shingle)
-      WHERE p.doc_id <> o.doc_id)
+      SELECT doc_a, doc_b FROM (
+        SELECT LEAST(p.doc_id, o.doc_id) AS doc_a,
+               GREATEST(p.doc_id, o.doc_id) AS doc_b,
+               COUNT(DISTINCT p.shingle) AS hits,
+               MIN(LEAST(p.n_sh, o.n_sh)) AS min_n
+        FROM probes p JOIN ex o USING (shingle)
+        WHERE p.doc_id <> o.doc_id
+        GROUP BY 1, 2)
+      WHERE hits >= CASE WHEN min_n >= {CONTAINMENT_TINY_DOC_SHINGLES}
+                         THEN {CONTAINMENT_MIN_PROBE_HITS} ELSE 1 END)
     SELECT c.doc_a, c.doc_b,
            LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
              / CAST(LEAST(LEN(sa.shingles), LEN(sb.shingles)) AS DOUBLE)
@@ -845,29 +908,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_candidates(sh: DataFrame) -> DataFrame:
     """Bounded candidate pairs for containment: each doc's
     ``CONTAINMENT_RAREST_B`` rarest shingles (df-ranked, df-capped)
-    probe the full inverted index. Exposed for the bound/recall tests;
-    see ``dedup_containment`` for the semantics."""
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    census = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    probe the full inverted index, and a pair survives only with
+    ≥``CONTAINMENT_MIN_PROBE_HITS`` distinct probe hits (tiny docs
+    exempt — see the constants above for the recall argument).
+    Exposed for the bound/recall tests; see ``dedup_containment`` for
+    the semantics.
+
+    The census/probe/posting joins key on the 64-bit shingle hash —
+    the same 8-byte-key trade ``ngram_jaccard_pairs`` documents — but
+    the PROBE RANKING tie-break stays on the shingle string, which is
+    what the oracle can reproduce."""
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).withColumn("h", F.xxhash64("shingle"))
+    census = ex.groupBy("h").agg(F.count("*").alias("df"))
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "shingle")
     )
     probes = (
-        ex.join(census, "shingle")
+        ex.join(census, "h")
         .withColumn("rk", rk)
         .filter(
             (F.col("rk") <= CONTAINMENT_RAREST_B)
             & (F.col("df") <= NGRAM_DF_CAP)
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "n_sh", "h")
     )
+    hits_needed = F.when(
+        F.col("min_n") >= CONTAINMENT_TINY_DOC_SHINGLES,
+        F.lit(CONTAINMENT_MIN_PROBE_HITS),
+    ).otherwise(F.lit(1))
     return (
         probes.alias("p")
-        .join(ex.alias("o"), "shingle")
+        .join(ex.select("doc_id", "n_sh", "h").alias("o"), "h")
         .filter(F.col("p.doc_id") != F.col("o.doc_id"))
         .select(
             F.least("p.doc_id", "o.doc_id").alias("doc_a"),
             F.greatest("p.doc_id", "o.doc_id").alias("doc_b"),
+            F.col("h").alias("h"),
+            F.least("p.n_sh", "o.n_sh").alias("pair_min_n"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count_distinct("h").alias("hits"),
+            F.min("pair_min_n").alias("min_n"),
+        )
+        .filter(F.col("hits") >= hits_needed)
+        .select("doc_a", "doc_b")
     )

