@@ -956,3 +956,91 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
         .filter(F.col("hits") >= hits_needed)
         .select("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (long-n-gram) duplicate detection
+# ---------------------------------------------------------------------------
+
+# Exact-substring dedup knobs: a SPAN is SPAN_TOKENS consecutive tokens
+# sampled every SPAN_STRIDE positions. 20 tokens is long enough that a
+# match is memorization-grade evidence, not chance phrasing (the
+# standard production choice is 50 BPE tokens; 20 words is the same
+# order); stride 10 halves the index size while any shared run of
+# length >= SPAN_TOKENS + SPAN_STRIDE - 1 still always aligns at least
+# one sampled window on both sides. Spans hotter than SPAN_DF_CAP are
+# excluded from PAIRING (not from counting) - the same sum(df^2) bound
+# as the shingle index; a span shared by a million docs is boilerplate,
+# and its pairs would be quadratic in df by definition, not by accident.
+SPAN_TOKENS = 20
+SPAN_STRIDE = 10
+SPAN_DF_CAP = NGRAM_DF_CAP
+
+
+@register(
+    "dedup_span_ngram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    w AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(t[i:i+{SPAN_TOKENS - 1}], ' ')) AS k
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t) - {SPAN_TOKENS - 1}, {SPAN_STRIDE})) AS i)
+      WHERE LEN(t) >= {SPAN_TOKENS}),
+    spans AS (SELECT DISTINCT doc_id, k FROM w),
+    census AS (SELECT k, COUNT(*) AS df FROM spans GROUP BY k)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_spans
+    FROM spans a
+    JOIN census c ON a.k = c.k AND c.df <= {SPAN_DF_CAP}
+    JOIN spans b ON a.k = b.k AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    category="dedup",
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection - the EXACT-SUBSTRING dedup mode
+    (the published approach trains-better result: drop long verbatim
+    repeats, not whole documents): pairs of docs sharing at least one
+    identical SPAN_TOKENS-token window, with the count of shared
+    sampled windows as the overlap weight. Document-level Jaccard and
+    containment both miss this case when the shared run is a small
+    fraction of BOTH documents (two long articles quoting the same
+    paragraph); the span index catches exactly the verbatim run.
+
+    Scale shape: windows are sampled every SPAN_STRIDE tokens, so the
+    index is corpus_tokens / SPAN_STRIDE rows of (doc_id, 16-byte key)
+    - strictly smaller than the shingle index - and the pairing
+    self-join is bounded by the same df-cap argument as
+    ``ngram_jaccard_pairs`` (census join keeps the cap exact). The md5
+    window key (not xxhash64) keeps the whole operator
+    oracle-checkable: both engines hash identical strings."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SPAN_TOKENS
+    )
+    win = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_TOKENS - 1}, "
+                f"{SPAN_STRIDE}), i -> array_join(slice(t, i, "
+                f"{SPAN_TOKENS}), ' '))"
+            )
+        ).alias("span"),
+    )
+    spans = win.select("doc_id", F.md5("span").alias("k")).distinct()
+    census = spans.groupBy("k").agg(F.count("*").alias("df"))
+    a = spans.alias("a").join(
+        census.filter(F.col("df") <= SPAN_DF_CAP), "k", "left_semi"
+    )
+    return (
+        a.alias("a")
+        .join(spans.alias("b"), "k")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_spans"))
+    )

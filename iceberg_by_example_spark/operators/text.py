@@ -439,3 +439,92 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("t", start + 1, CHUNK_TOKENS), " "
         ).alias("chunk_text"),
     )
+
+
+# Gopher-style repetition thresholds (the published quality-filter
+# family): a doc whose duplicate-token fraction or top-bigram share
+# exceeds these is repetition-degenerate (looping generation, scraped
+# boilerplate chains, keyword stuffing) and excluded from training.
+REP_DUP_TOKEN_MAX = 0.55
+REP_TOP_BIGRAM_MAX = 0.10
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    base AS (
+      SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+             LEN(LIST_DISTINCT(t)) AS n_distinct
+      FROM tok),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i)
+      WHERE LEN(t) >= 2),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           1 - b.n_distinct / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac,
+           t.top_c / CAST(t.n_bigrams AS DOUBLE) AS top_bigram_frac,
+           (1 - b.n_distinct / CAST(b.n_tokens AS DOUBLE))
+             > {REP_DUP_TOKEN_MAX}
+           OR t.top_c / CAST(t.n_bigrams AS DOUBLE) > {REP_TOP_BIGRAM_MAX}
+             AS flagged
+    FROM base b JOIN top t USING (doc_id)
+    """,
+    category="text",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter, the published
+    repetition-signal family: duplicate-token fraction
+    (1 − |distinct| / |tokens|) and the most-frequent-bigram share of
+    all bigrams, with the union-of-thresholds flag. Complements the
+    INTER-document dedup operators — a looping doc is useless for
+    training even when it is globally unique.
+
+    Scale shape: the distinct-token side is a pure per-row expression
+    (array_distinct over the token array — zero shuffle); the bigram
+    mode needs a (doc_id, bigram) partial-count then a per-doc MAX —
+    two map-side-combinable aggregations on narrow keys. The bigram
+    explode is transient; text never enters a shuffle. Fractions are
+    exact-integer ratios evaluated in double — identical in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    base = tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    bg = tok.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    dup_frac = 1 - F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_c") / F.col("n_bigrams").cast("double")
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac > REP_DUP_TOKEN_MAX)
+            | (top_frac > REP_TOP_BIGRAM_MAX)
+        ).alias("flagged"),
+    )

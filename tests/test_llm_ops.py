@@ -429,6 +429,76 @@ def test_label_propagation_chain_converges_logarithmically(spark):
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
 
 
+def test_span_dedup_catches_shared_paragraph(spark, tmp_path):
+    """Two long docs sharing one verbatim 30-token run — a small
+    fraction of each, so Jaccard AND containment both stay far under
+    their thresholds — must surface as a span-dedup pair; unrelated
+    docs must not."""
+    from iceberg_by_example_spark.plans.registry import (
+        QUERY_REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    quoted = " ".join(f"quote{i}" for i in range(30))
+    a_body = " ".join(f"alpha{i}" for i in range(150))
+    b_body = " ".join(f"beta{i}" for i in range(150))
+    rows = [
+        (1, a_body + " " + quoted),
+        (2, quoted + " " + b_body),
+        (3, " ".join(f"gamma{i}" for i in range(180))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spans = {
+        (r["doc_a"], r["doc_b"]): r["shared_spans"]
+        for r in QUERY_REGISTRY["dedup_span_ngram"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (1, 2) in spans and spans[(1, 2)] >= 1
+    assert all(3 not in pair for pair in spans)
+    # the shared run is <20% of either doc: containment can't see it
+    cont = (
+        QUERY_REGISTRY["dedup_containment"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert not [r for r in cont if {r["doc_a"], r["doc_b"]} == {1, 2}]
+
+
+def test_repetition_stats_flag_degenerate_docs(spark, tmp_path):
+    """A looping doc must be flagged by either repetition signal; a
+    diverse doc must not. Exact fractions checked against hand
+    arithmetic."""
+    from iceberg_by_example_spark.plans.registry import (
+        QUERY_REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    rows = [
+        (1, "spam ham " * 50),  # top bigram dominates
+        (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+    ]
+    rows = [(i, t.strip()) for i, t in rows]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERY_REGISTRY["text_repetition_stats"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[1]["flagged"] and not got[2]["flagged"]
+    assert got[1]["dup_token_frac"] == 1 - 2 / 100
+    # "spam ham" 50×, "ham spam" 49× → top 50 of 99 bigrams
+    assert abs(got[1]["top_bigram_frac"] - 50 / 99) < 1e-12
+    assert got[2]["dup_token_frac"] == 0.0
+
+
 def test_image_decode_probe_gates_real_codec():
     """The decode path is probe-gated like the avro delete-format
     probe: with Pillow present, real image bytes decode for real (and
