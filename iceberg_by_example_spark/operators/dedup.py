@@ -293,6 +293,22 @@ MINHASH_BANDS = 8  # bands of 4 rows → catches jaccard ≳ 0.5 reliably
 _PRIME31 = (1 << 31) - 1  # Mersenne prime; keeps a*h+b far below 2^63
 
 
+def _md5_hash60(col) -> "F.Column":
+    """Deterministic 60-bit integer hash of a string column that BOTH
+    engines compute identically: the first 15 hex chars of md5, parsed
+    base-16 (15 chars = 60 bits, always inside a signed int64 — 16
+    would overflow at the sign bit). DuckDB twin:
+    ``('0x' || SUBSTR(MD5(x), 1, 15))::BIGINT``.
+
+    This is the portability trade the minhash/simhash family makes so
+    their candidate sets are ORACLE-CHECKABLE end-to-end (a driver
+    hash-green row beats a rows-only one): md5 costs ~3× xxhash64 per
+    shingle, a narrow map-stage cost that does not change any shuffle.
+    A deployment that has given up cross-engine verification can swap
+    ``F.xxhash64`` back in without touching any plan shape."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _perm_coeffs(i: int) -> tuple[int, int]:
     """Affine permutation coefficients derived from the index — no RNG
     state to ship, any executor regenerates them."""
@@ -304,7 +320,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>[MINHASH_PERMS]) per document.
 
-    Each shingle is hashed exactly ONCE (xxhash64 folded into [0, p))
+    Each shingle is hashed exactly ONCE (the portable ``_md5_hash60``
+    folded into [0, p))
     into a per-document hash ARRAY, then each of the 32 permutations is
     an integer affine map + ``array_min`` over that array — entirely
     within the row, ZERO shuffle. (Round 2 exploded the shingles and
@@ -322,7 +339,7 @@ def minhash_signatures(
     hashed = sh.select(
         "doc_id",
         F.transform(
-            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME31))
+            "sh", lambda s: F.pmod(_md5_hash60(s), F.lit(_PRIME31))
         ).alias("h"),
     )
     sig_cols = []
@@ -336,9 +353,61 @@ def minhash_signatures(
     return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
 
 
+def _minhash_oracle_ctes() -> str:
+    """Shared DuckDB CTEs computing the exact same minhash-LSH
+    candidate pairs as the Spark plan: identical 3-gram shingles,
+    identical ``_md5_hash60 % p`` base hash, identical affine
+    permutations (coefficients inlined from ``_perm_coeffs``), and
+    band keys joined on the RAW signature slice — Spark compresses the
+    slice to an xxhash64 bucket purely to keep its shuffle key at 8
+    bytes, and bucket equality ⟺ slice equality up to a 2⁻⁶⁴
+    collision."""
+    p = _PRIME31
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n       ".join(
+        f"LIST_MIN(LIST_TRANSFORM(h, x -> ({a} * x + {b}) % {p}))"
+        for a, b in (_perm_coeffs(i) for i in range(MINHASH_PERMS))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM toks WHERE LEN(t) >= 3),
+    hashed AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(shingles,
+               s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT % {p}) AS h
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, [{mins}] AS sig FROM hashed),
+    banded AS (
+      SELECT doc_id, b AS band,
+             LIST_SLICE(sig, b * {rows_per_band} + 1,
+                        b * {rows_per_band} + {rows_per_band}) AS key
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             0, {MINHASH_BANDS - 1})) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 has no DuckDB twin; invariants tested in pytest
+    oracle=_minhash_oracle_ctes()
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           LEN([i for i in generate_series(1, {MINHASH_PERMS})
+                if sa.sig[i] = sb.sig[i]]) / {MINHASH_PERMS}.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
     category="dedup",
     bench=True,
 )
@@ -418,7 +487,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_pipeline_lsh_verified",
-    oracle=None,  # candidate set depends on xxhash64; recall tested in pytest
+    oracle=_minhash_oracle_ctes()
+    + """
+    SELECT c.doc_a, c.doc_b,
+           LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+             / CAST(LEN(sa.shingles) + LEN(sb.shingles)
+                    - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+                    AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+            / CAST(LEN(sa.shingles) + LEN(sb.shingles)
+                   - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+                   AS DOUBLE) >= 0.5
+    """,
     category="dedup",
 )
 def dedup_pipeline_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,18 +878,20 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the contained side has > 5·B shingles, and adversarial even then.
 CONTAINMENT_RAREST_B = 20
 
-# Candidate pairs must share ≥2 DISTINCT probe shingles before the
-# exact verify — single-hit pairs are overwhelmingly incidental (one
-# shared phrase), and at sf0.1 they were 440k of 440k candidates for
-# 256 true pairs; the 2-hit floor cuts the verify join by ~20× for
-# zero measured recall loss. GUARANTEED recall for small docs: a
-# contained doc with |A| ≤ B probes with its whole shingle set, so
-# ≥0.8·|A| probes hit ⇒ ≥2 hits whenever |A| ≥ 3; docs with fewer
-# than CONTAINMENT_TINY_DOC_SHINGLES shingles keep the 1-hit floor
-# (a 2-shingle doc at 0.8 containment shares both shingles but can
-# only ever produce 2 hits — and a 1-shingle doc, 1).
-CONTAINMENT_MIN_PROBE_HITS = 2
-CONTAINMENT_TINY_DOC_SHINGLES = 3
+# Candidate pairs must share enough DISTINCT probe shingles before the
+# exact verify that incidental overlaps (one or two shared phrases)
+# never reach it. The floor is the GUARANTEED hit count of a true pair:
+# a contained doc A with |A| ≤ B probes with its whole shingle set, and
+# ≥0.8 containment forces ≥⌈0.8·|A|⌉ of those probes to hit — so
+# requiring hits ≥ least(CAP, ⌈0.8·min_n⌉) can never drop a true pair
+# whose small side has ≤ B shingles (⌈0.8·n⌉ computed as the exact
+# integer (4n+4)//5, no float in either engine). The CAP matters for
+# min_n > B: there only B of the small side's shingles probe and the
+# ⌈0.8·min_n⌉ bound no longer applies, so the floor stays at CAP.
+# Measured at sf0.1: floor 2 left 15,518 candidates (14,764 at exactly
+# 2 hits, all false) for 256 true pairs, whose minimum hits was 8;
+# this floor leaves ~270 — a 57× smaller verify join, zero recall loss.
+CONTAINMENT_MIN_HITS_CAP = 4
 
 
 def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -854,13 +939,13 @@ def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
       SELECT doc_a, doc_b FROM (
         SELECT LEAST(p.doc_id, o.doc_id) AS doc_a,
                GREATEST(p.doc_id, o.doc_id) AS doc_b,
-               COUNT(DISTINCT p.shingle) AS hits,
-               MIN(LEAST(p.n_sh, o.n_sh)) AS min_n
+               COUNT(*) AS hits,
+               MIN(p.n_sh) AS min_n
         FROM probes p JOIN ex o USING (shingle)
-        WHERE p.doc_id <> o.doc_id
+        WHERE (p.n_sh, p.doc_id) < (o.n_sh, o.doc_id)
         GROUP BY 1, 2)
-      WHERE hits >= CASE WHEN min_n >= {CONTAINMENT_TINY_DOC_SHINGLES}
-                         THEN {CONTAINMENT_MIN_PROBE_HITS} ELSE 1 END)
+      WHERE hits >= LEAST({CONTAINMENT_MIN_HITS_CAP},
+                          (4 * min_n + 4) // 5))
     SELECT c.doc_a, c.doc_b,
            LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
              / CAST(LEAST(LEN(sa.shingles), LEN(sb.shingles)) AS DOUBLE)
@@ -909,8 +994,9 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
     """Bounded candidate pairs for containment: each doc's
     ``CONTAINMENT_RAREST_B`` rarest shingles (df-ranked, df-capped)
     probe the full inverted index, and a pair survives only with
-    ≥``CONTAINMENT_MIN_PROBE_HITS`` distinct probe hits (tiny docs
-    exempt — see the constants above for the recall argument).
+    ≥ least(``CONTAINMENT_MIN_HITS_CAP``, ⌈0.8·min_n⌉) distinct probe
+    hits — the guaranteed hit count of a true pair, so the floor costs
+    no recall (see the constants above for the argument).
     Exposed for the bound/recall tests; see ``dedup_containment`` for
     the semantics.
 
@@ -934,23 +1020,32 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n_sh", "h")
     )
-    hits_needed = F.when(
-        F.col("min_n") >= CONTAINMENT_TINY_DOC_SHINGLES,
-        F.lit(CONTAINMENT_MIN_PROBE_HITS),
-    ).otherwise(F.lit(1))
+    hits_needed = F.least(
+        F.lit(CONTAINMENT_MIN_HITS_CAP).cast("long"),
+        F.floor((4 * F.col("min_n") + 4) / 5),
+    )
+    # Asymmetric probing: only the SMALLER doc of a pair probes (ties
+    # broken by doc_id). The recall guarantee concerns the small side's
+    # probes hitting the big doc, so dropping the reverse direction
+    # costs nothing — and it halves the posting join, makes (pair, h)
+    # rows unique (count(*), map-side combinable, replaces the exact
+    # count_distinct), and pins min_n to the probe side's n_sh.
+    smaller_probes = (F.col("p.n_sh") < F.col("o.n_sh")) | (
+        (F.col("p.n_sh") == F.col("o.n_sh"))
+        & (F.col("p.doc_id") < F.col("o.doc_id"))
+    )
     return (
         probes.alias("p")
         .join(ex.select("doc_id", "n_sh", "h").alias("o"), "h")
-        .filter(F.col("p.doc_id") != F.col("o.doc_id"))
+        .filter(smaller_probes)
         .select(
             F.least("p.doc_id", "o.doc_id").alias("doc_a"),
             F.greatest("p.doc_id", "o.doc_id").alias("doc_b"),
-            F.col("h").alias("h"),
-            F.least("p.n_sh", "o.n_sh").alias("pair_min_n"),
+            F.col("p.n_sh").alias("pair_min_n"),
         )
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.count_distinct("h").alias("hits"),
+            F.count(F.lit(1)).alias("hits"),
             F.min("pair_min_n").alias("min_n"),
         )
         .filter(F.col("hits") >= hits_needed)
