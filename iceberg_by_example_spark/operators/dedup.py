@@ -722,27 +722,60 @@ def min_label_components(edges: DataFrame) -> DataFrame:
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4  # 4 × 16-bit chunks: hamming ≤ 3 ⇒ one chunk equal
+SIMHASH_BITS = 60  # _md5_hash60's width — every bit is live
+SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks: hamming ≤ 3 ⇒ one chunk equal
+_SIMHASH_MAX_HAMMING = 6
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; invariants tested in pytest
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(token), 1, 15))::BIGINT AS h
+      FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS s
+      FROM th, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             0, {SIMHASH_BITS - 1})) AS j)
+      GROUP BY doc_id, j),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    chunked AS (
+      SELECT doc_id, simhash, c AS chunk,
+             (simhash >> (c * {SIMHASH_BITS // SIMHASH_CHUNKS}))
+               & {(1 << (SIMHASH_BITS // SIMHASH_CHUNKS)) - 1} AS val
+      FROM fp, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             0, {SIMHASH_CHUNKS - 1})) AS c))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
     category="dedup",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint where bit j is the sign of
-    the sum over tokens of ±1 (xxhash64 bit j), then candidate pairs by
-    the 4-chunk pigeonhole (hamming ≤ 3 guarantees an equal 16-bit
-    chunk) with exact hamming distance on candidates.
+    """SimHash near-dup: 60-bit fingerprint where bit j is the sign of
+    the sum over tokens of ±1 (portable ``_md5_hash60`` bit j — the
+    md5-for-xxhash64 trade documented there, which is what makes this
+    candidate set oracle-checkable), then candidate pairs by the
+    4-chunk pigeonhole (hamming ≤ 3 guarantees an equal 15-bit chunk)
+    with exact hamming distance on candidates.
 
     All bit math is integer column expressions; the token explode is
     the only data growth and aggregates straight back down."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", _md5_hash60("token"))
     # bit j contribution: +1 if hash bit set else -1
     bit_sums = tok.groupBy("doc_id").agg(
         *[
@@ -752,9 +785,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(SIMHASH_BITS)
         ]
     )
-    # Pack sign bits into a long. shiftleft wraps at bit 63 (two's
-    # complement) which is fine for a fingerprint; bitwise OR via sum
-    # is safe because the set bits are disjoint.
+    # Pack sign bits into a long (60 bits — always positive int64);
+    # bitwise OR via sum is safe because the set bits are disjoint.
     simhash = bit_sums.select(
         "doc_id",
         sum(
@@ -802,7 +834,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .distinct()
     )
 

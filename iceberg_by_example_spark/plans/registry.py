@@ -73,6 +73,9 @@ _FORCE_REGRADE: frozenset[str] = frozenset(
         # next window re-validates them even if a recent row exists.
         "sample_deterministic",  # r5: seeded .sample -> hash-threshold
         "dedup_containment",  # r5: candidate join bounded (rarest-B)
+        "dedup_minhash_lsh",  # r5: portable md5 hash family + oracle
+        "dedup_pipeline_lsh_verified",  # r5: same + oracle
+        "dedup_simhash",  # r5: 60-bit portable hash family + oracle
     }
 )
 
