@@ -367,7 +367,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_ann_topk",
-    oracle=None,  # composite LSH probe; exactness covered by sim_topk_cosine
+    # Every stage is deterministic — seed-literal hyperplanes, quantized
+    # dots — so even the APPROXIMATE path oracle-checks end-to-end.
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qbucket
+          FROM bucketed WHERE vec_id = 0),
+    cands AS (
+      SELECT b.vec_id, b.embedding, q.qe
+      FROM bucketed b, q
+      WHERE b.bucket = q.qbucket AND b.vec_id != 0)
+    SELECT vec_id,
+           CAST({_DOT_SQL.format(a='embedding', b='qe')} AS DOUBLE)
+             / (SQRT(CAST({_DOT_SQL.format(a='embedding', b='embedding')} AS DOUBLE))
+                * SQRT(CAST({_DOT_SQL.format(a='qe', b='qe')} AS DOUBLE))) AS cosine
+    FROM cands
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
     category="similarity",
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
