@@ -249,3 +249,108 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_grams",
         (F.col("shared_grams") >= DECON_MIN_SHARED).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel report: per-stage drop accounting
+# ---------------------------------------------------------------------------
+
+# Ordered quality-filter cascade. Each document is attributed to the
+# FIRST stage that rejects it (the standard funnel semantics: a doc
+# dropped for length never reaches the diversity check), so stage
+# counts sum exactly to the corpus size and survivors are monotone.
+# Thresholds sit inside this corpus's observed distributions
+# (n_tokens in [10, 99], type-token ratio p10 ~ 0.32) so every stage
+# does real work at test scale.
+FUNNEL_MIN_TOKENS = 24
+FUNNEL_MIN_TTR = 0.35
+FUNNEL_MIN_STOP_RATIO = 0.05
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS ttr,
+             {_sql_stop_hits('en')}
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS stop_ratio
+      FROM documents),
+    staged AS (
+      SELECT CASE
+               WHEN n_tokens < {FUNNEL_MIN_TOKENS} THEN 'too_short'
+               WHEN ttr < {FUNNEL_MIN_TTR} THEN 'low_diversity'
+               WHEN stop_ratio < {FUNNEL_MIN_STOP_RATIO} THEN 'no_stopwords'
+               ELSE 'kept' END AS stage
+      FROM m),
+    counts AS (SELECT stage, COUNT(*) AS n_docs FROM staged GROUP BY stage),
+    total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts)
+    SELECT c.stage,
+           CASE c.stage WHEN 'too_short' THEN 1 WHEN 'low_diversity' THEN 2
+                        WHEN 'no_stopwords' THEN 3 ELSE 4 END AS stage_idx,
+           c.n_docs, c.n_docs / CAST(t.n AS DOUBLE) AS pct_of_total
+    FROM counts c, total t
+    """,
+    category="pipeline",
+    bench=True,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage drop accounting for the quality-filter cascade — the
+    observability report every production curation pipeline publishes
+    next to its output (how many docs each filter rejected, and what
+    fraction of the corpus survives to training).
+
+    Scale shape: metrics are pure column expressions over one corpus
+    scan; the stage attribution is a CASE chain (no joins between
+    stages — first-failure semantics means ONE pass decides every
+    doc); counts are a map-side-combinable groupBy over ≤4 stage keys;
+    the grand total joins back as a broadcast 1-row aggregate, the
+    same shape as ``pipeline_domain_mix``. Nothing here grows with
+    corpus size except the initial scan."""
+    from iceberg_by_example_spark.functions.text import (
+        stopword_hits,
+        token_count,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    m = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            F.size(F.array_distinct(tokens("text"))) / n_tok.cast("double")
+        ).alias("ttr"),
+        (stopword_hits("text", "en") / n_tok.cast("double")).alias(
+            "stop_ratio"
+        ),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < FUNNEL_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("ttr") < FUNNEL_MIN_TTR, F.lit("low_diversity"))
+        .when(
+            F.col("stop_ratio") < FUNNEL_MIN_STOP_RATIO,
+            F.lit("no_stopwords"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    stage_idx = (
+        F.when(F.col("stage") == "too_short", 1)
+        .when(F.col("stage") == "low_diversity", 2)
+        .when(F.col("stage") == "no_stopwords", 3)
+        .otherwise(4)
+    )
+    counts = (
+        m.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_docs").alias("n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "stage",
+        stage_idx.alias("stage_idx"),
+        "n_docs",
+        (F.col("n_docs") / F.col("n").cast("double")).alias("pct_of_total"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iceberg_by_example_spark.functions.exact import (
     davg,
@@ -1148,3 +1149,98 @@ def tpch_q20_concentrated_suppliers(
 
     register_views(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of stream_session_window)
+# ---------------------------------------------------------------------------
+
+# Inactivity gap that closes a session. 30 minutes is the classic web-
+# analytics convention; the value is shared with the oracle via this
+# constant so both engines cut sessions at the identical boundary.
+SESSION_GAP_S = 1800
+
+
+@register(
+    "events_user_sessions",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                    OR EPOCH_US(ts) - EPOCH_US(prev)
+                       > {SESSION_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000
+             AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    category="analytics",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the batch event log: a session is
+    a maximal run of a user's events with no ``SESSION_GAP_S`` gap —
+    the lag-flag-cumsum idiom, the batch twin of
+    ``stream_session_window``'s state-store sessions (that one merges
+    windows as events ARRIVE; this one cuts the completed log).
+
+    Scale shape: ONE shuffle. The lag, the running session counter,
+    and the per-session aggregate are all keyed by user_id, so
+    Catalyst plans a single exchange on user_id and the final
+    groupBy(user_id, session_idx) reuses the window's partitioning
+    (no second shuffle; the sort is per-partition). Skewed power
+    users bound the partition, not the cluster — a user's events must
+    be co-located for ANY sessionization, so user_id is the minimal
+    correct key."""
+    from iceberg_by_example_spark.util import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_S * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                epoch_micros("ts") - epoch_micros(F.lag("ts").over(order))
+                > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(run).alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (epoch_micros(F.max("ts")) - epoch_micros(F.min("ts")))
+            / 1_000_000
+        ).alias("duration_s"),
+    )

@@ -1,7 +1,8 @@
-"""Invariant tests for the LLM-data operators whose internals aren't
-DuckDB-expressible (MinHash/SimHash use xxhash64; the multimodal decode
-stub is engine-internal). These assert the *mathematical* properties the
-rows-only driver check can't see.
+"""Invariant tests for the LLM-data operators: mathematical properties
+(recall on planted duplicates, signature agreement, funnel accounting)
+that complement the row/schema/hash driver check — and, for the few
+queries whose internals aren't DuckDB-expressible (KMeans IVF, the
+multimodal decode stub), the only check there is.
 """
 
 import pytest
@@ -707,3 +708,78 @@ def test_epoch_plan_realizes_mix_within_cap(spark):
         if not r["clipped"]:
             realized = r["planned_tokens"] / total
             assert abs(realized - r["target_weight"]) < 1e-9
+
+
+def test_user_sessions_gap_cut_and_single_shuffle(spark, tmp_path):
+    """A >30-min gap opens a new session; smaller gaps extend the
+    current one. The whole operator must plan exactly ONE exchange
+    (lag, running counter, and per-session agg all key on user_id)."""
+    import datetime as dt
+
+    from iceberg_by_example_spark.plans.analytics import events_user_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0)
+
+    rows = [
+        ev(1, 10, 0),
+        ev(2, 10, 10),  # 10-min gap: same session
+        ev(3, 10, 50),  # 40-min gap: new session
+        ev(4, 20, 0),  # other user: own session
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    sf_dir = str(tmp_path)
+    events.write.parquet(f"{sf_dir}/events.parquet")
+
+    out = events_user_sessions(spark, sf_dir)
+    # read the plan BEFORE executing: post-collect AQE re-planning
+    # inserts bookkeeping nodes that double-count the one exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_s)
+        for r in out.collect()
+    }
+    assert got == {
+        (10, 1): (2, 600),  # events 1+2, 10 minutes long
+        (10, 2): (1, 0),
+        (20, 1): (1, 0),
+    }
+
+
+def test_filter_funnel_first_failure_attribution(spark, tmp_path):
+    """Stage counts sum to the corpus and a doc failing several
+    filters is charged to the FIRST one (funnel semantics)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_filter_funnel,
+    )
+
+    short_and_repetitive = "spam " * 9 + "spam"  # 10 tokens, 1 distinct
+    diverse_long = " ".join(
+        f"the w{3 * i} and w{3 * i + 1} of w{3 * i + 2}" for i in range(8)
+    )  # 48 tokens, 27 distinct (ttr 0.56), half stopwords
+    low_ttr_long = ("alpha beta " * 16).strip()  # 32 tokens, 2 distinct
+    docs = spark.createDataFrame(
+        [
+            (1, short_and_repetitive, "en", "s", 1),
+            (2, diverse_long, "en", "s", 1),
+            (3, low_ttr_long, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = {r.stage: r for r in pipeline_filter_funnel(spark, sf_dir).collect()}
+    assert sum(r.n_docs for r in rows.values()) == 3
+    # doc 1 fails BOTH length and diversity -> charged to too_short only
+    assert rows["too_short"].n_docs == 1
+    assert rows["low_diversity"].n_docs == 1
+    assert rows["kept"].n_docs == 1
+    assert abs(sum(r.pct_of_total for r in rows.values()) - 1.0) < 1e-9
