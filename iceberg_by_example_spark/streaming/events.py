@@ -131,3 +131,73 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def dedup_first_per_key(events: DataFrame) -> DataFrame:
+    """Deterministic keep-first dedup on an idempotency key — at most
+    one event per (user_id, event_type, minute): the batch twin of a
+    streaming ``dropDuplicatesWithinWatermark``. The winner is the
+    MIN-(ts, event_id) copy via a struct-MIN aggregate (map-side
+    combinable — partial winners merge associatively, so the shuffle
+    carries one candidate row per key per map task, never the full
+    duplicate set; same shape as ``dedup_exact_keep_best``).
+
+    Used identically by the registered batch query and the streaming
+    test (which drives ``dropDuplicatesWithinWatermark`` over the same
+    key and asserts the same survivor multiset size — the stream op
+    keeps an ARBITRARY first-seen copy, so only the batch twin pins
+    the winner deterministically enough to oracle-check values)."""
+    key_bucket = F.date_trunc("minute", F.col("ts").cast("timestamp")).cast(
+        events.schema["ts"].dataType
+    )
+    best = (
+        events.groupBy(
+            "user_id", "event_type", key_bucket.alias("minute_bucket")
+        )
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_w"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "minute_bucket",
+            F.col("_w.ts").alias("ts"),
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.value").alias("value"),
+            "n_duplicates",
+        )
+    )
+    return best
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             DATE_TRUNC('minute', ts) AS minute_bucket,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, DATE_TRUNC('minute', ts)
+               ORDER BY ts, event_id) AS rk,
+             COUNT(*) OVER (
+               PARTITION BY user_id, event_type, DATE_TRUNC('minute', ts)
+             ) AS n_duplicates
+      FROM events)
+    SELECT user_id, event_type, minute_bucket, ts, event_id, value,
+           CAST(n_duplicates AS BIGINT) AS n_duplicates
+    FROM ranked WHERE rk = 1
+    """,
+    category="streaming",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent event ingestion: collapse redeliveries to at most one
+    event per (user, type, minute), keeping the earliest copy — the
+    batch-verified semantics behind the streaming
+    ``dropDuplicatesWithinWatermark`` test in
+    ``tests/test_streaming.py``. The oracle reproduces the winner with
+    a row_number window; the Spark plan uses the aggregate form
+    because at 100 TB a struct-MIN combines map-side while a
+    row_number window must materialize every duplicate in the sort."""
+    return dedup_first_per_key(load_table(spark, sf_dir, "events"))

@@ -82,3 +82,33 @@ def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
     shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Both sides bucketed+sorted on the join key: with broadcast off
+    (forcing the at-scale sort-merge path) the join must read
+    co-located buckets directly — NO exchange and NO sort below the
+    join; the only exchange in the whole query is the 4-row segment
+    rollup's."""
+    from iceberg_by_example_spark.operators.joins import (
+        join_bucketed_colocated,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed_colocated(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        # below the join: bucketed scans only — no exchange. (A Sort
+        # may remain: Spark only drops it when each bucket is a single
+        # file, and the per-bucket sort is partition-local — the
+        # EXCHANGE is the network cost bucketing exists to eliminate.)
+        assert "Exchange" not in join_part
+        assert join_part.count("Bucketed: true") == 2
+        # above it: exactly the rollup's exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -386,3 +386,32 @@ def test_streaming_merge_replay_is_idempotent(spark, tmp_path):
     commit(batch, 0)  # replay
     assert {r["v"] for r in t.read().collect()} == {"new", "ins"}
     assert len(t._snapshots()) == snaps
+
+
+def test_stream_dedup_events_batch_twin_keeps_earliest(spark, tmp_path):
+    """The registered batch twin of the streaming dedup pins a
+    DETERMINISTIC winner — min (ts, event_id) per idempotency key —
+    where dropDuplicatesWithinWatermark keeps an arbitrary first-seen
+    copy. Same key, same survivor count, pinned values."""
+    from iceberg_by_example_spark.streaming.events import stream_dedup_events
+
+    rows = [
+        (7, "2024-01-01 00:00:20", 1, "click", 2.0),  # loser: later ts
+        (5, "2024-01-01 00:00:10", 1, "click", 1.0),  # winner
+        (6, "2024-01-01 00:00:10", 1, "click", 3.0),  # loser: same ts, higher id
+        (9, "2024-01-01 00:01:10", 1, "click", 4.0),  # next minute: own key
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value"
+    )
+    sf_dir = str(tmp_path)
+    events.write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["event_id"]: (r["n_duplicates"], r["value"])
+        for r in stream_dedup_events(spark, sf_dir).collect()
+    }
+    assert got == {5: (3, 1.0), 9: (1, 4.0)}
