@@ -494,3 +494,137 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+             AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST({_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+            / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+          >= 0.35
+    """,
+    category="dedup",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs come only from
+    WITHIN a sign-LSH bucket (high-cosine vectors agree on most
+    hyperplane signs, so near-dups co-bucket with high probability),
+    then exact quantized cosine on candidates. This is the bucketed
+    production variant of ``dedup_embedding_cosine``'s documented
+    O(n²) verify: the self-join keys on (bucket), so the pair space
+    is Σ bucket_size² — ~1/256 of n² under the 8-plane split — and
+    the shuffle is a plain key join, no cartesian anywhere (the
+    never-cartesian plan test covers it). Recall is tunable the
+    standard way: fewer planes or multi-probe neighboring buckets;
+    the oracle mirrors the exact same deterministic bucketing, so the
+    approximate CANDIDATE SET itself is what gets verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _qnorm2(F.col("embedding")).alias("n2"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cosine = _cosine(
+        _qdot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine.alias("cosine"),
+    ).filter(F.col("cosine") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+
+
+def _rp_matrix() -> list[list[int]]:
+    """±1 projection matrix (RP_OUT_DIM × DIM) from a fixed seed —
+    the same seed-derived-literal trick as ``_planes``, so both
+    engines multiply by the identical matrix. A ±1 (Achlioptas)
+    projection satisfies the JL guarantee with no floats involved,
+    which keeps the arithmetic exact in the quantized domain."""
+    rng = random.Random(7)
+    return [
+        [rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(RP_OUT_DIM)
+    ]
+
+
+RP_MATRIX = _rp_matrix()
+
+
+def _rp_component(emb, weights: list[int]) -> Column:
+    w = F.array(*[F.lit(v) for v in weights])
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            w,
+            lambda x, s: F.floor(x.cast("double") * QUANT) * s.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _rp_component_sql(emb: str, weights: list[int]) -> str:
+    w = "[" + ", ".join(str(v) for v in weights) + "]"
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({emb}, {w}), "
+        f"s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*{QUANT}) AS BIGINT)"
+        f" * CAST(s[2] AS BIGINT))) AS BIGINT)"
+    )
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           [{", ".join(_rp_component_sql('embedding', w) for w in RP_MATRIX)}]
+             AS rp_q
+    FROM embeddings
+    """,
+    category="similarity",
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    64-dim embedding onto {RP_OUT_DIM} seed-derived ±1 hyperplanes —
+    the standard cheap pre-step before an ANN index or a coarse
+    clustering pass (pairwise distances are preserved within ~ε while
+    index memory drops 4×). Emitted in the exact quantized integer
+    domain (components are sums of floor(x·1e6)·±1 — bit-identical in
+    both engines; divide by 1e6 to read float values).
+
+    Scale shape: a narrow map stage — no shuffle, no UDF, the 16
+    dot products run inside whole-stage codegen over each row. The
+    matrix is a compile-time literal: nothing is broadcast, any
+    executor regenerates it from the seed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.array(
+            *[_rp_component(F.col("embedding"), w) for w in RP_MATRIX]
+        ).alias("rp_q"),
+    )

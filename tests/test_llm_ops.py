@@ -783,3 +783,61 @@ def test_filter_funnel_first_failure_attribution(spark, tmp_path):
     assert rows["low_diversity"].n_docs == 1
     assert rows["kept"].n_docs == 1
     assert abs(sum(r.pct_of_total for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_embedding_lsh_pairs_are_subset_of_exact_with_same_scores(spark):
+    """The bucketed near-dup's pairs must be a SUBSET of the exact
+    all-pairs result with identical cosines (bucketing changes recall,
+    never scores), and co-bucketed high-cosine pairs must exist."""
+    from iceberg_by_example_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(spark, sf).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_lsh(spark, sf).collect()
+    }
+    assert lsh, "LSH dedup found no pairs"
+    for pair, cos in lsh.items():
+        assert pair in exact
+        assert cos == exact[pair]
+
+
+def test_random_projection_preserves_norms_in_expectation(spark):
+    """JL sanity: for a ±1 projection, E[‖Px‖²] = k·‖x‖², so the
+    per-vector ratio ‖Px‖²/(k·‖x‖²) is χ²_k/k-shaped — individually
+    near 1 and very near 1 on average. (A stronger per-PAIR ordering
+    check would be wrong: i.i.d. normal embeddings concentrate all
+    pairwise distances, so a 4× reduction can legitimately flip one
+    near/far pair.)"""
+    from iceberg_by_example_spark.operators.similarity import (
+        QUANT,
+        RP_OUT_DIM,
+        embed_random_projection,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").limit(50).collect()
+    }
+    proj = {
+        r.vec_id: [v / QUANT for v in r.rp_q]
+        for r in embed_random_projection(spark, sf).collect()
+        if r.vec_id in orig
+    }
+    ratios = [
+        sum(v * v for v in proj[i])
+        / (RP_OUT_DIM * sum(v * v for v in orig[i]))
+        for i in orig
+    ]
+    assert all(0.2 < r < 2.5 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
