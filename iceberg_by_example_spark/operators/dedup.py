@@ -5,13 +5,15 @@ Five dedup families, each designed as the distributed-at-100TB version:
 - exact           — md5-keyed keep-first (hash groupBy, one shuffle)
 - ngram Jaccard   — shingle-inverted-index candidate join (never O(n²))
 - MinHash LSH     — banded signature bucketing (Spark-native impl)
-- SimHash         — 64-bit sign-aggregated fingerprint + banded hamming
+- SimHash         — 60-bit sign-aggregated fingerprint + banded hamming
 - embedding cosine— quantized-integer cosine pairs (see similarity.py)
 
-Exact and ngram-Jaccard are DuckDB-expressible → full oracle. MinHash/
-SimHash depend on Spark's xxhash64, which DuckDB lacks → rows-only
-checks, with pytest asserting their internal invariants instead.
-"""
+EVERY family here is oracle-checked end-to-end: exact and
+ngram-Jaccard are directly DuckDB-expressible, and MinHash/SimHash
+hash through the portable ``_md5_hash60`` so DuckDB recomputes their
+signatures and candidate sets identically (pytest additionally
+asserts the mathematical invariants — recall on planted dups,
+signature agreement vs true Jaccard, hamming properties)."""
 
 from __future__ import annotations
 

@@ -498,6 +498,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_lsh",
+    bench=True,
     oracle=f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,

@@ -1163,6 +1163,7 @@ SESSION_GAP_S = 1800
 
 @register(
     "events_user_sessions",
+    bench=True,
     oracle=f"""
     WITH o AS (
       SELECT user_id, ts, event_id,

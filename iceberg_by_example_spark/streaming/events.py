@@ -173,6 +173,7 @@ def dedup_first_per_key(events: DataFrame) -> DataFrame:
 
 @register(
     "stream_dedup_events",
+    bench=True,
     oracle="""
     WITH ranked AS (
       SELECT user_id, event_type,

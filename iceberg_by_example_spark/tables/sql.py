@@ -292,6 +292,22 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 [(removed,)], "rewritten_manifests_count int"
             )
+        if proc == "rewrite_position_delete_files":
+            # Iceberg's MoR-overlay compaction procedure: consolidates
+            # per-mutation delete files, drops dangling rows. Returns
+            # the same counts Iceberg's procedure reports.
+            snap = t.rewrite_position_delete_files()
+            s = snap.summary
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(s.get("rewritten-delete-files", 0)),
+                        int(s.get("added-delete-files", 0)),
+                    )
+                ],
+                "rewritten_delete_files_count int, "
+                "added_delete_files_count int",
+            )
         if proc == "create_changelog_view":
             # Iceberg's spelling: CALL …create_changelog_view(
             #   table => 't', changelog_view => 'v'

@@ -40,6 +40,7 @@ commits are atomic via write-to-temp + ``os.replace``.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -1951,6 +1952,62 @@ class VersionedTable:
             kept + new_files,
             {"compacted-to": len(new_files)},
             delete_files=keep_deletes,
+            expected_parent_id=cur.snapshot_id,
+        )
+
+    def rewrite_position_delete_files(
+        self, branch: str = MAIN
+    ) -> "Snapshot":
+        """Compact the position-delete overlay (Iceberg's
+        ``rewrite_position_delete_files`` procedure): every MoR
+        mutation commits its OWN small delete files, so a hot table
+        accumulates one overlay file per mutation and every read pays
+        an open-per-file cost. This rewrites them into one consolidated
+        batch — deduplicated, sorted by (file, pos) for run-length
+        locality, and with DANGLING rows dropped (positions whose data
+        file already left the snapshot via CoW rewrite or delete) —
+        then commits a ``replace`` snapshot swapping ONLY the
+        delete-file list: data files untouched, logical content
+        identical (asserted by test), incremental readers skip it like
+        any other replace. The lighter sibling of
+        ``rewrite_data_files``: O(delete rows), no data-file I/O.
+
+        The superseded delete files stay owned by older snapshots and
+        become ``remove_orphan_files`` fodder after expiry, like
+        compacted data files."""
+        from iceberg_by_example_spark.util import detach
+
+        branch = self._resolve_read_branch(branch)
+        cur = self._current(branch)
+        if not cur.delete_files:
+            return cur
+        live = self.spark.createDataFrame(
+            [(f,) for f in cur.files] or [("",)], "file string"
+        )
+        kept_rows = detach(
+            self._read_position_deletes(cur.delete_files)
+            .join(F.broadcast(live), "file", "left_semi")
+            .distinct()
+        )
+        # Size-aware output count (the point is FEWER, larger files):
+        # ~2M (file, pos) rows ≈ a few tens of MB per delete file.
+        # Range-partitioned on (file, pos) so each data file's
+        # positions stay in one contiguous run.
+        n_out = max(1, math.ceil(kept_rows.count() / 2_000_000))
+        consolidated = kept_rows.repartitionByRange(
+            n_out, "file", "pos"
+        ).sortWithinPartitions("file", "pos")
+        new_files, n_rows = self._write_position_deletes(consolidated)
+        return self._commit(
+            branch,
+            "replace",
+            cur.files,
+            {
+                "rewritten-delete-files": len(cur.delete_files),
+                "added-delete-files": len(new_files),
+                "position-delete-rows": n_rows,
+            },
+            delete_files=new_files,
             expected_parent_id=cur.snapshot_id,
         )
 

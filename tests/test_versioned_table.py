@@ -1236,3 +1236,57 @@ def test_metadata_previous_versions_max_trims_log(spark, tmp_path):
     for i in range(6):
         t2.append(spark.range(1).select(F.col("id").alias("k")))
     assert len(t2._read_json("metadata_log.json")) == 7  # unbounded
+
+
+def test_rewrite_position_delete_files_consolidates(spark, tmp_path):
+    """The MoR-overlay compaction procedure: per-mutation delete files
+    consolidate into one batch, logical content is byte-identical,
+    data files are untouched, and the commit is a replace snapshot
+    (invisible to incremental readers like any compaction)."""
+    t = _mor_table(spark, tmp_path / "posdel")
+    t.delete(F.col("id") < 50)
+    t.delete((F.col("id") >= 100) & (F.col("id") < 150))
+    t.update(F.col("id") >= 900, {"v": F.lit("U")})
+    before = t._current()
+    assert len(before.delete_files) >= 3
+    content_before = sorted(map(tuple, t.read().collect()))
+
+    snap = t.rewrite_position_delete_files()
+    assert snap.operation == "replace"
+    assert len(snap.delete_files) == 1
+    assert snap.files == before.files  # data files untouched
+    assert sorted(map(tuple, t.read().collect())) == content_before
+    # consolidated rows are deduplicated (file, pos) pairs
+    n_positions = t._read_position_deletes(snap.delete_files).count()
+    dedup = (
+        t._read_position_deletes(before.delete_files).distinct().count()
+    )
+    assert n_positions == dedup
+    # incremental read across the rewrite sees no new data
+    inc = t.read_incremental(
+        from_snapshot_id=before.snapshot_id,
+        to_snapshot_id=snap.snapshot_id,
+    )
+    assert inc.count() == 0
+    # idempotent: a second run is a no-op-sized commit
+    again = t.rewrite_position_delete_files()
+    assert len(again.delete_files) == 1
+    assert sorted(map(tuple, t.read().collect())) == content_before
+
+
+def test_rewrite_position_delete_files_call_procedure(spark, tmp_path):
+    """The facade accepts Iceberg's CALL spelling and reports the
+    rewrite counts."""
+    from iceberg_by_example_spark.tables.sql import SqlEngine
+
+    t = _mor_table(spark, tmp_path / "posdel_sql")
+    t.delete(F.col("id") < 10)
+    t.delete(F.col("id") >= 990)
+    eng = SqlEngine(spark)
+    out = eng.sql(
+        "CALL iceberg.system.rewrite_position_delete_files("
+        f"table => '{t.location}')"
+    ).collect()
+    # two delete() calls, each possibly multi-part → at least 2 inputs
+    assert out[0]["rewritten_delete_files_count"] >= 2
+    assert out[0]["added_delete_files_count"] == 1
