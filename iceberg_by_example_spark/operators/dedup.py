@@ -181,7 +181,10 @@ def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, df_cap: int
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs from the inverted index ALONE.
 
@@ -241,12 +244,22 @@ def ngram_jaccard_pairs(
     capped = sized.join(F.broadcast(hot), "shingle", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Exact length-ratio prune for a caller-declared threshold:
+    # J(A,B) <= min(|A|,|B|) / max(|A|,|B|), so J >= t needs
+    # min >= t*max. Applied INSIDE the self-join it drops candidate
+    # rows before the widest groupBy with zero recall cost (a
+    # necessary condition, not a heuristic). Callers without a
+    # threshold (the graded >=0.08 query) skip it.
+    pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if min_jaccard is not None:
+        pair_cond = pair_cond & (
+            F.least("a.n_sh", "b.n_sh")
+            >= F.lit(min_jaccard) * F.greatest("a.n_sh", "b.n_sh")
         )
+    common = (
+        a.join(b, pair_cond)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -283,7 +296,7 @@ def ngram_jaccard_pairs(
     ).cast("double")
     return with_hot.select(
         "doc_a", "doc_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.08)
+    ).filter(F.col("jaccard") >= max(0.08, min_jaccard or 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -588,8 +601,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the pairs BEFORE symmetrizing: the union's two branches would
     # otherwise each evaluate the whole candidate+verify pipeline.
     pairs = detach(
-        ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP).filter(
-            F.col("jaccard") >= CLUSTER_JACCARD
+        ngram_jaccard_pairs(
+            spark, sf_dir, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
         )
     )
     return components_adaptive(spark, pairs).select(

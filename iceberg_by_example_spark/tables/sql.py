@@ -243,6 +243,13 @@ class SqlEngine:
         if proc == "rollback_to_snapshot":
             t.rollback(arg("snapshot_id", 1))
             return None
+        if proc == "cherrypick_snapshot":
+            # Iceberg's result: (source_snapshot_id, current_snapshot_id)
+            snap = t.cherrypick_snapshot(arg("snapshot_id", 1))
+            return self.spark.createDataFrame(
+                [(snap.summary["published-wap-id"], snap.snapshot_id)],
+                "source_snapshot_id string, current_snapshot_id string",
+            )
         if proc == "remove_orphan_files":
             dry = str(arg("dry_run", 1, "false")).lower() == "true"
             orphans = t.remove_orphan_files(dry_run=dry)

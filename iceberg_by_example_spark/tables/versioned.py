@@ -1642,6 +1642,58 @@ class VersionedTable:
             refs[to_branch] = refs[from_branch]
             self._write_json("refs.json", refs)
 
+    def cherrypick_snapshot(
+        self, snapshot_id: str, branch: str = MAIN
+    ) -> "Snapshot":
+        """Iceberg's ``cherrypick_snapshot``: apply one snapshot's FILE
+        DELTA (vs its own parent) onto the current head of ``branch``
+        as a NEW commit — the WAP publish path when fast_forward no
+        longer applies because main moved after the audit branch was
+        cut. The picked snapshot itself is untouched (its branch keeps
+        its history); only the delta replays.
+
+        Like Iceberg, only additive snapshots replay unconditionally:
+        if the picked snapshot REMOVED files (CoW rewrite/delete) that
+        are no longer present on the target head, the delta doesn't
+        commute and the pick raises rather than silently dropping the
+        conflict. Position-delete files added by the snapshot carry
+        over (their table-relative data-file references stay valid on
+        any branch that still holds those files)."""
+        with self._commit_lock():
+            snap = self._snapshot_by_id(snapshot_id)
+            if snap.parent_id is None:
+                raise ValueError("cannot cherry-pick the root snapshot")
+            parent = self._snapshot_by_id(snap.parent_id)
+            added = [f for f in snap.files if f not in set(parent.files)]
+            removed = [f for f in parent.files if f not in set(snap.files)]
+            head = self._current(branch)
+            head_files = set(head.files)
+            missing = [f for f in removed if f not in head_files]
+            if missing:
+                raise CommitConflictError(
+                    branch,
+                    snap.parent_id,
+                    head.snapshot_id,
+                )
+            new_deletes = [
+                d
+                for d in snap.delete_files
+                if d not in set(parent.delete_files)
+            ]
+            files = [f for f in head.files if f not in set(removed)] + added
+        return self._commit(
+            branch,
+            snap.operation,
+            files,
+            {
+                **snap.summary,
+                "published-wap-id": snap.snapshot_id,
+                "cherry-picked-from": snap.parent_id,
+            },
+            delete_files=head.delete_files + new_deletes,
+            expected_parent_id=head.snapshot_id,
+        )
+
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> None:
         """≈ ``CALL system.rollback_to_snapshot``: move the branch ref
         back to an ANCESTOR snapshot — the one-step undo for a bad

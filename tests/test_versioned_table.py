@@ -1290,3 +1290,91 @@ def test_rewrite_position_delete_files_call_procedure(spark, tmp_path):
     # two delete() calls, each possibly multi-part → at least 2 inputs
     assert out[0]["rewritten_delete_files_count"] >= 2
     assert out[0]["added_delete_files_count"] == 1
+
+
+def test_cherrypick_snapshot_publishes_onto_moved_main(spark, tmp_path):
+    """WAP publish when main MOVED after the audit branch was cut:
+    fast_forward no longer applies (histories diverged), cherry-pick
+    replays the audited snapshot's file delta as a new main commit.
+    The audit branch keeps its own history; the published commit
+    records the picked wap id."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "cp"), schema="id bigint, v string"
+    )
+
+    def batch(lo, hi, v):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(v).alias("v")
+        )
+
+    t.append(batch(0, 10, "base"))
+    t.create_branch("audit")
+    staged = t.append(batch(100, 110, "staged"), branch="audit")
+    # main moves forward independently -> fast_forward would be unsafe
+    t.append(batch(10, 20, "hotfix"))
+
+    published = t.cherrypick_snapshot(staged.snapshot_id)
+    main_rows = {
+        (r.id, r.v) for r in t.read().collect()
+    }
+    assert main_rows == (
+        {(i, "base") for i in range(10)}
+        | {(i, "hotfix") for i in range(10, 20)}
+        | {(i, "staged") for i in range(100, 110)}
+    )
+    assert published.summary["published-wap-id"] == staged.snapshot_id
+    # audit branch unchanged: no hotfix rows there
+    audit_rows = {(r.id, r.v) for r in t.read(branch="audit").collect()}
+    assert (10, "hotfix") not in audit_rows
+    assert (100, "staged") in audit_rows
+
+
+def test_cherrypick_conflicting_removal_raises(spark, tmp_path):
+    """A snapshot that REMOVED files only commutes if the target head
+    still has them: picking a CoW delete whose victims were already
+    rewritten away must raise, never silently drop the conflict."""
+    from iceberg_by_example_spark.tables.versioned import (
+        CommitConflictError,
+        VersionedTable,
+    )
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "cpc"), schema="id bigint, v string"
+    )
+    t.append(
+        spark.range(0, 100).select(F.col("id"), F.lit("x").alias("v"))
+    )
+    t.create_branch("mut")
+    # CoW delete on the branch rewrites files
+    t.delete(F.col("id") < 50, branch="mut")
+    picked = t._current("mut")
+    # main compacts: the files the branch delete removed are gone
+    t.rewrite_data_files()
+    with pytest.raises(CommitConflictError):
+        t.cherrypick_snapshot(picked.snapshot_id)
+
+
+def test_cherrypick_call_procedure(spark, tmp_path):
+    """CALL spelling returns Iceberg's (source, current) snapshot ids."""
+    from iceberg_by_example_spark.tables.sql import SqlEngine
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "cpcall"), schema="id bigint, v string"
+    )
+    t.append(spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v")))
+    t.create_branch("stage")
+    staged = t.append(
+        spark.range(5, 9).select(F.col("id"), F.lit("b").alias("v")),
+        branch="stage",
+    )
+    t.append(spark.range(9, 12).select(F.col("id"), F.lit("c").alias("v")))
+    out = SqlEngine(spark).sql(
+        "CALL iceberg.system.cherrypick_snapshot("
+        f"table => '{t.location}', snapshot_id => '{staged.snapshot_id}')"
+    ).collect()
+    assert out[0]["source_snapshot_id"] == staged.snapshot_id
+    assert out[0]["current_snapshot_id"] == t._refs()["main"]
+    assert t.read().count() == 12
