@@ -169,3 +169,44 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_qty"),
         F.sqrt(var).alias("stddev_qty"),
     )
+
+
+@register(
+    "agg_sketch_union",
+    oracle=None,  # DataSketches HLL binaries are engine-specific
+    category="agg",
+)
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: build one DataSketches HLL per
+    source (``hll_sketch_agg``), then UNION the serialized sketches
+    (``hll_union_agg``) into the global estimate — the pattern that
+    makes 100 TB distinct-counting incremental: per-partition/per-day
+    sketches are small binary columns you can STORE, and any rollup
+    (day→month, source→corpus) is a re-aggregation of sketches, never
+    a rescan of raw keys. approx_count_distinct alone can't do this —
+    it returns a number, not a mergeable state.
+
+    Output: one row per source with its estimate, plus the unioned
+    ALL row — computed from the per-source sketches, not the raw
+    data (the union input is ~n_sources × 1 KB). Estimates are
+    deterministic: HLL register maxima are order- and
+    partitioning-insensitive."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("doc_id"), F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    by_source = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("approx_docs"),
+        "n_docs",
+    )
+    total = per_source.agg(
+        F.hll_union_agg(F.col("sk"), F.lit(False)).alias("sk"),
+        F.sum("n_docs").alias("n_docs"),
+    ).select(
+        F.lit("ALL").alias("source"),
+        F.hll_sketch_estimate("sk").alias("approx_docs"),
+        "n_docs",
+    )
+    return by_source.unionByName(total)

@@ -188,3 +188,44 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
         F.cume_dist().over(w).alias("bal_cume"),
     )
+
+
+@register(
+    "window_time_range_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             AS sum_10m
+    FROM events WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event's count/sum over the
+    trailing 10 minutes of ITS OWN user's activity — the frame shape
+    ROWS windows can't express (a burst of 50 events in one minute is
+    one frame; 3 sparse events over an hour are 3 small ones). The
+    order key is epoch microseconds so the range bound is an exact
+    integer in both engines; tied timestamps are frame PEERS — range
+    semantics — making the result deterministic without a unique
+    tiebreak column."""
+    from iceberg_by_example_spark.util import epoch_micros
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_10m"),
+    )

@@ -229,3 +229,23 @@ def test_export_window_rotates_by_staleness(registry):
     }
     missing = ungraded - window
     assert not missing, f"ungraded queries outside the window: {missing}"
+
+
+def test_sketch_union_merges_to_global_estimate(spark):
+    """The HLL union of per-source sketches must estimate the GLOBAL
+    cardinality (doc_ids are globally unique, so truth = total docs)
+    within the sketch's error bound — the mergeability contract that
+    makes sketch rollups valid."""
+    from iceberg_by_example_spark.plans.reshape import agg_sketch_union
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.source: r for r in agg_sketch_union(spark, sf).collect()}
+    exact_total = load_table(spark, sf, "documents").count()
+    all_row = rows.pop("ALL")
+    assert all_row.n_docs == exact_total
+    assert abs(all_row.approx_docs - exact_total) / exact_total < 0.05
+    # per-source estimates also track their exact sizes
+    for r in rows.values():
+        assert abs(r.approx_docs - r.n_docs) / max(r.n_docs, 1) < 0.1
+    assert sum(r.n_docs for r in rows.values()) == exact_total
