@@ -354,3 +354,74 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs") / F.col("n").cast("double")).alias("pct_of_total"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LENGTH(text) AS n_chars,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE) AS pct_en,
+           1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE)
+             AS exact_dup_rate
+    FROM m
+    """,
+    category="pipeline",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a curation pipeline publishes with
+    every release: corpus size in docs/tokens/chars, source and
+    language breadth, English share, and the exact-duplicate rate
+    (1 − distinct normalized fingerprints / docs — the same
+    fingerprint ``dedup_exact`` keys on, so the card's dup rate is
+    exactly what that operator would remove).
+
+    Scale shape: ONE corpus scan into a single aggregate; the only
+    non-trivial cost is the two exact COUNT(DISTINCT)s (source/lang
+    are low-cardinality; the fingerprint distinct is the honest price
+    of an exact dup rate — swap in ``approx_count_distinct`` or the
+    sketch-union pattern from ``agg_sketch_union`` when an estimate
+    suffices at 100 TB)."""
+    from iceberg_by_example_spark.functions.text import (
+        fingerprint,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "source",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        fingerprint("text").alias("fp"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_tokens") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+        (
+            F.count(F.when(F.col("lang") == "en", 1))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pct_en"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp") / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+    )
