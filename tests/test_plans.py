@@ -49,6 +49,8 @@ def test_star_join_broadcasts_all_dims(spark, registry):
         "join_asof_events",
         "dedup_cluster_canonical",
         "dedup_containment",
+        "dedup_span_ngram",
+        "dedup_embedding_lsh",
         "pipeline_training_set",
         "pipeline_decontaminate",
     ],
