@@ -1186,3 +1186,74 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against the existing corpus index
+# ---------------------------------------------------------------------------
+
+# Deterministic batch carve-out for the demo: docs hashing under this
+# bucket play "today's ingest", the rest are "the corpus". Production
+# replaces the carve with the actual daily batch; the plan shape is
+# identical.
+INCR_BATCH_BUCKET = "1a"  # ~10% of docs
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp,
+             SUBSTR(MD5('incr:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               AS bucket
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp
+               WHERE bucket >= '{INCR_BATCH_BUCKET}'),
+    batch AS (SELECT doc_id, source, fp FROM fp
+              WHERE bucket < '{INCR_BATCH_BUCKET}')
+    SELECT b.doc_id, b.source,
+           (c.fp IS NOT NULL) AS already_in_corpus
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    """,
+    category="dedup",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the shape a daily
+    ingest actually runs: yesterday's corpus is not re-deduplicated,
+    the NEW batch is checked against the corpus's fingerprint INDEX
+    and only collision-free docs proceed. Global dedup
+    (``dedup_exact``) is the backfill; this is the steady state.
+
+    Scale shape: the corpus side is keys-only — distinct 16-byte
+    fingerprints, the index a real pipeline keeps materialized
+    between runs (never the corpus text) — and the batch side is
+    small by definition, so the probe is a key join the optimizer
+    broadcasts in whichever direction is smaller. Cost per day is
+    O(batch + index), independent of corpus TEXT bytes; the index
+    grows O(distinct docs) and lives happily as a bucketed table
+    (``join_bucketed_colocated``'s trick) so even the index join
+    needs no shuffle."""
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), " +", " ")
+        ).alias("fp"),
+        hash_bucket(F.col("doc_id"), "incr").alias("bucket"),
+    )
+    corpus_index = (
+        fp.filter(F.col("bucket") >= INCR_BATCH_BUCKET)
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    batch = fp.filter(F.col("bucket") < INCR_BATCH_BUCKET)
+    return batch.join(corpus_index, "fp", "left").select(
+        "doc_id",
+        "source",
+        F.col("_hit").isNotNull().alias("already_in_corpus"),
+    )
