@@ -252,3 +252,33 @@ def scalar_array_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_pos_idx"),
         F.size(F.flatten(F.array(v8, v8))).alias("doubled_len"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_typed,
+           JSON_STRUCTURE(props) = '{"k":"UBIGINT"}' AS is_int_object
+    FROM events WHERE event_id < 500
+    """,
+    category="scalar",
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): the
+    JSON string parses ONCE into the binary variant encoding, then
+    typed path access (``variant_get``) reads it without re-parsing —
+    at 100 TB the difference between parse-per-access
+    (``get_json_object`` re-parses the string for every extraction)
+    and parse-once-read-many. ``schema_of_variant`` gives the typed
+    shape the parser inferred; the oracle checks the same facts
+    through DuckDB's JSON type (`json_structure`)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        (F.schema_of_variant(v) == F.lit("OBJECT<k: BIGINT>")).alias(
+            "is_int_object"
+        ),
+    )
