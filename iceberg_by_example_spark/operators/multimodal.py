@@ -265,3 +265,74 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("height").alias("max_height"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: raw-asset ingest (the step BEFORE any decode)
+# ---------------------------------------------------------------------------
+
+# A deterministic on-disk blob corpus, generated at import time so BOTH
+# engines (Spark's binaryFile source and DuckDB's read_blob oracle) see
+# identical files no matter which grades first — the registry module
+# import always precedes any query or oracle run. Payloads are ASCII
+# (md5-hex chains) because DuckDB's BLOB→VARCHAR cast is the identity
+# only for printable bytes; real media bytes would hash differently in
+# the oracle, not in Spark. 40 files ≈ 10 KB total.
+BINARY_CORPUS_DIR = "/tmp/iceberg_by_example_binary_corpus"
+_BINARY_CORPUS_N = 40
+
+
+def _ensure_binary_corpus() -> str:
+    import hashlib
+    import os
+
+    os.makedirs(BINARY_CORPUS_DIR, exist_ok=True)
+    for i in range(_BINARY_CORPUS_N):
+        path = os.path.join(BINARY_CORPUS_DIR, f"blob_{i:03d}.bin")
+        if os.path.exists(path):
+            continue
+        h = hashlib.md5(f"blob:{i}".encode()).hexdigest()
+        payload = (h * (1 + i % 8)).encode("ascii")  # 32..256 bytes
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic: concurrent imports never race
+    return BINARY_CORPUS_DIR
+
+
+_ensure_binary_corpus()
+
+
+@register(
+    "multimodal_binary_ingest",
+    oracle=f"""
+    SELECT REGEXP_EXTRACT(filename, '([^/]+)$', 1) AS asset,
+           CAST(size AS BIGINT) AS n_bytes,
+           MD5(content::VARCHAR) AS checksum
+    FROM read_blob('{BINARY_CORPUS_DIR}/*.bin')
+    """,
+    category="multimodal",
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingest via Spark's ``binaryFile`` source — the step
+    every multimodal pipeline runs BEFORE any decode: a directory of
+    media files becomes (path, length, content) rows with no Python in
+    the loop, ready for the ``mapInPandas`` decode fan-out above.
+    Emits (asset, n_bytes, checksum) so the oracle verifies the
+    CONTENT actually read, not just the listing.
+
+    Scale shape: binaryFile is a standard FileScan — files partition
+    across executors, `pathGlobFilter`/`recursiveFileLookup` prune at
+    listing time, and content bytes never touch the driver. (The demo
+    corpus is import-time-deterministic; see ``_ensure_binary_corpus``
+    for why the payloads are ASCII.)"""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(BINARY_CORPUS_DIR)
+    )
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("asset"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("checksum"),
+    )
