@@ -189,3 +189,47 @@ def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("brand")
         .alias("struct_brand"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, LENGTH(text) AS n_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+    category="udf",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy end of the Python interop ladder —
+    batches arrive as Arrow RecordBatches and results return as Arrow,
+    skipping even the pandas conversion ``mapInPandas`` pays. For
+    byte-shoveling transforms (feature extraction, tokenizer calls,
+    codec work) this is the cheapest possible Python hop; the
+    computation here (char/token counts via pyarrow.compute) is
+    deliberately SQL-expressible so the whole path oracle-checks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.cast(
+                        pc.list_value_length(
+                            pc.split_pattern(text, pattern=" ")
+                        ),
+                        pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_tokens"],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(
+        stats, "doc_id long, n_chars int, n_tokens int"
+    )
