@@ -67,17 +67,18 @@ def register(
 # out of the files themselves, and every new round's artifact advances
 # the rotation automatically.  Staleness-first, ties broken by
 # registration order; never-graded queries (new operators) sort first.
-_FORCE_REGRADE: frozenset[str] = frozenset(
-    {
-        # Semantics changed this round — treat as never graded so the
-        # next window re-validates them even if a recent row exists.
-        "sample_deterministic",  # r5: seeded .sample -> hash-threshold
-        "dedup_containment",  # r5: candidate join bounded (rarest-B)
-        "dedup_minhash_lsh",  # r5: portable md5 hash family + oracle
-        "dedup_pipeline_lsh_verified",  # r5: same + oracle
-        "dedup_simhash",  # r5: 60-bit portable hash family + oracle
-    }
-)
+# Queries whose SEMANTICS changed in the mapped round: treated as
+# never-graded until a driver row AT OR AFTER that round exists, then
+# the entry expires on its own (no manual cleanup next round — a
+# stale force entry would otherwise pin its query at the window head
+# forever, crowding out genuinely stale queries).
+_FORCE_REGRADE: dict[str, int] = {
+    "sample_deterministic": 5,  # r5: seeded .sample -> hash-threshold
+    "dedup_containment": 5,  # r5: bounded candidates + hit floor
+    "dedup_minhash_lsh": 5,  # r5: portable md5 hash family + oracle
+    "dedup_pipeline_lsh_verified": 5,  # r5: same + oracle
+    "dedup_simhash": 5,  # r5: 60-bit portable hash family + oracle
+}
 
 
 def _last_graded_rounds() -> dict[str, int]:
@@ -116,7 +117,9 @@ def _export_order(names: list[str]) -> list[str]:
     index = {n: i for i, n in enumerate(names)}
 
     def sort_key(name: str) -> tuple[int, int]:
-        rnd = 0 if name in _FORCE_REGRADE else graded.get(name, 0)
+        rnd = graded.get(name, 0)
+        if rnd < _FORCE_REGRADE.get(name, 0):
+            rnd = 0  # forced: no row since the semantics change yet
         return (rnd, index[name])
 
     return sorted(names, key=sort_key)
