@@ -221,3 +221,51 @@ def test_ngram_jaccard_matches_bruteforce(
 
 def rows_toks(docs):
     return list(docs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_containment_guaranteed_recall_region(
+    spark, tmp_path_factory, docs
+):
+    """The probe-bounded containment operator must report EVERY
+    ≥0.8-containment pair whose smaller side has ≤ CONTAINMENT_RAREST_B
+    shingles (such a doc probes with its whole shingle set, so the
+    least(CAP, ⌈0.8·min_n⌉) hit floor is met by construction — the
+    recall guarantee the constants' comment proves). With this
+    strategy's 3-8-token docs every doc is inside the region, so here
+    the bounded operator must equal brute force exactly — values
+    included."""
+    import math
+    import os
+
+    from iceberg_by_example_spark.operators.dedup import dedup_containment
+
+    sf_dir = str(tmp_path_factory.mktemp("cont"))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs) if len(t) >= 3}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+                if c >= 0.8:
+                    want[(a, b)] = c
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for pair, c in want.items():
+        assert math.isclose(got[pair], c)
