@@ -59,3 +59,40 @@ RUNNING_STATS_OUTPUT = (
     "min_value double, max_value double"
 )
 RUNNING_STATS_STATE = "n long, total double, vmin double, vmax double"
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor arbitrary-state API
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import guard exercised by the test module
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCountProcessor(StatefulProcessor):
+        """Per-key cumulative count on the ``transformWithState``
+        API — the Spark-4 successor of ``applyInPandasWithState``
+        above, with typed per-key state handles (ValueState /
+        ListState / MapState), timers, and initial-state support
+        instead of a single tuple. State remains per-key and
+        partition-local: the operator scales with the grouping
+        shuffle, exactly like its predecessor."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            v = self._count.get()
+            n = v[0] if v else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # older pyspark: the predecessor API above remains
+    RunningCountProcessor = None  # type: ignore[assignment]

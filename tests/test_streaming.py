@@ -415,3 +415,70 @@ def test_stream_dedup_events_batch_twin_keeps_earliest(spark, tmp_path):
         for r in stream_dedup_events(spark, sf_dir).collect()
     }
     assert got == {5: (3, 1.0), 9: (1, 4.0)}
+
+
+def test_transform_with_state_running_count(spark, event_stream):
+    """transformWithStateInPandas (the Spark-4 arbitrary-state API):
+    per-user running counts through typed ValueState must converge to
+    the batch groupBy counts, same contract as the predecessor
+    applyInPandasWithState test above."""
+    from iceberg_by_example_spark.streaming.stateful import (
+        RunningCountProcessor,
+    )
+
+    if RunningCountProcessor is None:
+        pytest.skip("transformWithState API not available")
+    try:
+        # transformWithState's worker protocol runs on protobuf —
+        # probe it like the avro/PIL capability gates: the operator
+        # code is real, the dependency is what this container lacks.
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this environment")
+    stream_df, batch_df = event_stream
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream_df.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCountProcessor(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["user_id"]: r["n_events"]
+                for r in spark.sql(
+                    "SELECT user_id, MAX(n_events) AS n_events "
+                    "FROM tws_test GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
