@@ -210,3 +210,69 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
     )
     return by_source.unionByName(total)
+
+
+@register(
+    "agg_linear_fit",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM s
+    """,
+    category="agg",
+)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares fit (price ~ quantity per return
+    flag) from EXACT moment sums: Σx, Σy, Σxy, Σx² accumulate in
+    decimal (associative, partitioning-independent), convert to
+    double ONCE, and the closed-form slope/intercept is a fixed IEEE
+    expression of identical inputs — so the result is bit-identical
+    in both engines and across reruns. The built-in ``regr_slope``
+    streams floating-point moments instead, whose value depends on
+    reduction order — exactly the nondeterminism this repo's
+    determinism rules exclude from oracle-checked queries. Same
+    single map-side-combinable aggregate shape as any other partial
+    agg: one shuffle of 5 groups × 4 numbers at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
