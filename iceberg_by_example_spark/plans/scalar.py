@@ -282,3 +282,39 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_int_object"
         ),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE n_chars / CAST(doc_id % 5 AS DOUBLE) END
+             AS chars_per_bucket,
+           TRY_CAST(SUBSTR(text, 1, 3) AS BIGINT) AS first3_as_int,
+           (STRING_SPLIT(text, ' '))[60] AS token60
+    FROM documents
+    """,
+    category="scalar",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs with ANSI mode ON by
+    default, where division by zero, bad casts, and out-of-range
+    element access THROW — the ``try_*`` family is the production
+    idiom that degrades them to NULL instead, per row, without
+    disabling ANSI for the whole job. try_divide (zero denominators),
+    try_cast (non-numeric strings), try_element_at (index past the
+    array end) each produce NULLs the oracle reproduces with DuckDB's
+    native NULL-on-failure semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_divide(
+            F.col("n_chars").cast("double"),
+            (F.col("doc_id") % 5).cast("double"),
+        ).alias("chars_per_bucket"),
+        F.substring("text", 1, 3).try_cast("bigint").alias(
+            "first3_as_int"
+        ),
+        F.try_element_at(F.split("text", " "), F.lit(60)).alias("token60"),
+    )
