@@ -1245,3 +1245,56 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("duration_s"),
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    cover AS (
+      SELECT UNNEST(GENERATE_SERIES(d, d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY))::DATE AS w_day,
+             user_id
+      FROM daily),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT c.w_day AS day,
+           COUNT(DISTINCT c.user_id) AS rolling_7d_users
+    FROM cover c JOIN days ON days.d = c.w_day
+    GROUP BY c.w_day
+    """,
+    category="analytics",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the DAU/WAU shape every
+    product dashboard runs, which windows canNOT express (COUNT
+    DISTINCT is not a window aggregate in any engine): each (day,
+    user) observation COVERS the next 7 report days via an exploded
+    date sequence, and the rolling distinct becomes a plain
+    count_distinct per covered day. Days with no events of their own
+    are excluded from the report (semi-join on observed days), like
+    a dashboard that only plots days with traffic.
+
+    Scale shape: dedupe to (day, user) FIRST (the big shrink — raw
+    events collapse to at most users×days rows), then a bounded 7×
+    explode, then one distinct aggregate partitioned by day. No
+    self-join over the event log, no window over distincts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    cover = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), 6),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    days = daily.select(F.col("d").alias("day")).distinct()
+    return (
+        cover.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("rolling_7d_users"))
+    )
