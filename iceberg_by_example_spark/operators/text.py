@@ -528,3 +528,55 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (top_frac > REP_TOP_BIGRAM_MAX)
         ).alias("flagged"),
     )
+
+
+# Feature-hashing dimensionality (the "hashing trick"): token →
+# portable-hash bucket, counts accumulated per bucket. 64 keeps the
+# demo readable; production uses 2^18+ where collisions are noise.
+HASHING_DIM = 64
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+               t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT
+                    % {HASHING_DIM}) AS b
+      FROM documents)
+    SELECT doc_id,
+           [LEN(LIST_FILTER(b, x -> x = k))
+            for k in generate_series(0, {HASHING_DIM - 1})] AS features
+    FROM tok
+    """,
+    category="text",
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: each document becomes a fixed-width token-
+    count vector with bucket = portable_hash(token) mod DIM — the
+    stateless featurizer (no vocabulary to build, broadcast, or keep
+    consistent across runs) behind linear classifiers and cheap
+    similarity pre-filters. Uses the same ``_md5_hash60`` family as
+    the minhash pipeline, so the oracle reproduces the exact vectors.
+
+    Scale shape: pure per-row column expressions — tokenize once,
+    hash once per token, DIM in-row filters — inside whole-stage
+    codegen; no shuffle, no state, nothing grows with corpus size
+    but the scan."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    buckets = F.transform(
+        tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
+    )
+    tok = d.select("doc_id", buckets.alias("b"))
+    def _eq(k: int):
+        # single-arg lambda: a 2-arg function would make F.filter pass
+        # the ARRAY INDEX as the second argument
+        return lambda x: x == F.lit(k)
+
+    features = F.array(
+        *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
+    )
+    return tok.select("doc_id", features.alias("features"))

@@ -276,3 +276,33 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@register(
+    "agg_boolean_family",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_large,
+           BOOL_AND(l_discount <= 0.1) AS all_discount_capped,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="agg",
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates — count_if / bool_and (every) / bool_or
+    (some): the data-quality assertion layer (all rows in contract?
+    any violation at all? how many outliers?) expressed as ordinary
+    map-side-combinable aggregates instead of count-then-compare
+    subqueries. One partial-agg shuffle of 4 booleans/longs per
+    group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_large"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias(
+            "all_discount_capped"
+        ),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_linestatus") == "F").alias("n_finished"),
+    )
