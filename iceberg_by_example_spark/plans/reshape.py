@@ -306,3 +306,32 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.count_if(F.col("l_linestatus") == "F").alias("n_finished"),
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    category="agg",
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG … WITHIN GROUP): collapse a
+    group's members into one delimited, DETERMINISTICALLY ordered
+    string — the report/export shape behind "list the nations per
+    region" columns. Spark's listagg concatenates in arrival order
+    (partitioning-dependent), so the deterministic form sorts an
+    array first: collect_list → array_sort → array_join, which the
+    optimizer still executes as one aggregate. Order BY a unique key
+    or the value itself — an unordered listagg in an oracle-checked
+    query would be flaky by construction."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("n_name")), ","
+        ).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
