@@ -550,3 +550,35 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50.0)
         """
     )
+
+
+@register(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT r.r_name AS region, t.n_name AS nation
+    FROM region r JOIN LATERAL (
+      SELECT n_name FROM nation n
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY n_name LIMIT 2) t ON TRUE
+    """,
+    category="subquery",
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery — top-N-per-outer-row in its
+    declarative SQL form. Catalyst DECORRELATES it (the lateral
+    LIMIT becomes a partitioned rank under the hood), so what looks
+    like a per-row subquery executes as one join + window, never a
+    nested loop — the planner shape this query pins, alongside the
+    imperative window formulation in ``window_topk_per_group``."""
+    from iceberg_by_example_spark.sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, t.n_name AS nation
+        FROM region r JOIN LATERAL (
+          SELECT n_name FROM nation n
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY n_name LIMIT 2) t
+        """
+    )
