@@ -1257,3 +1257,66 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("_hit").isNotNull().alias("already_in_corpus"),
     )
+
+
+@register(
+    "dedup_cluster_report",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jpairs
+    ),
+    reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(x) AS label FROM reach GROUP BY u),
+    sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS docs_covered
+    FROM sizes GROUP BY cluster_size
+    """,
+    category="dedup",
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication report a curation run publishes from its
+    clustering pass: how many dup clusters exist at each size, and
+    how many documents they cover — the number that tells you whether
+    dedup removed 2% or 40% of the corpus, and whether one giant
+    boilerplate cluster dominates (a size-10⁶ row here means one
+    template owns a million docs — fix the source, don't just dedup).
+
+    Scale shape: the clustering output is (doc → canonical) pairs —
+    tiny next to the corpus — and the report is two stacked counts on
+    it. All heavy lifting is the already-bounded candidate+verify
+    pipeline this composes."""
+    clusters = dedup_cluster_canonical(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("docs_covered"),
+    )

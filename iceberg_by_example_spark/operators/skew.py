@@ -84,3 +84,54 @@ def agg_two_phase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         (F.sum("pq") / F.lit(1_000_000.0)).alias("total_value"),
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey),
+    tot AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n
+      FROM per_key),
+    top AS (
+      SELECT key, n FROM per_key
+      ORDER BY n DESC, key LIMIT 5)
+    SELECT t.key AS hot_key, t.n AS hot_rows,
+           o.n_rows / CAST(o.n_keys AS DOUBLE) AS mean_rows_per_key,
+           t.n / (o.n_rows / CAST(o.n_keys AS DOUBLE)) AS skew_factor
+    FROM top t, tot o
+    """,
+    category="join",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that decides whether
+    `join_salted` / AQE skew handling is needed BEFORE a production
+    join ships: the 5 heaviest keys with their row counts and skew
+    factor (hot-key rows ÷ mean rows per key). A skew factor in the
+    hundreds means one post-shuffle partition does hundreds of
+    partitions' work.
+
+    Scale shape: one map-side-combinable count per key, a 1-row
+    global aggregate (broadcast back), and a TakeOrderedAndProject
+    top-5 — the full diagnosis costs one aggregation pass, so it can
+    run as a pre-flight on every scheduled join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    top = per_key.orderBy(F.desc("n"), F.asc("key")).limit(5)
+    mean = F.col("n_rows") / F.col("n_keys").cast("double")
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("hot_rows"),
+        mean.alias("mean_rows_per_key"),
+        (F.col("n") / mean).alias("skew_factor"),
+    )

@@ -1298,3 +1298,66 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("rolling_7d_users"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH perm AS (
+      SELECT event_type, DATE_TRUNC('minute', ts) AS m,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_minutes,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM perm GROUP BY event_type)
+    SELECT p.event_type, p.m AS minute, p.n,
+           (p.n - s.s1 / s.n_minutes)
+             / SQRT(s.s2 / s.n_minutes
+                    - (s.s1 / s.n_minutes) * (s.s1 / s.n_minutes))
+             AS zscore
+    FROM perm p JOIN stats s USING (event_type)
+    WHERE s.n_minutes > 1
+      AND s.s2 / s.n_minutes
+            - (s.s1 / s.n_minutes) * (s.s1 / s.n_minutes) > 0
+      AND ABS((p.n - s.s1 / s.n_minutes)
+              / SQRT(s.s2 / s.n_minutes
+                     - (s.s1 / s.n_minutes) * (s.s1 / s.n_minutes)))
+          > 3
+    """,
+    category="analytics",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, minutes whose event
+    count sits more than 3σ from that type's own mean rate — the
+    monitoring query behind every traffic alert. Moments (n, Σx, Σx²)
+    accumulate as exact integers and convert to double once, so mean/
+    variance/z are fixed IEEE expressions of identical inputs in both
+    engines (population variance — σ of the observed window, the
+    monitoring convention).
+
+    Scale shape: two stacked partial aggregates (minute buckets, then
+    per-type moments — the second input is minutes, not events) and a
+    broadcast-sized join back: per-type stats are one row per type."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp"))
+        .cast(ev.schema["ts"].dataType)
+        .alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_minutes")
+    var = F.col("s2") / F.col("n_minutes") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        per_min.join(stats, "event_type")
+        .filter((F.col("n_minutes") > 1) & (var > 0) & (F.abs(z) > 3))
+        .select("event_type", "minute", "n", z.alias("zscore"))
+    )
