@@ -1361,3 +1361,42 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_minutes") > 1) & (var > 0) & (F.abs(z) > 3))
         .select("event_type", "minute", "n", z.alias("zscore"))
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+    category="analytics",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-event transition counts per user journey (the Markov
+    matrix behind 'what do users do after X' product questions): one
+    lag window keyed on user_id, then a global count per (from, to)
+    pair. Ties on ts break on event_id so the sequence — and the
+    matrix — is deterministic.
+
+    Scale shape: one exchange on user_id for the lag, then a
+    map-side-combinable count over ≤ |types|² keys; the matrix is
+    tiny regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -335,3 +335,30 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(l_quantity / 5.0) AS BIGINT), 9) AS bin,
+           LEAST(CAST(FLOOR(l_quantity / 5.0) AS BIGINT), 9) * 5.0
+             AS bin_low,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+    category="agg",
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 bins of width 5 over quantity,
+    top bin open) — the dashboard distribution query, as a plain
+    integer-arithmetic groupBy: bin assignment is a pure expression,
+    so the histogram is one map-side-combinable aggregate over ≤10
+    keys at any corpus size. Integer bin ids from FLOOR keep both
+    engines exact; no approx sketch needed when bins are fixed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_id = F.least(
+        F.floor(F.col("l_quantity") / 5.0), F.lit(9).cast("long")
+    )
+    return li.groupBy(
+        bin_id.alias("bin"), (bin_id * 5.0).alias("bin_low")
+    ).agg(F.count(F.lit(1)).alias("n"))
