@@ -1,12 +1,17 @@
 """Deduplication operators over ``documents`` (north-star extension).
 
-Five dedup families, each designed as the distributed-at-100TB version:
+Every dedup family a production corpus needs, each designed as the
+distributed-at-100TB version:
 
-- exact           — md5-keyed keep-first (hash groupBy, one shuffle)
+- exact           — md5-keyed keep-first (hash groupBy, one shuffle),
+                    keep-best and incremental batch-vs-index variants
 - ngram Jaccard   — shingle-inverted-index candidate join (never O(n²))
+- containment     — smaller-side rarest-shingle probes, exact verify
+- span (substring)— sampled 20-token window index, stride 10
 - MinHash LSH     — banded signature bucketing (Spark-native impl)
 - SimHash         — 60-bit sign-aggregated fingerprint + banded hamming
 - embedding cosine— quantized-integer cosine pairs (see similarity.py)
+- clustering      — connected components → canonical ids + size report
 
 EVERY family here is oracle-checked end-to-end: exact and
 ngram-Jaccard are directly DuckDB-expressible, and MinHash/SimHash
