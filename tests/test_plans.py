@@ -251,3 +251,20 @@ def test_sketch_union_merges_to_global_estimate(spark):
     for r in rows.values():
         assert abs(r.approx_docs - r.n_docs) / max(r.n_docs, 1) < 0.1
     assert sum(r.n_docs for r in rows.values()) == exact_total
+
+
+def test_lateral_subquery_decorrelates_to_window(spark, registry):
+    """The LATERAL per-row LIMIT must decorrelate into a partitioned
+    Window (rank) + join — never a nested-loop per outer row."""
+    plan = plan_of(registry["subquery_lateral_topn"].fn(spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_diagnosis_uses_top_k_not_global_sort(spark, registry):
+    """diag_key_skew's hot-key selection must plan TakeOrderedAndProject
+    (per-partition top-5 then merge), not a full global sort of the
+    per-key counts."""
+    plan = plan_of(registry["diag_key_skew"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
