@@ -425,3 +425,43 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count_distinct("fp") / F.count(F.lit(1)).cast("double")
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "pipeline_dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_rate
+    FROM fp GROUP BY source
+    """,
+    category="pipeline",
+)
+def pipeline_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication attributed to its SOURCE — the actionable version
+    of the dataset card's global dup rate: a crawler re-fetching the
+    same pages shows up as one source's dup_rate spiking, which is a
+    connector fix, not a dedup-harder problem. Per-source exact-dup
+    rate on the same normalized fingerprint ``dedup_exact`` keys on.
+
+    Scale shape: one groupBy(source) with an exact distinct per group
+    — the distinct shuffles (source, fp) keys only; swap in the
+    sketch-union pattern when sources × fingerprints outgrow exact."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", fingerprint("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
