@@ -28,6 +28,134 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# sf1 scaling probe: run the heaviest query families ONCE at 10× the
+# bench rows and report sf1/sf0.1 time ratios. A bounded design (df-
+# capped candidates, banded LSH, probe-limited containment) should
+# scale near-linearly; an accidental quadratic candidate path shows up
+# here long before the sf0.1 numbers move.
+# ---------------------------------------------------------------------------
+
+SCALING_PROBE_QUERIES = [
+    "dedup_containment",
+    "dedup_cluster_canonical",
+    "agg_pricing_summary",
+    "dedup_embedding_lsh",
+    "pipeline_decontaminate",
+]
+SF1_REPLICAS = 10
+
+
+def _replica_signs(r: int, dim: int = 64) -> list[int]:
+    """±1 diagonal per replica (identity for replica 0). Applying one
+    pattern to a whole replica preserves every within-replica dot
+    product and norm exactly, while cross-replica similarities are
+    scrambled — so sf1 is 10 mutually-independent copies of the sf0.1
+    similarity structure, not 10× trivial self-duplicates (which would
+    quadratically inflate pair outputs and measure the wrong thing)."""
+    import random
+
+    if r == 0:
+        return [1] * dim
+    rng = random.Random(4242 + r)
+    return [rng.choice((-1, 1)) for _ in range(dim)]
+
+
+def _ensure_sf1(spark, base_dir: str) -> str:
+    """Generate (once, cached in the system temp dir) the three tables
+    the probe queries read — documents, embeddings, lineitem — at 10×
+    the base rows. Documents get a per-replica token tag (replica 0
+    verbatim), which keeps each replica's shingle/near-dup structure
+    identical to the base corpus while sharing no shingles across
+    replicas — the same independence argument as ``_replica_signs``."""
+    import functools
+    import tempfile
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
+    marker = os.path.join(out, "_SF1_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def union_all(parts):
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    docs = load_table(spark, base_dir, "documents")
+    doc_reps = []
+    for r in range(SF1_REPLICAS):
+        txt = (
+            F.col("text")
+            if r == 0
+            else F.concat(
+                F.lit(f"r{r}_"), F.regexp_replace("text", " ", f" r{r}_")
+            )
+        )
+        doc_reps.append(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    union_all(doc_reps).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = load_table(spark, base_dir, "embeddings")
+    emb_reps = []
+    for r in range(SF1_REPLICAS):
+        pat = F.array(*[F.lit(v) for v in _replica_signs(r)])
+        emb_reps.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                F.zip_with(
+                    "embedding", pat, lambda x, s: x * s.cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    union_all(emb_reps).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    li = load_table(spark, base_dir, "lineitem")
+    li_reps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + r * 100_000_000)
+        for r in range(SF1_REPLICAS)
+    ]
+    union_all(li_reps).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+    sf1_dir = _ensure_sf1(spark, sf_dir)
+    queries = {}
+    for name in SCALING_PROBE_QUERIES:
+        spec = QUERY_REGISTRY[name]
+        t0 = time.perf_counter()
+        run_query(spec.fn(spark, sf1_dir))
+        dt = time.perf_counter() - t0
+        base = timings.get(name)
+        queries[name] = {
+            "sf01_sec": base,
+            "sf1_sec": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+    return {"replicas": SF1_REPLICAS, "queries": queries}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -59,6 +187,12 @@ def main() -> None:
     minima = {n: round(min(ts), 3) for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
+
+    try:
+        scaling = _scaling_probe(spark, sf_dir, timings)
+    except Exception as exc:  # probe must never kill the bench line
+        scaling = {"error": f"{type(exc).__name__}: {exc}"}
+
     print(
         json.dumps(
             {
@@ -70,6 +204,7 @@ def main() -> None:
                 "timed_passes": 3,
                 "aggregation": "median",
                 "sf": sf,
+                "scaling_probe": scaling,
             }
         )
     )

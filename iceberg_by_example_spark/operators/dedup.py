@@ -299,9 +299,13 @@ def ngram_jaccard_pairs(
     jac = F.col("common_total") / (
         F.col("na") + F.col("nb") - F.col("common_total")
     ).cast("double")
+    # Honor the caller's threshold EXACTLY (the old max(0.08, x or 0)
+    # silently raised sub-0.08 thresholds — and treated an explicit
+    # 0.0 as unset); 0.08 is only the default for the graded query.
+    threshold = 0.08 if min_jaccard is None else min_jaccard
     return with_hot.select(
         "doc_a", "doc_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= max(0.08, min_jaccard or 0.0))
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1055,10 +1059,23 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
     The census/probe/posting joins key on the 64-bit shingle hash —
     the same 8-byte-key trade ``ngram_jaccard_pairs`` documents — but
     the PROBE RANKING tie-break stays on the shingle string, which is
-    what the oracle can reproduce."""
-    ex = sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    ).withColumn("h", F.xxhash64("shingle"))
+    what the oracle can reproduce.
+
+    The exploded (doc, shingle) relation is PINNED once
+    (``localCheckpoint``) and all three consumers — the df census, the
+    probe ranking, and the posting side of the candidate join — read
+    the pinned blocks; unpinned, each consumer re-runs the explode +
+    hash stage (3× the corpus tokenization). The pin is O(corpus
+    shingles) of block storage, spilled to executor disk at scale —
+    the standard cache-vs-recompute trade, taken for cache because the
+    relation is consumed three times in one job."""
+    ex = detach(
+        sh.select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("shingle"),
+        ).withColumn("h", F.xxhash64("shingle"))
+    )
     census = ex.groupBy("h").agg(F.count("*").alias("df"))
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -1144,6 +1161,7 @@ SPAN_DF_CAP = NGRAM_DF_CAP
     GROUP BY 1, 2
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplicate detection - the EXACT-SUBSTRING dedup mode
@@ -1222,6 +1240,7 @@ INCR_BATCH_BUCKET = "1a"  # ~10% of docs
     FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (batch-vs-corpus) exact dedup — the shape a daily

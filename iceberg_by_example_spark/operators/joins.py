@@ -203,29 +203,45 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     hash(custkey) % buckets and records it in the table spec, so every
     later join/aggregation on custkey needs NO exchange and NO sort
     (sortBy pre-orders within buckets). The database LOCATION keeps the
-    managed tables inside the scratch dir, not the global warehouse."""
+    managed tables inside the scratch dir, not the global warehouse.
+
+    The name tag is a stable md5 of the sf_dir — Python's built-in
+    str hash is salted per process (PYTHONHASHSEED), which would make
+    every new session miss the existing tables; the database LOCATION
+    is equally stable (one fixed scratch path per sf_dir, not a fresh
+    mkdtemp), so re-runs overwrite in place instead of leaking a new
+    directory per process."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
-    tag = abs(hash(sf_dir)) % (1 << 30)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     db = f"bucketdemo_{tag}"
     orders_t, cust_t = f"{db}.orders_b", f"{db}.customer_b"
+    loc = os.path.join(tempfile.gettempdir(), db)
     if not spark.catalog.databaseExists(db):
-        loc = tempfile.mkdtemp(prefix=f"{db}_")
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
-    if not spark.catalog.tableExists(orders_t):
+
+    def _write(table: str, source: str, key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return  # reused within this session — the pay-once case
+        # A NEW session's metastore has no entry even when a previous
+        # process left files at the stable location, and Spark refuses
+        # to create a managed table over them (LOCATION_ALREADY_EXISTS)
+        # — reclaim the derived scratch dir instead of leaking a fresh
+        # one per process (the pre-fix behavior, via salted hash tags).
+        leftover = os.path.join(loc, table.split(".", 1)[1])
+        shutil.rmtree(leftover, ignore_errors=True)
         (
-            load_table(spark, sf_dir, "orders")
-            .write.bucketBy(BUCKETED_JOIN_BUCKETS, "o_custkey")
-            .sortBy("o_custkey")
-            .saveAsTable(orders_t)
+            load_table(spark, sf_dir, source)
+            .write.bucketBy(BUCKETED_JOIN_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(table)
         )
-    if not spark.catalog.tableExists(cust_t):
-        (
-            load_table(spark, sf_dir, "customer")
-            .write.bucketBy(BUCKETED_JOIN_BUCKETS, "c_custkey")
-            .sortBy("c_custkey")
-            .saveAsTable(cust_t)
-        )
+
+    _write(orders_t, "orders", "o_custkey")
+    _write(cust_t, "customer", "c_custkey")
     return orders_t, cust_t
 
 

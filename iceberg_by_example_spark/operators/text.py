@@ -536,6 +536,32 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASHING_DIM = 64
 
 
+def hashing_vectorizer_arrays(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-shaped hashing-trick features (``features:
+    array<int>``) — the native form a trainer consumes. Unregistered:
+    the grading driver cannot hash array cells (registry rule 4), so
+    the registered query below canonicalizes to a string."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    buckets = F.transform(
+        tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
+    )
+    tok = d.select("doc_id", buckets.alias("b"))
+
+    def _eq(k: int):
+        # single-arg lambda: a 2-arg function would make F.filter pass
+        # the ARRAY INDEX as the second argument
+        return lambda x: x == F.lit(k)
+
+    features = F.array(
+        *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
+    )
+    return tok.select("doc_id", features.alias("features"))
+
+
 @register(
     "text_hashing_vectorizer",
     oracle=f"""
@@ -546,8 +572,10 @@ HASHING_DIM = 64
                     % {HASHING_DIM}) AS b
       FROM documents)
     SELECT doc_id,
-           [LEN(LIST_FILTER(b, x -> x = k))
-            for k in generate_series(0, {HASHING_DIM - 1})] AS features
+           ARRAY_TO_STRING(
+             [LEN(LIST_FILTER(b, x -> x = k))
+              for k in generate_series(0, {HASHING_DIM - 1})],
+             ',') AS features
     FROM tok
     """,
     category="text",
@@ -559,24 +587,18 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistent across runs) behind linear classifiers and cheap
     similarity pre-filters. Uses the same ``_md5_hash60`` family as
     the minhash pipeline, so the oracle reproduces the exact vectors.
+    The vector is emitted as ONE comma-joined string per registry
+    rule 4 (the driver's pandas hasher cannot hash list cells);
+    ``hashing_vectorizer_arrays`` above keeps the array shape.
 
     Scale shape: pure per-row column expressions — tokenize once,
     hash once per token, DIM in-row filters — inside whole-stage
     codegen; no shuffle, no state, nothing grows with corpus size
     but the scan."""
-    from iceberg_by_example_spark.operators.dedup import _md5_hash60
-
-    d = load_table(spark, sf_dir, "documents")
-    buckets = F.transform(
-        tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
+    arr = hashing_vectorizer_arrays(spark, sf_dir)
+    return arr.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("string")), ","
+        ).alias("features"),
     )
-    tok = d.select("doc_id", buckets.alias("b"))
-    def _eq(k: int):
-        # single-arg lambda: a 2-arg function would make F.filter pass
-        # the ARRAY INDEX as the second argument
-        return lambda x: x == F.lit(k)
-
-    features = F.array(
-        *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
-    )
-    return tok.select("doc_id", features.alias("features"))

@@ -809,6 +809,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
     category="analytics",
+    bench=True,
 )
 def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape (no ps_supplycost table exists, so profit reduces to

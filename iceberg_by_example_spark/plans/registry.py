@@ -14,6 +14,16 @@ Determinism rules for oracle-checked queries
    Aggregate via exact decimal then cast back (see functions.exact).
 3. Pin the session timezone to UTC (session.py) — parquet timestamps
    then render identically in both engines.
+4. Never emit a raw array/map/struct column from a registered query:
+   the grading driver hashes results through pandas, and a list-typed
+   cell raises ``TypeError: unhashable type: 'list'`` (this killed
+   embed_random_projection and text_hashing_vectorizer in round 5).
+   Canonicalize vectors to a comma-joined string — Spark
+   ``concat_ws(',', *components)`` / ``array_join(transform(a,
+   x -> cast(x as string)), ',')`` against DuckDB
+   ``CONCAT_WS(',', ...)`` / ``ARRAY_TO_STRING(a, ',')`` — or explode
+   to long-form ``(id, k, value)`` rows. Keep an array-returning
+   helper unregistered if callers want the native shape.
 """
 
 from __future__ import annotations
@@ -73,11 +83,13 @@ def register(
 # stale force entry would otherwise pin its query at the window head
 # forever, crowding out genuinely stale queries).
 _FORCE_REGRADE: dict[str, int] = {
-    "sample_deterministic": 5,  # r5: seeded .sample -> hash-threshold
-    "dedup_containment": 5,  # r5: bounded candidates + hit floor
-    "dedup_minhash_lsh": 5,  # r5: portable md5 hash family + oracle
-    "dedup_pipeline_lsh_verified": 5,  # r5: same + oracle
-    "dedup_simhash": 5,  # r5: 60-bit portable hash family + oracle
+    # r5 entries (sample_deterministic, dedup_containment/minhash/
+    # pipeline/simhash) self-expired once CORRECTNESS_r05.json landed.
+    "embed_random_projection": 6,  # r6: array → concat_ws string form
+    "text_hashing_vectorizer": 6,  # r6: array → array_join string form
+    "sim_ivf_topk": 6,  # r6: seed-derived centroids, first real oracle
+    "versioned_metadata_tables": 6,  # r6: literal-count oracle added
+    "dedup_containment": 6,  # r6: single shingle-census pass (same output)
 }
 
 

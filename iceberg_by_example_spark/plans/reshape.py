@@ -212,6 +212,138 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_source.unionByName(total)
 
 
+# --- portable HLL: the same sketch-union rollup, oracle-checkable ----------
+#
+# DataSketches binaries aren't cross-engine, which leaves
+# ``agg_sketch_union`` rows-only by design. This twin builds the HLL
+# itself from first principles on the portable 60-bit md5 hash
+# (``_md5_hash60``): bucket = h mod m, rho = leading zeros of the
+# remaining 60-p bits + 1, register = MAX(rho) per (source, bucket) —
+# and the ALL row is the max-merge of the per-source registers (the
+# mergeability property, demonstrated rather than asserted). DuckDB
+# recomputes identical registers, so the estimate hash-matches.
+#
+# Determinism notes: registers sum as EXACT integers (Σ 2^(rho0-r) via
+# shiftleft, ≤ 2^61 — never a double sum, which is order-dependent);
+# the one ln() in the linear-counting branch is the only libm call and
+# the output is rounded to 4 decimals, far coarser than any cross-libm
+# ulp. Estimates use the standard HLL alpha and the small-range
+# linear-counting correction (Flajolet et al. 2007 thresholds).
+HLL_P = 10  # 2^10 = 1024 buckets; ±3.2% rel. error (raise p at scale)
+HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P  # bits left for the rho run after the bucket index
+_HLL_RHO0 = _HLL_W + 1  # register value when the remainder is all zeros
+_HLL_SCALE = 1 << _HLL_RHO0  # exact-integer scale for the 2^-r sum
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(_HLL_SCALE)
+
+
+@register(
+    "agg_sketch_union_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT source,
+             ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents),
+    rho AS (
+      SELECT source, h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO0}
+                  ELSE {_HLL_RHO0} - LENGTH(BIN(h // {HLL_M})) END AS rho
+      FROM h),
+    regs AS (
+      SELECT source, bucket, MAX(rho) AS r
+      FROM rho GROUP BY source, bucket),
+    regs_u AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT 'ALL' AS source, bucket, MAX(r) AS r
+      FROM regs GROUP BY bucket),
+    est AS (
+      SELECT source, COUNT(*) AS nz,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO0} - r)) AS BIGINT)
+               AS s_present
+      FROM regs_u GROUP BY source),
+    e AS (
+      SELECT source, {HLL_M} - nz AS v,
+             {_HLL_NUM!r}
+               / CAST(s_present
+                      + CAST({HLL_M} - nz AS BIGINT) * {_HLL_SCALE} AS DOUBLE)
+               AS raw
+      FROM est),
+    counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      UNION ALL
+      SELECT 'ALL', COUNT(*) FROM documents)
+    SELECT e.source,
+           ROUND(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                      THEN {HLL_M} * LN({HLL_M}.0 / v)
+                      ELSE raw END, 4) AS approx_docs,
+           n_docs
+    FROM e JOIN counts USING (source)
+    """,
+    category="agg",
+)
+def agg_sketch_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HLL sketch union (see the block comment above):
+    per-source registers → per-source estimates AND a max-merged ALL
+    row, all from column expressions over the portable md5 hash. The
+    shuffle carries (source, bucket, partial-max) — map-side
+    combinable, ≤ sources × m rows at any corpus size; the rollup
+    reads registers, never raw keys. ``agg_sketch_union`` above is the
+    DataSketches-native variant (smaller serialized state, faster
+    update path) for deployments that don't need cross-engine
+    verification."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    hd = d.select(
+        "source", _md5_hash60(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = F.expr(f"h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_RHO0)).otherwise(
+        F.lit(_HLL_RHO0) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        hd.select("source", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    regs_u = regs.unionByName(
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("source"), "bucket", "r")
+    )
+    est = regs_u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO0} - r AS INT))")
+        ).alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    raw = F.lit(_HLL_NUM) / (
+        F.col("s_present") + v.cast("long") * F.lit(_HLL_SCALE)
+    ).cast("double")
+    approx = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts_u = counts.unionByName(
+        d.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit("ALL").alias("source"), "n_docs"
+        )
+    )
+    return (
+        est.select("source", approx.alias("approx_docs"))
+        .join(counts_u, "source")
+        .select("source", "approx_docs", "n_docs")
+    )
+
+
 @register(
     "agg_linear_fit",
     oracle="""

@@ -294,7 +294,20 @@ def versioned_rest_catalog_counts(
 
 @register(
     "versioned_metadata_tables",
-    oracle=None,  # snapshot ids/timestamps are run-specific; shape checked
+    # The workflow is FIXED (create + 2 single-file appends + 1
+    # branch), so every metadata count below is a deterministic
+    # engine invariant — the oracle states them as literals; a drift
+    # in commit/manifest/ref bookkeeping turns this row red.
+    # Snapshot IDs/timestamps stay out of the output (run-specific).
+    oracle="""
+    SELECT 'snapshots' AS metric, CAST(3 AS BIGINT) AS value
+    UNION ALL SELECT 'history_depth', 3
+    UNION ALL SELECT 'files', 2
+    UNION ALL SELECT 'refs', 2
+    UNION ALL SELECT 'manifests', 2
+    UNION ALL SELECT 'metadata_log_entries', 3
+    UNION ALL SELECT 'append_commits', 2
+    """,
     category="versioned",
 )
 def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,15 +315,17 @@ def versioned_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with two commits and a branch, then summarize all the
     suffixed metadata relations the reference queries — snapshots /
     history / files / refs / manifests / metadata_log_entries — plus
-    per-operation totals."""
+    per-operation totals. Appends are coalesced to one partition so
+    the data-file count is an invariant of the workflow, not of the
+    scan parallelism of whatever session runs it."""
     orders = load_table(spark, sf_dir, "orders")
     loc = tempfile.mkdtemp(prefix="meta_tables_")
     shutil.rmtree(loc)
     t = VersionedTable.create(spark, loc, schema=ORDERS_DDL)
     try:
-        t.append(orders.filter(F.col("o_orderkey") < 1000))
+        t.append(orders.filter(F.col("o_orderkey") < 1000).coalesce(1))
         t.create_branch("audit")
-        t.append(orders.filter(F.col("o_orderkey") >= 1000))
+        t.append(orders.filter(F.col("o_orderkey") >= 1000).coalesce(1))
 
         # ONE unioned summary plan over all six metadata relations —
         # seven sequential .count() actions here cost ~3.4s of pure

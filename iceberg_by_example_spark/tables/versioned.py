@@ -1664,8 +1664,14 @@ class VersionedTable:
             if snap.parent_id is None:
                 raise ValueError("cannot cherry-pick the root snapshot")
             parent = self._snapshot_by_id(snap.parent_id)
-            added = [f for f in snap.files if f not in set(parent.files)]
-            removed = [f for f in parent.files if f not in set(snap.files)]
+            # hoisted sets: building them inside the comprehension
+            # condition re-constructs the set per element — O(n²) over
+            # manifest-scale file lists
+            parent_files = set(parent.files)
+            snap_files = set(snap.files)
+            added = [f for f in snap.files if f not in parent_files]
+            removed = [f for f in parent.files if f not in snap_files]
+            removed_set = set(removed)
             head = self._current(branch)
             head_files = set(head.files)
             missing = [f for f in removed if f not in head_files]
@@ -1675,12 +1681,11 @@ class VersionedTable:
                     snap.parent_id,
                     head.snapshot_id,
                 )
+            parent_deletes = set(parent.delete_files)
             new_deletes = [
-                d
-                for d in snap.delete_files
-                if d not in set(parent.delete_files)
+                d for d in snap.delete_files if d not in parent_deletes
             ]
-            files = [f for f in head.files if f not in set(removed)] + added
+            files = [f for f in head.files if f not in removed_set] + added
         return self._commit(
             branch,
             snap.operation,

@@ -819,7 +819,7 @@ def test_random_projection_preserves_norms_in_expectation(spark):
     from iceberg_by_example_spark.operators.similarity import (
         QUANT,
         RP_OUT_DIM,
-        embed_random_projection,
+        random_projection_vectors,
     )
     from iceberg_by_example_spark.sources.tpch import load_table
 
@@ -830,7 +830,7 @@ def test_random_projection_preserves_norms_in_expectation(spark):
     }
     proj = {
         r.vec_id: [v / QUANT for v in r.rp_q]
-        for r in embed_random_projection(spark, sf).collect()
+        for r in random_projection_vectors(spark, sf).collect()
         if r.vec_id in orig
     }
     ratios = [

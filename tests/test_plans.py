@@ -220,17 +220,63 @@ def test_export_window_rotates_by_staleness(registry):
     assert len(set(order)) == len(order)
 
     graded = _last_graded_rounds()
-    eff = [
-        0 if n in _FORCE_REGRADE else graded.get(n, 0) for n in order
-    ]
+
+    def eff_round(n: str) -> int:
+        # Mirror _export_order's self-expiry rule exactly: a force
+        # entry zeroes the round only UNTIL a driver row at/after the
+        # mapped round exists, then it expires on its own.
+        rnd = graded.get(n, 0)
+        return 0 if rnd < _FORCE_REGRADE.get(n, 0) else rnd
+
+    eff = [eff_round(n) for n in order]
     assert eff == sorted(eff), "export order must be stalest-first"
 
     window = set(order[:50])
-    ungraded = {
-        n for n in registry if n not in graded or n in _FORCE_REGRADE
-    }
+    ungraded = {n for n in registry if eff_round(n) == 0}
     missing = ungraded - window
     assert not missing, f"ungraded queries outside the window: {missing}"
+
+
+def test_no_registered_query_emits_complex_types(spark, registry):
+    """Registry rule 4: the grading driver hashes through pandas, and
+    an array/map/struct cell raises `unhashable type` (the round-5
+    embed_random_projection / text_hashing_vectorizer failures).
+    Vector-valued queries must canonicalize (concat_ws / array_join /
+    long form). Versioned-category queries execute whole scratch-table
+    workflows at schema time, so they're covered by their own tests."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, spec in registry.items():
+        if spec.category == "versioned":
+            continue
+        for f in spec.fn(spark, sf).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex-typed query outputs: {bad}"
+
+
+def test_portable_sketch_union_accuracy(spark):
+    """The from-first-principles HLL must estimate every per-source
+    cardinality AND the max-merged ALL rollup within the m=256 error
+    envelope (±6.5% stderr; the per-source rows sit in the
+    linear-counting regime, which is tighter)."""
+    from iceberg_by_example_spark.plans.reshape import (
+        agg_sketch_union_portable,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r.source: r for r in agg_sketch_union_portable(spark, sf).collect()
+    }
+    assert "ALL" in rows
+    for src, r in rows.items():
+        assert abs(r.approx_docs - r.n_docs) / r.n_docs < 0.15, (
+            src,
+            r.approx_docs,
+            r.n_docs,
+        )
 
 
 def test_sketch_union_merges_to_global_estimate(spark):
