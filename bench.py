@@ -28,6 +28,18 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def drop_pinned_blocks(spark) -> None:
+    """Drop pinned blocks (localCheckpoint / persist) left by the
+    query that just ran. Pinned RDDs otherwise linger until JVM GC
+    triggers the ContextCleaner, and 29 queries × 4 passes of
+    accumulated blocks slows later queries (storage eviction + GC
+    pressure) — each query should be timed against a clean executor,
+    as the driver would run it. Called OUTSIDE the timed section;
+    non-blocking so the removal overlaps the next query's planning."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 # ---------------------------------------------------------------------------
 # sf1 scaling probe: run the heaviest query families ONCE at 10× the
 # bench rows and report sf1/sf0.1 time ratios. A bounded design (df-
@@ -144,9 +156,15 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     queries = {}
     for name in SCALING_PROBE_QUERIES:
         spec = QUERY_REGISTRY[name]
-        t0 = time.perf_counter()
-        run_query(spec.fn(spark, sf1_dir))
-        dt = time.perf_counter() - t0
+        # min of 2 passes: a single cold pass on this box can swing
+        # several-fold (GC/JIT), which would report a fake quadratic
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(spec.fn(spark, sf1_dir))
+            ts.append(time.perf_counter() - t0)
+            drop_pinned_blocks(spark)
+        dt = min(ts)
         base = timings.get(name)
         queries[name] = {
             "sf01_sec": base,
@@ -175,6 +193,7 @@ def main() -> None:
     # the contention-free floor.
     for name, spec in sorted(headline.items()):
         run_query(spec.fn(spark, sf_dir))
+        drop_pinned_blocks(spark)
 
     passes: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(3):
@@ -182,6 +201,7 @@ def main() -> None:
             t0 = time.perf_counter()
             run_query(spec.fn(spark, sf_dir))
             passes[name].append(time.perf_counter() - t0)
+            drop_pinned_blocks(spark)
 
     timings = {n: round(sorted(ts)[1], 3) for n, ts in passes.items()}
     minima = {n: round(min(ts), 3) for n, ts in passes.items()}
@@ -189,7 +209,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     try:
-        scaling = _scaling_probe(spark, sf_dir, timings)
+        # ratio floors-vs-floors: min(sf1 passes) over min(sf0.1
+        # passes) — medians mix contention into the scaling signal
+        scaling = _scaling_probe(spark, sf_dir, minima)
     except Exception as exc:  # probe must never kill the bench line
         scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
