@@ -237,6 +237,19 @@ def test_export_window_rotates_by_staleness(registry):
     assert not missing, f"ungraded queries outside the window: {missing}"
 
 
+def test_ivf_assignment_is_map_only(spark, registry):
+    """Deterministic IVF: cell assignment must be a pure map stage —
+    the centroids are compile-time literals, so the plan may contain
+    NO shuffle exchange (only the 1-row query broadcast) and must top
+    out in TakeOrderedAndProject. A shuffle here would mean the
+    assignment joined a centroid table instead of inlining it."""
+    plan = plan_of(registry["sim_ivf_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_registered_query_emits_complex_types(spark, registry):
     """Registry rule 4: the grading driver hashes through pandas, and
     an array/map/struct cell raises `unhashable type` (the round-5
