@@ -97,11 +97,45 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_intensity
 
 
+def _decode_bmp(payload: bytes):
+    """REAL codec, no media library needed: parse an uncompressed
+    24-bit bottom-up BMP (BITMAPINFOHEADER) with struct + numpy and
+    return (width, height, channels, mean_intensity), or None when the
+    bytes aren't that format. Uncompressed BMP is a 54-byte header
+    plus raw BGR rows padded to 4 bytes — fully decodable in-container,
+    which is what makes ``multimodal_decode_real`` a genuine
+    bytes→pixels→stats pipeline rather than a stub (compressed formats
+    still route through the Pillow probe)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0 or h <= 0:
+        return None
+    row_bytes = (w * 3 + 3) & ~3
+    if len(payload) < data_off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3]
+    # exact integer sum → one double division: bit-identical to the
+    # generator's independent computation of the same pixels
+    mean = float(int(rows.sum(dtype=np.uint64))) / (w * h * 3)
+    return w, h, 3, mean
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode one payload: real codec when the probe found Pillow AND
-    the bytes are a decodable image; the deterministic stub otherwise.
-    The (width, height, channels, mean_intensity) contract — and hence
-    the Spark-side schema and plan — is identical on both paths."""
+    """Decode one payload: Pillow when the probe found it and the
+    bytes decode; else the in-container BMP codec for uncompressed
+    BMPs; else the deterministic stub. The (width, height, channels,
+    mean_intensity) contract — and hence the Spark-side schema and
+    plan — is identical on every path."""
     if _PIL is not None:
         import io
 
@@ -109,17 +143,21 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
             img = _PIL.open(io.BytesIO(payload))
             img.load()
         except Exception:
-            return _decode_image_stub(payload)
-        import numpy as np
+            img = None
+        if img is not None:
+            import numpy as np
 
-        arr = np.asarray(img, dtype=np.float64)
-        channels = arr.shape[2] if arr.ndim == 3 else 1
-        return (
-            int(img.size[0]),
-            int(img.size[1]),
-            int(channels),
-            float(arr.mean()),
-        )
+            arr = np.asarray(img, dtype=np.float64)
+            channels = arr.shape[2] if arr.ndim == 3 else 1
+            return (
+                int(img.size[0]),
+                int(img.size[1]),
+                int(channels),
+                float(arr.mean()),
+            )
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        return bmp
     return _decode_image_stub(payload)
 
 
@@ -336,3 +374,423 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: deterministic BMP corpus → binaryFile → mapInPandas
+# ---------------------------------------------------------------------------
+
+# Same import-time-deterministic-corpus pattern as the blob corpus
+# above, but the files are REAL uncompressed 24-bit BMPs whose pixels
+# come from a fixed arithmetic pattern (no RNG): image i is
+# (24+4i) × (32+8i), pixel[r,c,ch] = (3r + 5c + 7ch + 11i) mod 256.
+# The oracle states each file's decoded stats as literals computed at
+# import from the SAME pixel arrays by an independent path (direct
+# array arithmetic, no BMP round-trip) — so the driver row verifies
+# the full bytes → header parse → pixel array → stats decode chain.
+IMAGE_CORPUS_DIR = "/tmp/iceberg_by_example_image_corpus"
+_IMAGE_CORPUS_N = 12
+
+
+def _encode_bmp(arr) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP encoder for an
+    (h, w, 3) uint8 array (RGB in-memory; rows stored BGR, which
+    doesn't move the mean the query verifies)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    rows = bytearray()
+    bgr = arr[:, :, ::-1]
+    pad = b"\x00" * (row_bytes - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        rows += bgr[r].astype(np.uint8).tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def _image_pixels(i: int):
+    """The fixed per-image pixel pattern (see the block comment)."""
+    import numpy as np
+
+    h, w = 24 + 4 * i, 32 + 8 * i
+    r = np.arange(h, dtype=np.uint32)[:, None, None]
+    c = np.arange(w, dtype=np.uint32)[None, :, None]
+    ch = np.arange(3, dtype=np.uint32)[None, None, :]
+    return ((3 * r + 5 * c + 7 * ch + 11 * i) % 256).astype("uint8")
+
+
+def _image_expected() -> list[tuple[str, int, int, int, float]]:
+    """(asset, width, height, channels, mean) per corpus image,
+    computed straight from the arrays — the decoder never runs here."""
+    rows = []
+    for i in range(_IMAGE_CORPUS_N):
+        arr = _image_pixels(i)
+        h, w, _ = arr.shape
+        mean = float(int(arr.sum(dtype="uint64"))) / (w * h * 3)
+        rows.append((f"img_{i:03d}.bmp", w, h, 3, round(mean, 4)))
+    return rows
+
+
+def _ensure_image_corpus() -> str:
+    import os
+
+    os.makedirs(IMAGE_CORPUS_DIR, exist_ok=True)
+    for i in range(_IMAGE_CORPUS_N):
+        path = os.path.join(IMAGE_CORPUS_DIR, f"img_{i:03d}.bmp")
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_encode_bmp(_image_pixels(i)))
+        os.replace(tmp, path)
+    return IMAGE_CORPUS_DIR
+
+
+_ensure_image_corpus()
+
+DECODE_REAL_SCHEMA = (
+    "asset string, width int, height int, channels int, mean_intensity double"
+)
+
+
+def decode_bmp_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the REAL decode path: every payload MUST
+    parse as BMP — a silent stub fallback here would let a codec
+    regression grade green, so a non-BMP payload raises instead."""
+    for pdf in pdfs:
+        decoded = []
+        for asset, payload in zip(pdf["asset"], pdf["payload"]):
+            d = _decode_bmp(bytes(payload))
+            if d is None:
+                raise ValueError(f"{asset}: not an uncompressed 24-bit BMP")
+            decoded.append(d)
+        yield pd.DataFrame(
+            {
+                "asset": pdf["asset"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "channels": [d[2] for d in decoded],
+                "mean_intensity": [round(d[3], 4) for d in decoded],
+            }
+        )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{a}', {w}, {h}, {c}, CAST({m!r} AS DOUBLE))"
+        for a, w, h, c, m in _image_expected()
+    )
+    + ") AS t(asset, width, height, channels, mean_intensity)",
+    category="multimodal",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, no media library: binaryFile scan
+    of the deterministic BMP corpus → Arrow-batched ``mapInPandas`` →
+    header parse + pixel-array stats per file (``_decode_bmp``). The
+    oracle is the independent pixel-arithmetic expectation, so a
+    driver-green row certifies actual bytes→pixels decoding — the
+    capability multimodal_decode_stats demonstrates the PLUMBING of
+    with its probe-gated codec.
+
+    Scale shape: identical to any decode fan-out — files partition
+    across executors, one Python crossing per Arrow batch, fixed
+    output schema for downstream pruning; swap the codec per format."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(IMAGE_CORPUS_DIR)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("asset"),
+            F.col("content").alias("payload"),
+        )
+    )
+    decoded = df.mapInPandas(decode_bmp_batches, DECODE_REAL_SCHEMA)
+    return decoded.select(
+        "asset", "width", "height", "channels", "mean_intensity"
+    )
+
+
+# --- real pixel resample over the same corpus ------------------------------
+
+THUMB = 16  # fixed thumbnail edge; nearest-neighbor index selection
+
+
+def _nn_thumbnail(arr):
+    """Nearest-neighbor THUMB×THUMB resample of an (h, w, 3) array:
+    out[r, c] = src[floor(r·h/T), floor(c·w/T)] — pure integer index
+    selection, so the result is bit-exact and engine-independent
+    (interpolating resamplers are float-rounding-dependent; the
+    nearest-neighbor kernel is the one you can hash-verify)."""
+    h, w, _ = arr.shape
+    rows = [(r * h) // THUMB for r in range(THUMB)]
+    cols = [(c * w) // THUMB for c in range(THUMB)]
+    return arr[rows][:, cols]
+
+
+def _resize_expected() -> list[tuple[str, int, int, str, float]]:
+    """(asset, out_w, out_h, thumb_md5, thumb_mean) computed from the
+    generator's pixel arrays directly — the BMP encoder/decoder and
+    the Spark path never run here."""
+    import hashlib
+
+    rows = []
+    for i in range(_IMAGE_CORPUS_N):
+        thumb = _nn_thumbnail(_image_pixels(i))
+        mean = float(int(thumb.sum(dtype="uint64"))) / thumb.size
+        rows.append(
+            (
+                f"img_{i:03d}.bmp",
+                THUMB,
+                THUMB,
+                hashlib.md5(thumb.tobytes()).hexdigest(),
+                round(mean, 4),
+            )
+        )
+    return rows
+
+
+RESIZE_REAL_SCHEMA = (
+    "asset string, out_w int, out_h int, thumb_md5 string, thumb_mean double"
+)
+
+
+def resize_bmp_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode BMP → nearest-neighbor thumbnail →
+    md5 of the exact resampled pixel bytes + mean. Raises on non-BMP
+    payloads (same no-silent-fallback stance as the decode worker)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    for pdf in pdfs:
+        out = {k: [] for k in ("asset", "out_w", "out_h", "thumb_md5", "thumb_mean")}
+        for asset, payload in zip(pdf["asset"], pdf["payload"]):
+            payload = bytes(payload)
+            d = _decode_bmp(payload)
+            if d is None:
+                raise ValueError(f"{asset}: not an uncompressed 24-bit BMP")
+            w, h = d[0], d[1]
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            row_bytes = (w * 3 + 3) & ~3
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+            ).reshape(h, row_bytes)[:, : w * 3]
+            # bottom-up BGR storage → top-down RGB array
+            arr = rows.reshape(h, w, 3)[::-1, :, ::-1]
+            thumb = _nn_thumbnail(np.ascontiguousarray(arr))
+            mean = float(int(thumb.sum(dtype="uint64"))) / thumb.size
+            out["asset"].append(asset)
+            out["out_w"].append(THUMB)
+            out["out_h"].append(THUMB)
+            out["thumb_md5"].append(
+                hashlib.md5(np.ascontiguousarray(thumb).tobytes()).hexdigest()
+            )
+            out["thumb_mean"].append(round(mean, 4))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{a}', {w}, {h}, '{m5}', CAST({mn!r} AS DOUBLE))"
+        for a, w, h, m5, mn in _resize_expected()
+    )
+    + ") AS t(asset, out_w, out_h, thumb_md5, thumb_mean)",
+    category="multimodal",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resampling end-to-end: BMP corpus → decode → exact
+    nearest-neighbor 16×16 thumbnail → md5 OF THE RESAMPLED PIXEL
+    BYTES. The oracle's md5s come from the generator's arrays via an
+    independent path, so a green row certifies every selected pixel —
+    the strongest verifiable claim a resize can make (interpolating
+    kernels can't be hash-pinned; they'd be mean-±ε checked instead).
+    ``multimodal_resize`` keeps the metadata-only aspect-fit shape for
+    the Pillow-gated path."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(IMAGE_CORPUS_DIR)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("asset"),
+            F.col("content").alias("payload"),
+        )
+    )
+    resized = df.mapInPandas(resize_bmp_batches, RESIZE_REAL_SCHEMA)
+    return resized.select(
+        "asset", "out_w", "out_h", "thumb_md5", "thumb_mean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: deterministic WAV (RIFF/PCM16) corpus
+# ---------------------------------------------------------------------------
+
+# The audio twin of the BMP path: canonical 44-byte RIFF header + raw
+# little-endian int16 PCM — fully decodable with struct + numpy. Sample
+# i of clip k is ((i·7919 + k·104729) mod 4001) − 2000 (primes keep the
+# pattern aperiodic; no trig, no floats in generation).
+AUDIO_CORPUS_DIR = "/tmp/iceberg_by_example_audio_corpus"
+_AUDIO_CORPUS_N = 8
+_AUDIO_RATE = 16_000
+
+
+def _audio_samples(k: int):
+    import numpy as np
+
+    n = 1600 + 800 * k  # 0.1–0.45 s at 16 kHz
+    i = np.arange(n, dtype=np.int64)
+    return ((i * 7919 + k * 104729) % 4001 - 2000).astype("int16")
+
+
+def _encode_wav(samples, rate: int = _AUDIO_RATE) -> bytes:
+    """Canonical mono PCM16 WAV: RIFF/fmt/data chunks, no extensions."""
+    import struct
+
+    data = samples.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _decode_wav(payload: bytes):
+    """Parse mono PCM16 WAV; returns (rate, samples) or None. Walks
+    the chunk list (a real reader can't assume fmt/data adjacency)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if fmt != 1:
+                return None  # compressed
+        elif cid == b"data":
+            if rate is None or bits != 16 or channels != 1:
+                return None
+            n = size // 2
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=n, offset=body
+            )
+            return rate, samples
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def _audio_expected() -> list[tuple[str, int, float, float, int]]:
+    """(asset, n_samples, duration_sec, rms, peak) from the generator's
+    arrays directly — encoder/decoder never run here. RMS is computed
+    exact-integer (Σs² ≤ n·2000² ≪ 2^63) then one sqrt, rounded 4."""
+    import math
+
+    rows = []
+    for k in range(_AUDIO_CORPUS_N):
+        s = _audio_samples(k).astype("int64")
+        n = int(s.size)
+        rms = math.sqrt(int((s * s).sum()) / n)
+        rows.append(
+            (
+                f"clip_{k:03d}.wav",
+                n,
+                round(n / _AUDIO_RATE, 4),
+                round(rms, 4),
+                int(abs(s).max()),
+            )
+        )
+    return rows
+
+
+def _ensure_audio_corpus() -> str:
+    import os
+
+    os.makedirs(AUDIO_CORPUS_DIR, exist_ok=True)
+    for k in range(_AUDIO_CORPUS_N):
+        path = os.path.join(AUDIO_CORPUS_DIR, f"clip_{k:03d}.wav")
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_encode_wav(_audio_samples(k)))
+        os.replace(tmp, path)
+    return AUDIO_CORPUS_DIR
+
+
+_ensure_audio_corpus()
+
+AUDIO_REAL_SCHEMA = (
+    "asset string, n_samples long, duration_sec double, rms double, peak int"
+)
+
+
+def audio_stats_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: WAV → samples → level stats. Raises on
+    undecodable payloads (no silent fallback)."""
+    import math
+
+    for pdf in pdfs:
+        out = {k: [] for k in ("asset", "n_samples", "duration_sec", "rms", "peak")}
+        for asset, payload in zip(pdf["asset"], pdf["payload"]):
+            d = _decode_wav(bytes(payload))
+            if d is None:
+                raise ValueError(f"{asset}: not a mono PCM16 WAV")
+            rate, s = d
+            s64 = s.astype("int64")
+            n = int(s64.size)
+            out["asset"].append(asset)
+            out["n_samples"].append(n)
+            out["duration_sec"].append(round(n / rate, 4))
+            out["rms"].append(round(math.sqrt(int((s64 * s64).sum()) / n), 4))
+            out["peak"].append(int(abs(s64).max()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_stats_real",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{a}', CAST({n} AS BIGINT), CAST({d!r} AS DOUBLE), "
+        f"CAST({r!r} AS DOUBLE), {p})"
+        for a, n, d, r, p in _audio_expected()
+    )
+    + ") AS t(asset, n_samples, duration_sec, rms, peak)",
+    category="multimodal",
+)
+def multimodal_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, no media library: binaryFile scan
+    of the deterministic WAV corpus → Arrow-batched ``mapInPandas`` →
+    RIFF chunk walk → PCM sample array → duration / RMS / peak. The
+    oracle is the generator-side expectation computed without the
+    codec, so a green row certifies actual bytes→samples decoding —
+    the audio twin of ``multimodal_decode_real`` (compressed audio
+    would be probe-gated on librosa/soundfile, same as PIL)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(AUDIO_CORPUS_DIR)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("asset"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = df.mapInPandas(audio_stats_batches, AUDIO_REAL_SCHEMA)
+    return stats.select("asset", "n_samples", "duration_sec", "rms", "peak")

@@ -90,6 +90,7 @@ _FORCE_REGRADE: dict[str, int] = {
     "sim_ivf_topk": 6,  # r6: seed-derived centroids, first real oracle
     "versioned_metadata_tables": 6,  # r6: literal-count oracle added
     "dedup_containment": 6,  # r6: single shingle-census pass (same output)
+    "agg_approx_distinct": 6,  # r6: portable-HLL estimate, first oracle
 }
 
 

@@ -84,15 +84,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; bounds tested in pytest
-    category="agg",
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — the 100 TB cardinality
-    estimator (exact distinct shuffles every key; the sketch is
-    constant-size per group and merges associatively)."""
+def approx_distinct_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct via the built-in
+    ``approx_count_distinct`` — the native 100 TB cardinality
+    estimator (constant-size per group, associative merge). Its
+    sketch internals aren't cross-engine reproducible, so this demo
+    stays UNREGISTERED; the registered ``agg_approx_distinct`` (below,
+    after the portable-HLL machinery) computes the same shape from
+    md5-derived registers DuckDB can recompute, and pytest bounds this
+    built-in against the exact count."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
@@ -238,6 +238,50 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(_HLL_SCALE)
 
 
+def portable_hll_registers(df, group_cols: list[str], key) -> "DataFrame":
+    """(group_cols..., bucket, r) — the portable HLL register relation
+    for ``key`` (a column) per group. The shuffle is map-side
+    combinable MAX over ≤ groups × m rows. Shared by
+    ``agg_sketch_union_portable`` and ``agg_approx_distinct``."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    hd = df.select(*group_cols, _md5_hash60(key.cast("string")).alias("h"))
+    w = F.expr(f"h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_RHO0)).otherwise(
+        F.lit(_HLL_RHO0) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        hd.select(*group_cols, (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def portable_hll_estimate(regs, group_cols: list[str]) -> "DataFrame":
+    """(group_cols..., approx: double) from a register relation —
+    exact-integer register sum, alpha estimator, linear-counting
+    small-range branch, rounded to 4 decimals (see the block comment
+    above for the determinism argument)."""
+    est = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO0} - r AS INT))")
+        ).alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    raw = F.lit(_HLL_NUM) / (
+        F.col("s_present") + v.cast("long") * F.lit(_HLL_SCALE)
+    ).cast("double")
+    approx = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    return est.select(*group_cols, approx.alias("approx"))
+
+
 @register(
     "agg_sketch_union_portable",
     oracle=f"""
@@ -294,42 +338,12 @@ def agg_sketch_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches-native variant (smaller serialized state, faster
     update path) for deployments that don't need cross-engine
     verification."""
-    from iceberg_by_example_spark.operators.dedup import _md5_hash60
-
     d = load_table(spark, sf_dir, "documents")
-    hd = d.select(
-        "source", _md5_hash60(F.col("doc_id").cast("string")).alias("h")
-    )
-    w = F.expr(f"h div {HLL_M}")
-    rho = F.when(w == 0, F.lit(_HLL_RHO0)).otherwise(
-        F.lit(_HLL_RHO0) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
-    regs = (
-        hd.select("source", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    regs = portable_hll_registers(d, ["source"], F.col("doc_id"))
     regs_u = regs.unionByName(
         regs.groupBy("bucket")
         .agg(F.max("r").alias("r"))
         .select(F.lit("ALL").alias("source"), "bucket", "r")
-    )
-    est = regs_u.groupBy("source").agg(
-        F.count(F.lit(1)).alias("nz"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO0} - r AS INT))")
-        ).alias("s_present"),
-    )
-    v = F.lit(HLL_M) - F.col("nz")
-    raw = F.lit(_HLL_NUM) / (
-        F.col("s_present") + v.cast("long") * F.lit(_HLL_SCALE)
-    ).cast("double")
-    approx = F.round(
-        F.when(
-            (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
-            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
-        ).otherwise(raw),
-        4,
     )
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     counts_u = counts.unionByName(
@@ -338,9 +352,74 @@ def agg_sketch_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        est.select("source", approx.alias("approx_docs"))
+        portable_hll_estimate(regs_u, ["source"])
+        .withColumnRenamed("approx", "approx_docs")
         .join(counts_u, "source")
         .select("source", "approx_docs", "n_docs")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || SUBSTR(MD5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM lineitem),
+    rho AS (
+      SELECT l_returnflag, h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO0}
+                  ELSE {_HLL_RHO0} - LENGTH(BIN(h // {HLL_M})) END AS rho
+      FROM h),
+    regs AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS r
+      FROM rho GROUP BY l_returnflag, bucket),
+    est AS (
+      SELECT l_returnflag, COUNT(*) AS nz,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO0} - r)) AS BIGINT)
+               AS s_present
+      FROM regs GROUP BY l_returnflag),
+    e AS (
+      SELECT l_returnflag, {HLL_M} - nz AS v,
+             {_HLL_NUM!r}
+               / CAST(s_present
+                      + CAST({HLL_M} - nz AS BIGINT) * {_HLL_SCALE} AS DOUBLE)
+               AS raw
+      FROM est),
+    ex AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT e.l_returnflag,
+           ROUND(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                      THEN {HLL_M} * LN({HLL_M}.0 / v)
+                      ELSE raw END, 4) AS approx_parts,
+           exact_parts
+    FROM e JOIN ex USING (l_returnflag)
+    """,
+    category="agg",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct parts per return flag — the 100 TB
+    cardinality-estimation shape (exact distinct shuffles every key;
+    the sketch is ≤ m register rows per group, map-side-combinable
+    MAX, merges associatively). Estimated via the portable md5 HLL
+    (``portable_hll_registers``) so both engines compute identical
+    registers and the row HASH-matches; ``approx_distinct_builtin``
+    above is the native ``approx_count_distinct`` variant whose
+    HLL++ sketch internals aren't cross-engine (pytest bounds it
+    against the exact count instead). The exact count rides along for
+    direct error inspection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = portable_hll_registers(li, ["l_returnflag"], F.col("l_partkey"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        portable_hll_estimate(regs, ["l_returnflag"])
+        .withColumnRenamed("approx", "approx_parts")
+        .join(exact, "l_returnflag")
+        .select("l_returnflag", "approx_parts", "exact_parts")
     )
 
 

@@ -529,6 +529,62 @@ def test_image_decode_probe_gates_real_codec():
         )
 
 
+def test_bmp_codec_roundtrip_and_chain_preference():
+    """The in-container BMP codec must invert the encoder exactly —
+    dims, channels, and the exact-integer mean — including non-trivial
+    row padding (width not a multiple of 4), and ``_decode_image``
+    must prefer it over the stub while rejecting non-BMP bytes."""
+    import numpy as np
+
+    from iceberg_by_example_spark.operators import multimodal as mm
+
+    for w, h in ((5, 3), (32, 24), (7, 2)):  # 5 and 7 exercise padding
+        arr = (
+            (np.arange(h * w * 3, dtype=np.uint32) * 37 + 11) % 256
+        ).astype("uint8").reshape(h, w, 3)
+        payload = mm._encode_bmp(arr)
+        got = mm._decode_bmp(payload)
+        assert got is not None
+        gw, gh, gc, gmean = got
+        expect = float(int(arr.sum(dtype="uint64"))) / (w * h * 3)
+        assert (gw, gh, gc) == (w, h, 3)
+        assert gmean == expect  # exact: integer sum, one division
+        # the full decode chain picks the real codec, not the stub
+        if mm._PIL is None:
+            assert mm._decode_image(payload) == got
+    assert mm._decode_bmp(b"not a bitmap at all") is None
+    assert mm._decode_bmp(b"BM" + b"\x00" * 10) is None
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """The WAV codec must invert the encoder exactly and the parser
+    must WALK chunks (tolerate a chunk between fmt and data) rather
+    than assume the canonical 44-byte layout; non-WAV and compressed
+    payloads are rejected."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_by_example_spark.operators import multimodal as mm
+
+    s = mm._audio_samples(3)
+    rate, got = mm._decode_wav(mm._encode_wav(s))
+    assert rate == mm._AUDIO_RATE
+    assert np.array_equal(got, s)
+
+    # inject a LIST chunk between fmt and data — still decodable
+    payload = mm._encode_wav(s)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 4) + b"info"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, got2 = mm._decode_wav(patched)
+    assert rate2 == rate and np.array_equal(got2, s)
+
+    assert mm._decode_wav(b"not riff audio") is None
+    assert mm._decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
 def test_components_driver_and_distributed_paths_agree(spark):
     """The adaptive strategy gate must be invisible in the answer: the
     driver-side union-find (small graphs) and the distributed
