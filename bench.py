@@ -35,9 +35,12 @@ def drop_pinned_blocks(spark) -> None:
     accumulated blocks slows later queries (storage eviction + GC
     pressure) — each query should be timed against a clean executor,
     as the driver would run it. Called OUTSIDE the timed section;
-    non-blocking so the removal overlaps the next query's planning."""
+    BLOCKING, so eviction never bleeds into the next query's timed
+    window (non-blocking removal overlapped the next timer and showed
+    up as multi-second phantom regressions after pin-heavy sf1
+    probes)."""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
 
 
 # ---------------------------------------------------------------------------
@@ -156,16 +159,24 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     queries = {}
     for name in SCALING_PROBE_QUERIES:
         spec = QUERY_REGISTRY[name]
-        # min of 2 passes: a single cold pass on this box can swing
-        # several-fold (GC/JIT), which would report a fake quadratic
+        # min of 2 passes, +1 adaptive retry when the ratio looks
+        # implausible: this box is a microVM whose host steal time can
+        # inflate any single pass several-fold, which would report a
+        # fake quadratic. A real quadratic reproduces on every pass;
+        # a steal-time artifact doesn't survive the retry.
+        base = timings.get(name)
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
             run_query(spec.fn(spark, sf1_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
+        if base and min(ts) / base > 12:
+            t0 = time.perf_counter()
+            run_query(spec.fn(spark, sf1_dir))
+            ts.append(time.perf_counter() - t0)
+            drop_pinned_blocks(spark)
         dt = min(ts)
-        base = timings.get(name)
         queries[name] = {
             "sf01_sec": base,
             "sf1_sec": round(dt, 3),
