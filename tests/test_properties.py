@@ -269,3 +269,45 @@ def test_containment_guaranteed_recall_region(
     assert got.keys() == want.keys()
     for pair, c in want.items():
         assert math.isclose(got[pair], c)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    """encode→decode is the identity on dims and the exact-integer
+    mean for ANY size — including the padding cases (w mod 4 ≠ 0)
+    hypothesis will find."""
+    import numpy as np
+
+    from iceberg_by_example_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = mm._decode_bmp(mm._encode_bmp(arr))
+    assert got is not None
+    gw, gh, gc, gmean = got
+    assert (gw, gh, gc) == (w, h, 3)
+    assert gmean == float(int(arr.sum(dtype="uint64"))) / (w * h * 3)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(n, seed):
+    """encode→decode returns the exact sample array for any length,
+    including odd byte counts that exercise RIFF word alignment."""
+    import numpy as np
+
+    from iceberg_by_example_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype("<i2")
+    rate, got = mm._decode_wav(mm._encode_wav(s))
+    assert rate == mm._AUDIO_RATE
+    assert np.array_equal(got, s)
