@@ -57,6 +57,7 @@ SCALING_PROBE_QUERIES = [
     "agg_pricing_summary",
     "dedup_embedding_lsh",
     "pipeline_decontaminate",
+    "dedup_span_ngram",
 ]
 SF1_REPLICAS = 10
 

@@ -237,6 +237,62 @@ def test_export_window_rotates_by_staleness(registry):
     assert not missing, f"ungraded queries outside the window: {missing}"
 
 
+# Shuffle-exchange snapshot for every bench query at sf0.01 (pre-AQE
+# physical plan). An added exchange is how a plan regression actually
+# lands — a refactor silently turning a broadcast into a shuffle, a
+# lost partial-agg, a new repartition — and per-query wall time on
+# this box is too noisy (±20%) to catch it. Update a value ONLY with
+# an explanation of why the extra (or saved) exchange is correct.
+BENCH_EXCHANGE_SNAPSHOT = {
+    "agg_groupby_count": 1,
+    "agg_pricing_summary": 1,
+    "dedup_cluster_canonical": 0,  # driver union-find path at this size
+    "dedup_containment": 3,
+    "dedup_embedding_lsh": 0,  # bucket join broadcasts at this scale
+    "dedup_exact": 1,
+    "dedup_exact_keep_best": 1,
+    "dedup_incremental_exact": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_span_ngram": 5,
+    "events_user_sessions": 1,
+    "join_broadcast_dims": 1,
+    "join_sortmerge_facts": 1,
+    "multimodal_decode_stats": 1,
+    "pipeline_decontaminate": 3,
+    "pipeline_epoch_plan": 2,
+    "pipeline_filter_funnel": 2,
+    "pipeline_pack_sequences": 1,
+    "scan_projection_filter": 0,
+    "sim_lsh_ann_topk": 0,
+    "sim_topk_cosine": 0,
+    "stream_dedup_events": 1,
+    "stream_tumbling_window": 1,
+    "text_chunk_windows": 0,
+    "text_token_stats": 0,
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q5_local_volume": 1,
+    "tpch_q9_profit_by_nation": 1,
+    "window_topk_per_group": 1,
+}
+
+
+def test_bench_queries_exchange_snapshot(spark, registry):
+    """Every bench query's shuffle-exchange count must match the
+    recorded snapshot, and the snapshot must cover exactly the bench
+    set (a new bench query must record its plan here)."""
+    bench = {n for n, s in registry.items() if s.bench}
+    assert bench == set(BENCH_EXCHANGE_SNAPSHOT), (
+        "bench set changed — update BENCH_EXCHANGE_SNAPSHOT"
+    )
+    wrong = {}
+    for name, expected in BENCH_EXCHANGE_SNAPSHOT.items():
+        plan = plan_of(registry[name].fn(spark, SF))
+        got = plan.count("Exchange hashpartitioning")
+        if got != expected:
+            wrong[name] = (expected, got)
+    assert not wrong, f"exchange-count drift (expected, got): {wrong}"
+
+
 def test_ivf_assignment_is_map_only(spark, registry):
     """Deterministic IVF: cell assignment must be a pure map stage —
     the centroids are compile-time literals, so the plan may contain
