@@ -509,6 +509,127 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The incremental batch source: one deterministic corpus slice stands
+# in for "today's ingest"; everything else is the standing signature
+# index. src0 ≈ 5% of docs in this corpus.
+INCR_MINHASH_BATCH_SOURCE = "src0"
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM toks WHERE LEN(t) >= 3),
+    hashed AS (
+      SELECT doc_id, source,
+             LIST_TRANSFORM(shingles,
+               s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT % {_PRIME31}) AS h
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, source, [{{mins}}] AS sig FROM hashed),
+    banded AS (
+      SELECT doc_id, source, b AS band,
+             LIST_SLICE(sig, b * {{rpb}} + 1, b * {{rpb}} + {{rpb}}) AS key
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             0, {MINHASH_BANDS - 1})) AS b)),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS batch_doc, o.doc_id AS corpus_doc
+      FROM banded n JOIN banded o
+        ON n.band = o.band AND n.key = o.key
+      WHERE n.source = '{INCR_MINHASH_BATCH_SOURCE}'
+        AND o.source != '{INCR_MINHASH_BATCH_SOURCE}')
+    SELECT c.batch_doc, c.corpus_doc,
+           LEN([i for i in generate_series(1, {MINHASH_PERMS})
+                if sn.sig[i] = so.sig[i]]) / {MINHASH_PERMS}.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sn ON sn.doc_id = c.batch_doc
+    JOIN sigs so ON so.doc_id = c.corpus_doc
+    """.format(
+        mins=",\n       ".join(
+            f"LIST_MIN(LIST_TRANSFORM(h, x -> ({a} * x + {b}) % {_PRIME31}))"
+            for a, b in (_perm_coeffs(i) for i in range(MINHASH_PERMS))
+        ),
+        rpb=MINHASH_PERMS // MINHASH_BANDS,
+    ),
+    category="dedup",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup steady-state ingest shape (the MinHash analogue of
+    ``dedup_incremental_exact``): today's batch — one deterministic
+    source slice — is signed and its banded keys probe the standing
+    corpus index; batch↔batch and corpus↔corpus pairs are never
+    formed. Per-ingest cost is O(batch signatures + band probes), and
+    the corpus side is exactly the (doc_id, band, bucket) + signature
+    relations a production pipeline would keep MATERIALIZED in the
+    versioned table (here recomputed so the query is self-contained —
+    the join shape, which is what scales, is identical).
+
+    Scale shape: the probe join shuffles batch-sized rows against the
+    bucketed index; with the index bucketed on (band, bucket) at write
+    time the probe needs no corpus-side exchange at all (the
+    join_bucketed_colocated pattern applied to the dedup index)."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    sig = detach(minhash_signatures(d).join(src, "doc_id"))
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    banded = sig.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "source", "bb.band", "bb.bucket")
+    is_batch = F.col("source") == INCR_MINHASH_BATCH_SOURCE
+    n, o = banded.filter(is_batch).alias("n"), banded.filter(~is_batch).alias("o")
+    pairs = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("batch_doc"),
+            F.col("o.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sig_n = sig.select(F.col("doc_id").alias("batch_doc"), F.col("sig").alias("sig_n"))
+    sig_o = sig.select(F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_o"))
+    return (
+        pairs.join(sig_n, "batch_doc")
+        .join(sig_o, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_n", "sig_o", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(MINHASH_PERMS))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 @register(
     "dedup_pipeline_lsh_verified",
     oracle=_minhash_oracle_ctes()

@@ -537,6 +537,76 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
 
+BATCH_TOPK_NQ = 10  # query-batch size
+BATCH_TOPK_K = 3
+
+
+@register(
+    "sim_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {BATCH_TOPK_NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST({_DOT_SQL.format(a='e.embedding', b='q.qe')} AS DOUBLE)
+               / (SQRT(CAST({_DOT_SQL.format(a='e.embedding', b='e.embedding')} AS DOUBLE))
+                  * SQRT(CAST({_DOT_SQL.format(a='q.qe', b='q.qe')} AS DOUBLE))) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id >= {BATCH_TOPK_NQ}),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {BATCH_TOPK_K}
+    """,
+    category="similarity",
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED top-k: {BATCH_TOPK_NQ} query vectors answered in ONE
+    corpus pass — the offline / re-indexing shape (scoring a benchmark
+    suite, re-linking a day's new embeddings), where per-query
+    ``sim_topk_cosine`` would rescan the corpus per query. The query
+    batch broadcasts; each corpus partition scores all queries
+    locally; a per-query window keeps k.
+
+    Scale shape: one corpus scan regardless of batch size; the shuffle
+    carries only the (qid, candidate, score) rows that survive — with
+    WindowGroupLimit Spark pre-prunes to k per query per partition
+    before the exchange, so the exchange is O(batch × k × partitions),
+    corpus-size-independent. For huge batches, compose with the LSH/
+    IVF bucketing above so each query scores only its probe cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < BATCH_TOPK_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= BATCH_TOPK_NQ)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            _cosine(
+                _qdot(F.col("embedding"), F.col("qe")),
+                _qnorm2(F.col("embedding")),
+                _qnorm2(F.col("qe")),
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= BATCH_TOPK_K)
+        .select("qid", "vec_id", "cosine", "rk")
+    )
+
+
 @register(
     "embed_quantize_int8",
     oracle="""

@@ -556,6 +556,45 @@ def test_bmp_codec_roundtrip_and_chain_preference():
     assert mm._decode_bmp(b"BM" + b"\x00" * 10) is None
 
 
+def test_incremental_minhash_is_cross_slice_of_full(spark):
+    """The incremental probe must equal the FULL minhash-LSH pair set
+    restricted to batch↔corpus pairs — never a batch↔batch or
+    corpus↔corpus pair, never a missing or extra cross pair, identical
+    signature-agreement scores."""
+    from iceberg_by_example_spark.operators.dedup import (
+        INCR_MINHASH_BATCH_SOURCE,
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    batch = INCR_MINHASH_BATCH_SOURCE
+    want = {
+        tuple(sorted(p)): j
+        for p, j in full.items()
+        if (src[p[0]] == batch) != (src[p[1]] == batch)
+    }
+    got = {
+        tuple(sorted((r.batch_doc, r.corpus_doc))): r.est_jaccard
+        for r in dedup_incremental_minhash(spark, sf).collect()
+    }
+    for pair in got:
+        a, b = pair
+        assert (src[a] == batch) != (src[b] == batch)
+    assert got == want
+
+
 def test_wav_codec_roundtrip_and_chunk_walk():
     """The WAV codec must invert the encoder exactly and the parser
     must WALK chunks (tolerate a chunk between fmt and data) rather
