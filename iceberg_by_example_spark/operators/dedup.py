@@ -126,6 +126,7 @@ def _shingle_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     drop_short: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, sh: array<string>) — the shared two-phase shingle
     projection: split ONCE into a materialized token array, then build
@@ -147,16 +148,23 @@ def _shingle_sets(
     shingle projection. Never filter on ``size(sh) > 0`` downstream:
     a predicate over the computed array alias re-evaluates the whole
     shingle expression for the condition — measured 5× slower than
-    the identical plan with the cheap pre-filter."""
+    the identical plan with the cheap pre-filter.
+
+    ``carry`` names extra columns to ride along (e.g. ``source`` for
+    the incremental batch/corpus split) — free here, where a
+    downstream join back to the corpus would cost an exchange per
+    side."""
     n = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col), *carry)
         .repartition(n, "doc_id")
-        .select("doc_id", tokens(text_col).alias("_t"))
+        .select("doc_id", *carry, tokens(text_col).alias("_t"))
     )
     if drop_short:
         tok = tok.filter(F.size("_t") >= 3)
-    return tok.select("doc_id", shingles_from_tokens("_t").alias("sh"))
+    return tok.select(
+        "doc_id", *carry, shingles_from_tokens("_t").alias("sh")
+    )
 
 
 def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -340,9 +348,12 @@ def _perm_coeffs(i: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, sig: array<long>[MINHASH_PERMS]) per document.
+    """(doc_id, [carry...,] sig: array<long>[MINHASH_PERMS]) per doc.
 
     Each shingle is hashed exactly ONCE (the portable ``_md5_hash60``
     folded into [0, p))
@@ -359,9 +370,10 @@ def minhash_signatures(
     with zero shingles (< k tokens) have no MinHash identity and are
     excluded. The 31-bit modulus keeps every product inside int64
     (ANSI-safe)."""
-    sh = _shingle_sets(docs, id_col, text_col, drop_short=True)
+    sh = _shingle_sets(docs, id_col, text_col, drop_short=True, carry=carry)
     hashed = sh.select(
         "doc_id",
+        *carry,
         F.transform(
             "sh", lambda s: F.pmod(_md5_hash60(s), F.lit(_PRIME31))
         ).alias("h"),
@@ -374,7 +386,7 @@ def minhash_signatures(
                 F.transform("h", lambda x: (F.lit(a) * x + F.lit(b)) % _PRIME31)
             )
         )
-    return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
+    return hashed.select("doc_id", *carry, F.array(*sig_cols).alias("sig"))
 
 
 def _minhash_oracle_ctes() -> str:
@@ -558,6 +570,7 @@ INCR_MINHASH_BATCH_SOURCE = "src0"
         rpb=MINHASH_PERMS // MINHASH_BANDS,
     ),
     category="dedup",
+    bench=True,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NEAR-dup steady-state ingest shape (the MinHash analogue of
@@ -575,8 +588,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     time the probe needs no corpus-side exchange at all (the
     join_bucketed_colocated pattern applied to the dedup index)."""
     d = load_table(spark, sf_dir, "documents")
-    src = d.select("doc_id", "source")
-    sig = detach(minhash_signatures(d).join(src, "doc_id"))
+    # source rides the signature projection (``carry``) — a join back
+    # to the corpus for it would cost an exchange per join side
+    sig = detach(minhash_signatures(d, carry=("source",)))
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     banded = sig.select(
         "doc_id",

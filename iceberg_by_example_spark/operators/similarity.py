@@ -563,6 +563,7 @@ BATCH_TOPK_K = 3
     FROM ranked WHERE rk <= {BATCH_TOPK_K}
     """,
     category="similarity",
+    bench=True,
 )
 def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED top-k: {BATCH_TOPK_NQ} query vectors answered in ONE

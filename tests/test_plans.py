@@ -252,6 +252,7 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "dedup_exact": 1,
     "dedup_exact_keep_best": 1,
     "dedup_incremental_exact": 1,
+    "dedup_incremental_minhash": 1,  # source rides the sig projection (carry)
     "dedup_minhash_lsh": 1,
     "dedup_span_ngram": 5,
     "events_user_sessions": 1,
@@ -263,6 +264,7 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "pipeline_filter_funnel": 2,
     "pipeline_pack_sequences": 1,
     "scan_projection_filter": 0,
+    "sim_batch_topk": 1,  # the per-query window's single exchange
     "sim_lsh_ann_topk": 0,
     "sim_topk_cosine": 0,
     "stream_dedup_events": 1,
