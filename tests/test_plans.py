@@ -51,6 +51,8 @@ def test_star_join_broadcasts_all_dims(spark, registry):
         "dedup_containment",
         "dedup_span_ngram",
         "dedup_embedding_lsh",
+        "dedup_incremental_exact",
+        "dedup_incremental_minhash",
         "pipeline_training_set",
         "pipeline_decontaminate",
     ],
