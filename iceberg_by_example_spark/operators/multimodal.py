@@ -190,9 +190,15 @@ def resize_metadata_batches(
     pdfs: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """STUB resize: a real build decodes and resamples pixels here
-    (PIL ``Image.resize``). The metadata transform — fit the longer
-    side to 224 preserving aspect — is the real logic and is what
-    downstream partitioning/batching depends on."""
+    (PIL ``Image.resize``; ``multimodal_resize_real`` below does it
+    genuinely for BMPs). The metadata transform — fit the longer side
+    to 224 preserving aspect — is the real logic and is what
+    downstream partitioning/batching depends on. Rounding is
+    HALF-UP via floor(x+0.5): pandas ``.round()`` is half-to-EVEN,
+    which no portable SQL ROUND reproduces — half-up is what the
+    oracle can state as ``FLOOR(x + 0.5)`` in both engines."""
+    import numpy as np
+
     target = 224
     for pdf in pdfs:
         longer = pdf[["width", "height"]].max(axis=1)
@@ -200,8 +206,8 @@ def resize_metadata_batches(
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": (pdf["width"] * scale).round().astype("int32"),
-                "height": (pdf["height"] * scale).round().astype("int32"),
+                "width": np.floor(pdf["width"] * scale + 0.5).astype("int32"),
+                "height": np.floor(pdf["height"] * scale + 0.5).astype("int32"),
                 "scale": scale,
             }
         )
@@ -236,13 +242,37 @@ def frame_sample_batches(
 
 @register(
     "multimodal_resize",
-    oracle=None,  # stub codec; metadata math checked in pytest
+    # The stub decoder's dims are pure functions of the payload byte
+    # length, so the WHOLE two-stage mapInPandas chain is
+    # hash-verifiable: the oracle restates stub-decode + aspect-fit
+    # arithmetic over OCTET_LENGTH — a green row proves every document
+    # crossed both Arrow fan-outs exactly once with the right values
+    # (the same trick multimodal_frame_sample already uses).
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             64 + (n % 64) AS w0,
+             64 + ((n // 64) % 64) AS h0
+      FROM f),
+    s AS (
+      SELECT doc_id, w0, h0,
+             224.0 / GREATEST(w0, h0) AS scale
+      FROM dims)
+    SELECT doc_id,
+           CAST(FLOOR(w0 * scale + 0.5) AS INT) AS width,
+           CAST(FLOOR(h0 * scale + 0.5) AS INT) AS height,
+           ROUND(scale, 6) AS scale
+    FROM s
+    """,
     category="multimodal",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize fan-out: decode dims → aspect-preserving resize-to-224
-    metadata (stub pixels). Chains two mapInPandas stages — the
-    multi-step media pipeline shape."""
+    metadata (stub pixels; ``multimodal_resize_real`` resamples real
+    BMP pixels). Chains two mapInPandas stages — the multi-step media
+    pipeline shape."""
     d = load_table(spark, sf_dir, "documents")
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     decoded = binary_df.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
@@ -279,7 +309,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stats",
-    oracle=None,  # stubbed decoder is engine-internal; invariants in pytest
+    # Same OCTET_LENGTH trick as multimodal_resize: the stub dims are
+    # functions of byte length, so the decode fan-out + aggregation
+    # hash-verifies end-to-end (text payloads stub-decode even on a
+    # Pillow-equipped cluster — see _decode_image_stub).
+    oracle="""
+    WITH f AS (SELECT OCTET_LENGTH(ENCODE(text)) AS n FROM documents)
+    SELECT CAST(3 AS INT) AS channels,
+           COUNT(*) AS n_assets,
+           CAST(MIN(64 + (n % 64)) AS INT) AS min_width,
+           CAST(MAX(64 + (n % 64)) AS INT) AS max_width,
+           CAST(MIN(64 + ((n // 64) % 64)) AS INT) AS min_height,
+           CAST(MAX(64 + ((n // 64) % 64)) AS INT) AS max_height
+    FROM f
+    """,
     category="multimodal",
     bench=True,
 )
@@ -287,7 +330,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode fan-out + feature aggregation: binary payloads →
     mapInPandas decode (Arrow batches) → per-size-class stats. The
     plumbing (schema, batch iteration, partition parallelism) is what
-    this operator demonstrates; the codec is the stub above."""
+    this operator demonstrates; the codec is the stub above
+    (``multimodal_decode_real`` exercises the genuine BMP path)."""
     d = load_table(spark, sf_dir, "documents")
     binary_df = d.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")

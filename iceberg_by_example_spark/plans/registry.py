@@ -91,6 +91,8 @@ _FORCE_REGRADE: dict[str, int] = {
     "versioned_metadata_tables": 6,  # r6: literal-count oracle added
     "dedup_containment": 6,  # r6: single shingle-census pass (same output)
     "agg_approx_distinct": 6,  # r6: portable-HLL estimate, first oracle
+    "multimodal_resize": 6,  # r6: half-up rounding + first oracle
+    "multimodal_decode_stats": 6,  # r6: first oracle (stub arithmetic)
 }
 
 
