@@ -97,14 +97,14 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_intensity
 
 
-def _decode_bmp(payload: bytes):
+def _decode_bmp_pixels(payload: bytes):
     """REAL codec, no media library needed: parse an uncompressed
     24-bit bottom-up BMP (BITMAPINFOHEADER) with struct + numpy and
-    return (width, height, channels, mean_intensity), or None when the
+    return the (h, w, 3) top-down RGB uint8 array, or None when the
     bytes aren't that format. Uncompressed BMP is a 54-byte header
-    plus raw BGR rows padded to 4 bytes — fully decodable in-container,
-    which is what makes ``multimodal_decode_real`` a genuine
-    bytes→pixels→stats pipeline rather than a stub (compressed formats
+    plus raw BGR rows padded to 4 bytes — fully decodable
+    in-container, which is what makes the ``*_real`` queries genuine
+    bytes→pixels pipelines rather than stubs (compressed formats
     still route through the Pillow probe)."""
     import struct
 
@@ -124,9 +124,19 @@ def _decode_bmp(payload: bytes):
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
     ).reshape(h, row_bytes)[:, : w * 3]
-    # exact integer sum → one double division: bit-identical to the
-    # generator's independent computation of the same pixels
-    mean = float(int(rows.sum(dtype=np.uint64))) / (w * h * 3)
+    # bottom-up BGR storage → top-down RGB array
+    return np.ascontiguousarray(rows.reshape(h, w, 3)[::-1, :, ::-1])
+
+
+def _decode_bmp(payload: bytes):
+    """(width, height, channels, mean_intensity) from a BMP payload,
+    or None. Mean is an exact integer sum → one double division —
+    bit-identical to the generator's independent computation."""
+    arr = _decode_bmp_pixels(payload)
+    if arr is None:
+        return None
+    h, w, _ = arr.shape
+    mean = float(int(arr.sum(dtype="uint64"))) / (w * h * 3)
     return w, h, 3, mean
 
 
@@ -610,26 +620,16 @@ def resize_bmp_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     md5 of the exact resampled pixel bytes + mean. Raises on non-BMP
     payloads (same no-silent-fallback stance as the decode worker)."""
     import hashlib
-    import struct
 
     import numpy as np
 
     for pdf in pdfs:
         out = {k: [] for k in ("asset", "out_w", "out_h", "thumb_md5", "thumb_mean")}
         for asset, payload in zip(pdf["asset"], pdf["payload"]):
-            payload = bytes(payload)
-            d = _decode_bmp(payload)
-            if d is None:
+            arr = _decode_bmp_pixels(bytes(payload))
+            if arr is None:
                 raise ValueError(f"{asset}: not an uncompressed 24-bit BMP")
-            w, h = d[0], d[1]
-            data_off = struct.unpack_from("<I", payload, 10)[0]
-            row_bytes = (w * 3 + 3) & ~3
-            rows = np.frombuffer(
-                payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
-            ).reshape(h, row_bytes)[:, : w * 3]
-            # bottom-up BGR storage → top-down RGB array
-            arr = rows.reshape(h, w, 3)[::-1, :, ::-1]
-            thumb = _nn_thumbnail(np.ascontiguousarray(arr))
+            thumb = _nn_thumbnail(arr)
             mean = float(int(thumb.sum(dtype="uint64"))) / thumb.size
             out["asset"].append(asset)
             out["out_w"].append(THUMB)
