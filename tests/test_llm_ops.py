@@ -1,8 +1,9 @@
 """Invariant tests for the LLM-data operators: mathematical properties
-(recall on planted duplicates, signature agreement, funnel accounting)
-that complement the row/schema/hash driver check — and, for the few
-queries whose internals aren't DuckDB-expressible (KMeans IVF, the
-multimodal decode stub), the only check there is.
+(recall on planted duplicates, signature agreement, funnel accounting,
+codec round-trips) that complement the row/schema/hash driver check —
+and, for the unregistered engine-specific variants (the KMeans-trained
+IVF, the native DataSketches/HLL++ estimators), the only check there
+is. The registered twins of all of those are oracle-checked.
 """
 
 import pytest
