@@ -205,32 +205,55 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (sortBy pre-orders within buckets). The database LOCATION keeps the
     managed tables inside the scratch dir, not the global warehouse.
 
-    The name tag is a stable md5 of the sf_dir — Python's built-in
-    str hash is salted per process (PYTHONHASHSEED), which would make
-    every new session miss the existing tables; the database LOCATION
-    is equally stable (one fixed scratch path per sf_dir, not a fresh
-    mkdtemp), so re-runs overwrite in place instead of leaking a new
-    directory per process."""
+    The name tag is md5(sf_dir) + this process's pid. The pid suffix
+    keeps concurrent sessions on the same sf_dir from sharing (and
+    worse, reclaiming) each other's live table directories — a stable
+    shared location would let a fresh session rmtree a directory that
+    backs another running session's registered bucketed tables
+    mid-query. The leak that per-process dirs would otherwise cause is
+    bounded by the stale-sibling sweep below: any ``bucketdemo_<tag>_
+    <pid>`` whose owning pid is no longer alive is removed before this
+    process creates its own."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    db = f"bucketdemo_{tag}"
+    tmp = tempfile.gettempdir()
+    # Reclaim scratch dirs left by DEAD processes only: a live pid
+    # (signal-0 probe) may be mid-query on its tables, so its dir is
+    # never touched. Dirs whose suffix isn't a pid (pre-round-7
+    # layout) have no liveness signal and are also swept — no current
+    # process can be using them, since every current process appends
+    # its pid.
+    prefix = f"bucketdemo_{tag}_"
+    for entry in os.listdir(tmp):
+        if not (entry.startswith(prefix) or entry == f"bucketdemo_{tag}"):
+            continue
+        owner = entry[len(prefix):] if entry.startswith(prefix) else ""
+        try:
+            alive = owner.isdigit() and (os.kill(int(owner), 0) is None)
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True  # exists but owned by another uid — leave it
+        if not alive and int(owner or 0) != os.getpid():
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+
+    db = f"bucketdemo_{tag}_{os.getpid()}"
     orders_t, cust_t = f"{db}.orders_b", f"{db}.customer_b"
-    loc = os.path.join(tempfile.gettempdir(), db)
+    loc = os.path.join(tmp, db)
     if not spark.catalog.databaseExists(db):
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
 
     def _write(table: str, source: str, key: str) -> None:
         if spark.catalog.tableExists(table):
             return  # reused within this session — the pay-once case
-        # A NEW session's metastore has no entry even when a previous
-        # process left files at the stable location, and Spark refuses
-        # to create a managed table over them (LOCATION_ALREADY_EXISTS)
-        # — reclaim the derived scratch dir instead of leaking a fresh
-        # one per process (the pre-fix behavior, via salted hash tags).
+        # The location is pid-derived, so leftovers here can only be
+        # this same process's (e.g. catalog dropped between Spark
+        # sessions in one test run); reclaim before saveAsTable, which
+        # refuses to create over an existing dir.
         leftover = os.path.join(loc, table.split(".", 1)[1])
         shutil.rmtree(leftover, ignore_errors=True)
         (

@@ -374,21 +374,38 @@ BINARY_CORPUS_DIR = "/tmp/iceberg_by_example_binary_corpus"
 _BINARY_CORPUS_N = 40
 
 
+def _ensure_corpus_file(path: str, payload: bytes) -> None:
+    """Write ``payload`` to ``path`` (atomic tmp+rename, so concurrent
+    imports never race) unless the file already holds exactly those
+    bytes. Existence alone is not enough: an edit to a generator or
+    encoder would otherwise leave a stale /tmp file that no longer
+    matches the freshly recomputed oracle literals, producing
+    confusing false-red grading rows. Byte-comparing the tiny corpus
+    files at import is cheaper than any versioning scheme and can
+    never drift from it."""
+    import os
+
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            if f.read() == payload:
+                return
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
 def _ensure_binary_corpus() -> str:
     import hashlib
     import os
 
     os.makedirs(BINARY_CORPUS_DIR, exist_ok=True)
     for i in range(_BINARY_CORPUS_N):
-        path = os.path.join(BINARY_CORPUS_DIR, f"blob_{i:03d}.bin")
-        if os.path.exists(path):
-            continue
         h = hashlib.md5(f"blob:{i}".encode()).hexdigest()
         payload = (h * (1 + i % 8)).encode("ascii")  # 32..256 bytes
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)  # atomic: concurrent imports never race
+        _ensure_corpus_file(
+            os.path.join(BINARY_CORPUS_DIR, f"blob_{i:03d}.bin"), payload
+        )
     return BINARY_CORPUS_DIR
 
 
@@ -495,13 +512,10 @@ def _ensure_image_corpus() -> str:
 
     os.makedirs(IMAGE_CORPUS_DIR, exist_ok=True)
     for i in range(_IMAGE_CORPUS_N):
-        path = os.path.join(IMAGE_CORPUS_DIR, f"img_{i:03d}.bmp")
-        if os.path.exists(path):
-            continue
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(_encode_bmp(_image_pixels(i)))
-        os.replace(tmp, path)
+        _ensure_corpus_file(
+            os.path.join(IMAGE_CORPUS_DIR, f"img_{i:03d}.bmp"),
+            _encode_bmp(_image_pixels(i)),
+        )
     return IMAGE_CORPUS_DIR
 
 
@@ -724,7 +738,15 @@ def _decode_wav(payload: bytes):
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
+        if body + size > len(payload):
+            # Truncated chunk: a declared size past the end of the
+            # payload would make np.frombuffer(count=n) raise instead
+            # of honoring the '(rate, samples) or None' contract (the
+            # BMP decoder has the analogous len() bounds check).
+            return None
         if cid == b"fmt ":
+            if size < 16:
+                return None
             fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if fmt != 1:
@@ -769,13 +791,10 @@ def _ensure_audio_corpus() -> str:
 
     os.makedirs(AUDIO_CORPUS_DIR, exist_ok=True)
     for k in range(_AUDIO_CORPUS_N):
-        path = os.path.join(AUDIO_CORPUS_DIR, f"clip_{k:03d}.wav")
-        if os.path.exists(path):
-            continue
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(_encode_wav(_audio_samples(k)))
-        os.replace(tmp, path)
+        _ensure_corpus_file(
+            os.path.join(AUDIO_CORPUS_DIR, f"clip_{k:03d}.wav"),
+            _encode_wav(_audio_samples(k)),
+        )
     return AUDIO_CORPUS_DIR
 
 

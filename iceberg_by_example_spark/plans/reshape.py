@@ -171,13 +171,16 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_sketch_union",
-    oracle=None,  # DataSketches HLL binaries are engine-specific
-    category="agg",
-)
 def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch cardinality: build one DataSketches HLL per
+    """(Unregistered since round 7.) DataSketches HLL sketch-union
+    demo kept as an API helper: its serialized sketches are
+    engine-specific, so the query could only ever be graded rows-only.
+    The hash-green registered twin ``agg_sketch_union_portable``
+    covers the same sketch-union rollup with a cross-engine register
+    encoding; pytest ``test_sketch_union_datasketches`` still
+    exercises this code path directly.
+
+    Mergeable-sketch cardinality: build one DataSketches HLL per
     source (``hll_sketch_agg``), then UNION the serialized sketches
     (``hll_union_agg``) into the global estimate — the pattern that
     makes 100 TB distinct-counting incremental: per-partition/per-day

@@ -1518,11 +1518,14 @@ class VersionedTable:
                 if s.parent_id
                 else Snapshot("", None, 0, "append", [])
             )
-            added = [f for f in s.files if f not in set(parent.files)]
-            removed = [f for f in parent.files if f not in set(s.files)]
-            new_dels = [
-                f for f in s.delete_files if f not in set(parent.delete_files)
-            ]
+            # Sets hoisted out of the comprehensions: rebuilding them
+            # per element is O(files²) per commit on a 100k-file table.
+            parent_files = set(parent.files)
+            snap_files = set(s.files)
+            parent_dels = set(parent.delete_files)
+            added = [f for f in s.files if f not in parent_files]
+            removed = [f for f in parent.files if f not in snap_files]
+            new_dels = [f for f in s.delete_files if f not in parent_dels]
 
             ins_raw = self._scan_files(added).select(*schema_cols)
             if removed and parent.delete_files:
@@ -1565,10 +1568,10 @@ class VersionedTable:
                 dels = self.spark.read.schema("file string, pos long").parquet(
                     *[os.path.join(self.location, f) for f in new_dels]
                 )
-                target_rel = [
+                target_rel = {
                     r["file"] for r in dels.select("file").distinct().collect()
-                ]
-                targets = [f for f in s.files if f in set(target_rel)]
+                }
+                targets = [f for f in s.files if f in target_rel]
                 scan = self._scan_files(targets, need_meta=True)
                 tombstoned = (
                     scan.join(

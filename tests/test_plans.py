@@ -332,9 +332,10 @@ def test_no_registered_query_emits_complex_types(spark, registry):
 
 def test_portable_sketch_union_accuracy(spark):
     """The from-first-principles HLL must estimate every per-source
-    cardinality AND the max-merged ALL rollup within the m=256 error
-    envelope (±6.5% stderr; the per-source rows sit in the
-    linear-counting regime, which is tighter)."""
+    cardinality AND the max-merged ALL rollup within the HLL_P=10
+    (m=1024 buckets, ~3.2% stderr) error envelope — the 0.15
+    tolerance is ≈5σ; the per-source rows sit in the linear-counting
+    regime, which is tighter."""
     from iceberg_by_example_spark.plans.reshape import (
         agg_sketch_union_portable,
     )

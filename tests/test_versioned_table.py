@@ -689,6 +689,48 @@ def test_changelog_replays_to_current_state(spark, tmp_path):
     assert replayed == actual
 
 
+def test_changelog_many_file_lineage(spark, tmp_path):
+    """Changelog over a lineage whose snapshots carry MANY files each:
+    every commit appends 8 new files while carrying all earlier ones
+    forward, so the added/removed diffs walk file lists that grow to
+    ~50 entries (the shape where the pre-round-7 per-element
+    ``set(parent.files)`` rebuild went quadratic). Verifies per-commit
+    attribution is exactly the 8-file delta, plus a final delete's
+    changelog against the widest file list."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "manyfiles"), schema="id bigint")
+    n_commits, files_per = 6, 8
+    for c in range(n_commits):
+        t.append(
+            spark.range(c * 100, (c + 1) * 100).repartition(files_per)
+        )
+    snaps = t._snapshots()
+    assert len(snaps[-1].files) >= n_commits * files_per
+
+    log = t.changelog().collect()
+    by_ordinal: dict = {}
+    for r in log:
+        by_ordinal.setdefault(r["_commit_ordinal"], []).append(r)
+    # each append's changelog is exactly its own 100 inserts, never
+    # re-emitting the carried files' rows (ordinals are positions in
+    # the full lineage, so the create commit shifts them by one)
+    assert len(by_ordinal) == n_commits
+    for c, ordinal in enumerate(sorted(by_ordinal)):
+        rows = by_ordinal[ordinal]
+        ids = sorted(r["id"] for r in rows)
+        assert all(r["_change_type"] == "insert" for r in rows)
+        assert ids == list(range(c * 100, (c + 1) * 100))
+
+    t.delete(F.col("id") % 100 == 7)
+    last = max(r["_commit_ordinal"] for r in t.changelog().collect())
+    tail = [
+        r for r in t.changelog().collect() if r["_commit_ordinal"] == last
+    ]
+    assert {r["id"] for r in tail} == {c * 100 + 7 for c in range(n_commits)}
+    assert all(r["_change_type"] == "delete" for r in tail)
+
+
 def test_tags_are_immutable_named_refs(spark, tmp_path):
     """Tags pin a snapshot forever: reads resolve them like refs,
     writes addressed to them fail, expiry protects them, and the refs
