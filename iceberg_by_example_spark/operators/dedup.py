@@ -1117,14 +1117,15 @@ def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                             for i in generate_series(1, LEN(t) - 2)]) AS shingles
       FROM toks WHERE LEN(t) >= 3),
     ex AS (SELECT doc_id, LEN(shingles) AS n_sh,
-                  UNNEST(shingles) AS shingle FROM sh),
-    census AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+                  ('0x' || SUBSTR(MD5(UNNEST(shingles)), 1, 15))::BIGINT AS h
+           FROM sh),
+    census AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
     probes AS (
-      SELECT doc_id, n_sh, shingle FROM (
-        SELECT e.doc_id, e.n_sh, e.shingle, c.df,
+      SELECT doc_id, n_sh, h FROM (
+        SELECT e.doc_id, e.n_sh, e.h, c.df,
                ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                                  ORDER BY c.df, e.shingle) AS rk
-        FROM ex e JOIN census c USING (shingle))
+                                  ORDER BY c.df, e.h) AS rk
+        FROM ex e JOIN census c USING (h))
       WHERE rk <= {CONTAINMENT_RAREST_B} AND df <= {NGRAM_DF_CAP}),
     cand AS (
       SELECT doc_a, doc_b FROM (
@@ -1132,7 +1133,7 @@ def _exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                GREATEST(p.doc_id, o.doc_id) AS doc_b,
                COUNT(*) AS hits,
                MIN(p.n_sh) AS min_n
-        FROM probes p JOIN ex o USING (shingle)
+        FROM probes p JOIN ex o USING (h)
         WHERE (p.n_sh, p.doc_id) < (o.n_sh, o.doc_id)
         GROUP BY 1, 2)
       WHERE hits >= LEAST({CONTAINMENT_MIN_HITS_CAP},
@@ -1191,10 +1192,17 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
     Exposed for the bound/recall tests; see ``dedup_containment`` for
     the semantics.
 
-    The census/probe/posting joins key on the 64-bit shingle hash —
-    the same 8-byte-key trade ``ngram_jaccard_pairs`` documents — but
-    the PROBE RANKING tie-break stays on the shingle string, which is
-    what the oracle can reproduce.
+    Everything downstream of the explode keys on the portable
+    ``_md5_hash60`` — census, probe ranking (including its df
+    TIE-BREAK) and the posting join all see an 8-byte integer, and the
+    shingle STRING is projected away before any exchange. Round 6
+    tie-broke the ranking on the string itself, which dragged
+    O(corpus-shingle) string bytes through the rank window's doc_id
+    shuffle; ranking on the hash (equally deterministic, and DuckDB
+    recomputes it identically) cut the measured sf0.1 floor 2.40s →
+    1.61s in an interleaved A/B. Which shingles win a df-tie changes
+    with the tie-break order, so the candidate set differs from r6's —
+    in BOTH engines identically (``_FORCE_REGRADE`` round 7).
 
     The exploded (doc, shingle) relation is PINNED once
     (``localCheckpoint``) and all three consumers — the df census, the
@@ -1209,12 +1217,10 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
             "doc_id",
             F.size("sh").alias("n_sh"),
             F.explode("sh").alias("shingle"),
-        ).withColumn("h", F.xxhash64("shingle"))
+        ).select("doc_id", "n_sh", _md5_hash60(F.col("shingle")).alias("h"))
     )
     census = ex.groupBy("h").agg(F.count("*").alias("df"))
-    rk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "shingle")
-    )
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h"))
     probes = (
         ex.join(census, "h")
         .withColumn("rk", rk)

@@ -89,7 +89,7 @@ _FORCE_REGRADE: dict[str, int] = {
     "text_hashing_vectorizer": 6,  # r6: array → array_join string form
     "sim_ivf_topk": 6,  # r6: seed-derived centroids, first real oracle
     "versioned_metadata_tables": 6,  # r6: literal-count oracle added
-    "dedup_containment": 6,  # r6: single shingle-census pass (same output)
+    "dedup_containment": 7,  # r7: hash tie-break changes df-tie probe picks
     "agg_approx_distinct": 6,  # r6: portable-HLL estimate, first oracle
     "multimodal_resize": 6,  # r6: half-up rounding + first oracle
     "multimodal_decode_stats": 6,  # r6: first oracle (stub arithmetic)
