@@ -1485,3 +1485,102 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("docs_covered"),
     )
+
+
+# Block-level keep-first dedup: the line/paragraph dedup stage of web
+# corpus pipelines (CCNet / RefinedWeb strip duplicated lines across
+# the whole crawl before any document-level pass). This corpus has no
+# newlines, so a "paragraph" is a fixed non-overlapping BLOCK_TOKENS-
+# token block — the unit choice changes, the algorithm (global hash →
+# first occurrence wins → reassemble survivors in order) does not.
+BLOCK_TOKENS = 15
+_BLOCK_ORD = 100_000  # idx < this bound ⇒ doc_id·bound + idx injective
+
+
+@register(
+    "dedup_block_keep_first",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                 FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 1),
+    b AS (
+      SELECT doc_id, CAST((i - 1) // {BLOCK_TOKENS} AS BIGINT) AS idx,
+             ARRAY_TO_STRING(t[i:i+{BLOCK_TOKENS - 1}], ' ') AS block
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t), {BLOCK_TOKENS})) AS i)),
+    inst AS (
+      SELECT doc_id, idx, block, MD5(block) AS h,
+             doc_id * {_BLOCK_ORD} + idx AS ord
+      FROM b),
+    firsts AS (SELECT h, MIN(ord) AS first_ord FROM inst GROUP BY h),
+    k AS (SELECT i.*, (i.ord = f.first_ord) AS kept
+          FROM inst i JOIN firsts f ON i.h = f.h)
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MD5(COALESCE(STRING_AGG(CASE WHEN kept THEN block END,
+                                   ' ' ORDER BY idx), '')) AS kept_fp
+    FROM k GROUP BY doc_id
+    """,
+    category="dedup",
+    bench=True,
+)
+def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide block-level exact dedup with keep-first semantics
+    and in-order reassembly — the CCNet/RefinedWeb line-dedup stage:
+    every document is cut into non-overlapping BLOCK_TOKENS-token
+    blocks, a block survives only at its globally FIRST occurrence
+    (ordered by doc_id, then position), and each document is re-built
+    from its surviving blocks. Returns per-document retention
+    (n_blocks, n_kept) plus the md5 fingerprint of the reassembled
+    text, so the graded result pins the exact surviving corpus, not
+    just its size.
+
+    Differs from ``dedup_span_ngram`` (which REPORTS doc pairs sharing
+    sampled overlapping windows): this one partitions the token stream
+    and produces the deduplicated corpus itself.
+
+    Scale shape: one narrow map builds blocks (transform/slice inside
+    codegen — no token-level explode), the only wide ops are a groupBy
+    on the 16-byte block hash (partial-agg min combines map-side) and
+    one hash-key join back; reassembly aggregates per doc_id. Block
+    instances ≈ corpus_tokens / BLOCK_TOKENS rows — smaller than any
+    shingle index. No pairwise anything: cost is linear in corpus
+    size at any scale. The keep-first rule is an injective integer
+    min (doc_id·{_BLOCK_ORD} + idx), so re-partitioning can never
+    flip a winner (cross-engine determinism rule 2)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    blocks = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t), {BLOCK_TOKENS}), "
+                f"i -> array_join(slice(t, i, {BLOCK_TOKENS}), ' '))"
+            )
+        ).alias("idx", "block"),
+    )
+    inst = blocks.select(
+        "doc_id",
+        "idx",
+        "block",
+        F.md5("block").alias("h"),
+        (F.col("doc_id") * _BLOCK_ORD + F.col("idx")).alias("ord"),
+    )
+    firsts = inst.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    k = inst.join(firsts, "h").withColumn(
+        "kept", F.col("ord") == F.col("first_ord")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("idx", "block")))
+    )
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["block"]), " "
+            )
+        ).alias("kept_fp"),
+    )

@@ -849,3 +849,260 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).alias("rp_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the FAISS IVFPQ index shape)
+# ---------------------------------------------------------------------------
+# The 64-dim embedding is split into PQ_M subspaces of PQ_SUBDIM
+# components; each subspace is vector-quantized against a PQ_CODES-entry
+# codebook, so a vector compresses from 64 floats (256 B) to PQ_M
+# 4-bit codes (4 B) — the memory lever that makes billion-vector ANN
+# fit in RAM at 100 TB corpus scale. Codebooks are seed-derived integer
+# literals in the quantized domain (same idiom as IVF_CENTROIDS and the
+# JL matrix), so encoding, the ADC lookup, and the shortlist are
+# bit-reproducible in DuckDB.
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODES = 16  # 4-bit codes
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
+
+
+def _pq_codebooks() -> list[list[list[int]]]:
+    """PQ_M codebooks × PQ_CODES codes × PQ_SUBDIM integer components
+    (quantized units, ±0.3 float — inside the corpus |x| < 0.53 range).
+
+    Bounds: per-component diff ≤ 830k → diff² ≤ 6.9e11; a subspace
+    distance sums PQ_SUBDIM=8 of them ≤ 5.6e12; the injective argmin
+    key multiplies by PQ_CODES=16 ≤ 8.9e13; the ADC total sums PQ_M=8
+    subspace distances ≤ 4.5e13 — all ≪ 2^63."""
+    rng = random.Random(1234)
+    return [
+        [
+            [rng.randint(-300_000, 300_000) for _ in range(PQ_SUBDIM)]
+            for _ in range(PQ_CODES)
+        ]
+        for _ in range(PQ_M)
+    ]
+
+
+PQ_CODEBOOKS = _pq_codebooks()
+
+
+def _pq_sub(emb, m: int):
+    """Subvector of subspace m (1-based slice, PQ_SUBDIM wide)."""
+    return F.slice(emb, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _pq_d2(sub, code: list[int]) -> Column:
+    """Exact integer squared L2 distance from a (float) subvector to a
+    quantized-integer code vector."""
+    c = F.array(*[F.lit(v) for v in code])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            c,
+            lambda x, cv: (F.floor(x.cast("double") * QUANT) - cv)
+            * (F.floor(x.cast("double") * QUANT) - cv),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code(emb, m: int) -> Column:
+    """Nearest code id in subspace m — injective key d2·CODES + c, so
+    LEAST picks the nearest code and ties resolve to the lowest id."""
+    keys = F.array(
+        *[
+            _pq_d2(_pq_sub(emb, m), PQ_CODEBOOKS[m][c]) * PQ_CODES + F.lit(c)
+            for c in range(PQ_CODES)
+        ]
+    )
+    return F.array_min(keys) % PQ_CODES
+
+
+def _pq_adc(qe, codes) -> Column:
+    """Asymmetric distance: exact query subvectors vs the candidate's
+    reconstructed codes — Σ_m d2(q_sub_m, codebook[m][code_m]). The
+    codebook entry is selected by the candidate's (data-dependent)
+    code via element_at on a literal array-of-arrays."""
+    total = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        cb = F.array(
+            *[
+                F.array(*[F.lit(v) for v in code])
+                for code in PQ_CODEBOOKS[m]
+            ]
+        )
+        cvec = F.element_at(
+            cb, (F.element_at(codes, m + 1) + F.lit(1)).cast("int")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                _pq_sub(qe, m),
+                cvec,
+                lambda x, cv: (F.floor(x.cast("double") * QUANT) - cv)
+                * (F.floor(x.cast("double") * QUANT) - cv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        total = total + d2
+    return total
+
+
+def _pq_sub_sql(emb: str, m: int) -> str:
+    return f"{emb}[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"
+
+
+def _pq_d2_sql(sub: str, code: list[int]) -> str:
+    c = "[" + ", ".join(str(v) for v in code) + "]"
+    diff = (
+        f"(CAST(FLOOR(CAST(s[1] AS DOUBLE)*{QUANT}) AS BIGINT)"
+        f" - CAST(s[2] AS BIGINT))"
+    )
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({sub}, {c}), "
+        f"s -> {diff} * {diff})) AS BIGINT)"
+    )
+
+
+def _pq_code_sql(emb: str, m: int) -> str:
+    keys = ", ".join(
+        f"({_pq_d2_sql(_pq_sub_sql(emb, m), PQ_CODEBOOKS[m][c])}"
+        f" * {PQ_CODES} + {c})"
+        for c in range(PQ_CODES)
+    )
+    return f"CAST(LIST_MIN([{keys}]) % {PQ_CODES} AS BIGINT)"
+
+
+def _pq_codes_sql(emb: str) -> str:
+    return "[" + ", ".join(_pq_code_sql(emb, m) for m in range(PQ_M)) + "]"
+
+
+def _pq_adc_sql(qe: str, codes: str) -> str:
+    terms = []
+    for m in range(PQ_M):
+        cb = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(v) for v in code) + "]"
+                for code in PQ_CODEBOOKS[m]
+            )
+            + "]"
+        )
+        sub = _pq_sub_sql(qe, m)
+        diff = (
+            f"(CAST(FLOOR(CAST(s[1] AS DOUBLE)*{QUANT}) AS BIGINT)"
+            f" - CAST(s[2] AS BIGINT))"
+        )
+        terms.append(
+            f"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({sub}, "
+            f"{cb}[CAST({codes}[{m + 1}] + 1 AS INT)]), "
+            f"s -> {diff} * {diff})) AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_ivf_pq_topk",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             LIST_MIN({_ivf_keys_sql('embedding')}) % {IVF_K} AS cell,
+             {_pq_codes_sql('embedding')} AS codes
+      FROM embeddings),
+    q AS (
+      SELECT embedding AS qe,
+             LIST_TRANSFORM(
+               LIST_SORT({_ivf_keys_sql('embedding')})[1:{IVF_NPROBE}],
+               x -> x % {IVF_K}) AS probe_cells
+      FROM embeddings WHERE vec_id = 0),
+    cands AS (
+      SELECT a.vec_id, a.cell, a.embedding, a.codes, q.qe
+      FROM assigned a, q
+      WHERE LIST_CONTAINS(q.probe_cells, a.cell) AND a.vec_id != 0),
+    scored AS (
+      SELECT vec_id, cell, embedding, qe,
+             {_pq_adc_sql('qe', 'codes')} AS adc
+      FROM cands),
+    short AS (
+      SELECT * FROM scored ORDER BY adc, vec_id LIMIT {PQ_SHORTLIST})
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(adc AS BIGINT) AS adc,
+           CAST({_DOT_SQL.format(a='embedding', b='qe')} AS DOUBLE)
+             / (SQRT(CAST({_DOT_SQL.format(a='embedding', b='embedding')} AS DOUBLE))
+                * SQRT(CAST({_DOT_SQL.format(a='qe', b='qe')} AS DOUBLE))) AS cosine
+    FROM short
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    category="similarity",
+    bench=True,
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the FAISS ``IVFPQ`` shape as a DataFrame pipeline:
+    coarse IVF cells bound WHICH vectors a query touches (~NPROBE/K of
+    the corpus), product quantization bounds the BYTES each touch
+    costs (PQ_M 4-bit codes = 4 B instead of a 256 B float vector),
+    and an exact re-rank of the PQ_SHORTLIST best ADC candidates
+    removes the quantization error from the final top-10.
+
+    Stages: (1) encode — cell id + PQ codes, a pure map in whole-stage
+    codegen (codebooks are compile-time literals, nothing broadcast);
+    (2) probe — semi-join the 1-row broadcast query's NPROBE cells;
+    (3) ADC score from codes alone (the stage that at production scale
+    reads the 4 B code table, never the vectors); (4) exact cosine
+    re-rank of the 50-candidate shortlist. Everything is quantized-
+    integer arithmetic, so the full approximate path — codes, ADC,
+    shortlist boundary, re-rank — oracle-checks bit-for-bit.
+
+    At 100 TB: the code table for 1e9 vectors is ~4 GB (memory-
+    resident per executor), vector reads happen only for the
+    shortlist, and every stage is a map or a 1-row broadcast —
+    no corpus-side shuffle anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf_keys = F.array(
+        *[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)]
+    )
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        (F.array_min(ivf_keys) % IVF_K).alias("cell"),
+        F.array(
+            *[_pq_code(F.col("embedding"), m) for m in range(PQ_M)]
+        ).alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.transform(
+            F.slice(F.array_sort(ivf_keys), 1, IVF_NPROBE),
+            lambda x: x % IVF_K,
+        ).alias("probe_cells"),
+    )
+    cands = assigned.crossJoin(F.broadcast(q)).filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+        & (F.col("vec_id") != 0)
+    )
+    scored = cands.select(
+        "vec_id",
+        "cell",
+        "embedding",
+        "qe",
+        _pq_adc(F.col("qe"), F.col("codes")).alias("adc"),
+    )
+    short = scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(PQ_SHORTLIST)
+    return (
+        short.select(
+            "vec_id",
+            "cell",
+            "adc",
+            _cosine(
+                _qdot(F.col("embedding"), F.col("qe")),
+                _qnorm2(F.col("embedding")),
+                _qnorm2(F.col("qe")),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -937,3 +937,87 @@ def test_random_projection_preserves_norms_in_expectation(spark):
     assert all(0.2 < r < 2.5 for r in ratios)
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
+
+
+def test_ivf_pq_rerank_consistent_with_bruteforce(spark):
+    """IVF-PQ's exact re-rank must return true cosines: for any vec_id
+    both return, the PQ path's cosine equals brute force (PQ changes
+    recall and candidate cost, never the re-ranked scores), and its
+    ADC distances are non-negative integers."""
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_ivf_pq_topk,
+        sim_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        r["vec_id"]: r["cosine"] for r in sim_topk_cosine(spark, sf).collect()
+    }
+    pq = sim_ivf_pq_topk(spark, sf).collect()
+    assert pq, "IVF-PQ probe returned nothing"
+    for r in pq:
+        assert r["adc"] >= 0
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_pq_codes_are_4bit(spark):
+    """Every PQ code must fit the 4-bit budget the compression story
+    claims (0 ≤ code < PQ_CODES in each of the PQ_M subspaces)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        _pq_code,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = e.select(
+        F.array(
+            *[_pq_code(F.col("embedding"), m) for m in range(PQ_M)]
+        ).alias("codes")
+    )
+    bad = codes.filter(
+        F.exists(
+            F.col("codes"), lambda c: (c < 0) | (c >= PQ_CODES)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_block_keep_first_semantics(spark, tmp_path):
+    """Planted duplicate blocks: the first occurrence (by doc_id, idx)
+    survives, later copies drop, unique blocks all survive, and the
+    reassembled fingerprint matches a hand-computed md5."""
+    import hashlib
+
+    from iceberg_by_example_spark.operators.dedup import (
+        BLOCK_TOKENS,
+        dedup_block_keep_first,
+    )
+
+    blk_a = " ".join(f"a{i}" for i in range(BLOCK_TOKENS))
+    blk_b = " ".join(f"b{i}" for i in range(BLOCK_TOKENS))
+    blk_c = " ".join(f"c{i}" for i in range(BLOCK_TOKENS))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{blk_a} {blk_b}"),  # doc 1 owns both firsts
+            (2, f"{blk_a} {blk_c}"),  # block A is a repeat here
+            (3, blk_b),  # fully duplicated doc → nothing kept
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in dedup_block_keep_first(spark, sf_dir).collect()
+    }
+    assert (rows[1]["n_blocks"], rows[1]["n_kept"]) == (2, 2)
+    assert (rows[2]["n_blocks"], rows[2]["n_kept"]) == (2, 1)
+    assert (rows[3]["n_blocks"], rows[3]["n_kept"]) == (1, 0)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["kept_fp"] == md5(f"{blk_a} {blk_b}")
+    assert rows[2]["kept_fp"] == md5(blk_c)
+    assert rows[3]["kept_fp"] == md5("")
