@@ -602,3 +602,111 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda x: x.cast("string")), ","
         ).alias("features"),
     )
+
+
+# Trigram-LM quality scoring: the KenLM-filter shape with the
+# transcendental parts removed. Production pipelines score documents
+# with a small n-gram language model and drop the high-perplexity
+# tail; the signal that survives the LM is "how much of this document
+# is made of n-grams the training corpus has (rarely or never) seen".
+# That mass is computable in exact integer arithmetic — no logs, so
+# the whole path stays bit-identical across engines (log-space scores
+# differ in the last ulp between libm implementations).
+TRI_N = 3
+TRI_RARE_DF = 3  # train count < this ⇒ "rare"
+_TRAIN_BUCKET = "cd"  # ~80% of docs train the model (split_hash idiom)
+
+
+@register(
+    "text_lm_rare_mass",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             SUBSTR(MD5('lm:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '{_TRAIN_BUCKET}' AS is_train
+      FROM documents),
+    tri AS (
+      SELECT doc_id, is_train,
+             ARRAY_TO_STRING(t[i:i+{TRI_N - 1}], ' ') AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t) - {TRI_N - 1}, 1)) AS i)
+      WHERE LEN(t) >= {TRI_N}),
+    model AS (
+      SELECT g, COUNT(*) AS cnt FROM tri WHERE is_train GROUP BY g),
+    scored AS (
+      SELECT tri.doc_id, tri.g, COALESCE(model.cnt, 0) AS cnt
+      FROM tri LEFT JOIN model ON tri.g = model.g)
+    SELECT doc_id,
+           COUNT(*) AS n_tri,
+           CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN cnt < {TRI_RARE_DF} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN cnt < {TRI_RARE_DF} THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM scored GROUP BY doc_id
+    """,
+    category="text",
+)
+def text_lm_rare_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality score, integer-exact: train a
+    token-trigram count model on the deterministic ~80% train split
+    (salted-md5 membership, the ``pipeline_split_hash`` idiom), then
+    score EVERY document by its out-of-vocabulary and rare trigram
+    mass — ``n_oov`` (train count 0), ``n_rare`` (train count <
+    {TRI_RARE_DF}), and the rare fraction. High rare mass is the
+    high-perplexity tail a KenLM filter would drop; counts replace
+    log-probabilities so the score is bit-reproducible cross-engine
+    (a single IEEE division at the end, same-operand in both).
+    Documents shorter than {TRI_N} tokens have no trigrams and are
+    excluded (they go to a length filter, not an LM filter).
+
+    Scale shape: trigrams are a map-side transform (no token-level
+    explode-then-join-back); the model is a hash groupBy whose size is
+    vocabulary-bound (trigram types, not instances — Zipf keeps this
+    far below corpus size); scoring is one hash join on the trigram
+    string and one per-doc aggregate. At 100 TB the model table
+    shards like any dimension and the join broadcasts when the
+    vocabulary fits — nothing is ever pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        tokens("text").alias("t"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                2,
+            )
+            < _TRAIN_BUCKET
+        ).alias("is_train"),
+    ).filter(F.size("t") >= TRI_N)
+    tri = tok.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {TRI_N - 1}), "
+                f"i -> array_join(slice(t, i, {TRI_N}), ' '))"
+            )
+        ).alias("g"),
+    )
+    model = (
+        tri.filter(F.col("is_train"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = tri.join(model, "g", "left").select(
+        "doc_id", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.sum((F.col("cnt") == 0).cast("long")).alias("n_oov"),
+        F.sum((F.col("cnt") < TRI_RARE_DF).cast("long")).alias("n_rare"),
+        (
+            F.sum((F.col("cnt") < TRI_RARE_DF).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("rare_ratio"),
+    )

@@ -1021,3 +1021,72 @@ def test_block_keep_first_semantics(spark, tmp_path):
     assert rows[1]["kept_fp"] == md5(f"{blk_a} {blk_b}")
     assert rows[2]["kept_fp"] == md5(blk_c)
     assert rows[3]["kept_fp"] == md5("")
+
+
+def test_dhash_invariant_under_nn_upscale():
+    """The provable-duplicate construction: dHash of an exact k×
+    nearest-neighbor upscale equals dHash of the base (nested floor
+    division), for every corpus group and factor — and distinct base
+    patterns produce distinct hashes."""
+    from iceberg_by_example_spark.operators.multimodal import (
+        PHASH_GROUPS,
+        _dhash_hex,
+        _phash_base_pixels,
+        _phash_pixels,
+    )
+
+    base_hashes = []
+    for g in range(PHASH_GROUPS):
+        base = _dhash_hex(_phash_base_pixels(g))
+        base_hashes.append(base)
+        for v in range(1, 4):
+            assert _dhash_hex(_phash_pixels(g, v)) == base
+    assert len(set(base_hashes)) == PHASH_GROUPS
+
+
+def test_phash_dedup_groups(spark):
+    """End-to-end through the real BMP decode: every group collects
+    exactly its PHASH_VARIANTS members, none leak across groups."""
+    from iceberg_by_example_spark.operators.multimodal import (
+        PHASH_GROUPS,
+        PHASH_VARIANTS,
+        multimodal_phash_dedup,
+    )
+
+    rows = multimodal_phash_dedup(spark, "unused").collect()
+    assert len(rows) == PHASH_GROUPS
+    for r in rows:
+        assert r["n_images"] == PHASH_VARIANTS
+        groups = {a.split("_")[1] for a in r["assets"].split(",")}
+        assert len(groups) == 1
+
+
+def test_lm_rare_mass_flags_novel_text(spark, tmp_path):
+    """A document made of never-seen trigrams scores rare_ratio 1.0;
+    a document repeating the dominant corpus phrase scores 0.0."""
+    from iceberg_by_example_spark.operators.text import text_lm_rare_mass
+
+    import hashlib
+
+    bucket = lambda i: hashlib.md5(f"lm:{i}".encode()).hexdigest()[:2]
+    # the novel doc must sit OUTSIDE the train split, or the model
+    # trains on its own trigrams and nothing is OOV
+    novel_id = next(i for i in range(1000, 2000) if bucket(i) >= "cd")
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, common) for i in range(30)] + [
+        (novel_id, "zq xv jk wp mn bt zq xv jk wp"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in text_lm_rare_mass(spark, sf_dir).collect()
+    }
+    in_train = [i for i in range(30) if bucket(i) < "cd"]
+    assert len(in_train) >= 3, "salted split should not empty the train set"
+    novel = rows[novel_id]
+    assert novel["n_oov"] == novel["n_tri"]
+    assert novel["rare_ratio"] == 1.0
+    # the common phrase trains on >= 3 docs => its trigrams are not rare
+    for i in in_train:
+        assert rows[i]["rare_ratio"] == 0.0
