@@ -710,3 +710,93 @@ def text_lm_rare_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("rare_ratio"),
     )
+
+
+# Count-min-sketch heavy hitters: the fixed-memory frequency sketch
+# (Cormode-Muthukrishnan) behind vocabulary induction and hot-token
+# monitoring at corpus scale. D independent hash rows × W buckets of
+# counters; an item's estimate is the MIN over its D buckets — always
+# ≥ the true count (collisions only inflate), within εN with high
+# probability. Hashes are salted md5 prefixes, so the sketch — and
+# therefore the estimates — are bit-identical cross-engine.
+CMS_D = 4
+CMS_W = 256  # 2 hex chars of md5 ⇒ 256 buckets per row
+CMS_TOPK = 20
+
+
+def _cms_bucket(col, d: int):
+    """Bucket of ``col`` in sketch row d: first 2 md5 hex chars of the
+    salted token. Twin: ``SUBSTR(MD5('cm{d}:' || token), 1, 2)``."""
+    return F.substring(F.md5(F.concat(F.lit(f"cm{d}:"), col)), 1, 2)
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+    WITH inst AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    sketch AS (
+      SELECT d,
+             SUBSTR(MD5('cm' || CAST(d AS VARCHAR) || ':' || token), 1, 2)
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM inst, LATERAL (SELECT UNNEST(RANGE(0, {CMS_D})) AS d)
+      GROUP BY 1, 2),
+    exact AS (SELECT token, COUNT(*) AS exact_n FROM inst GROUP BY token),
+    top AS (SELECT * FROM exact
+            ORDER BY exact_n DESC, token LIMIT {CMS_TOPK}),
+    probes AS (
+      SELECT token, exact_n, d,
+             SUBSTR(MD5('cm' || CAST(d AS VARCHAR) || ':' || token), 1, 2)
+               AS bucket
+      FROM top, LATERAL (SELECT UNNEST(RANGE(0, {CMS_D})) AS d))
+    SELECT p.token, p.exact_n, CAST(MIN(s.cnt) AS BIGINT) AS cm_est
+    FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+    GROUP BY 1, 2
+    """,
+    category="text",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch, graded against exact
+    counts: build a {CMS_D}×{CMS_W} CMS over all token instances, then
+    report the top-{CMS_TOPK} tokens (by exact count, deterministic
+    tie-break) with both their exact frequency and the sketch's
+    estimate — the overcount-only property (cm_est ≥ exact_n, close
+    under Zipf) is visible in the graded rows themselves.
+
+    Scale shape: this is the sketch whose point is scale — the
+    aggregation state is CMS_D·CMS_W counters ({CMS_D * CMS_W} cells)
+    NO MATTER the corpus size, it partial-aggregates map-side, and
+    sketches from disjoint corpus shards merge by cell-wise addition
+    (same property the portable-HLL rollup exploits). The estimate
+    probe joins the 1024-row sketch against the {CMS_TOPK}-row
+    candidate list — both broadcast-size by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = d.select(F.explode(tokens("text")).alias("token"))
+    row_structs = lambda: F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("d"),
+                    _cms_bucket(F.col("token"), j).alias("bucket"),
+                )
+                for j in range(CMS_D)
+            ]
+        )
+    ).alias("s")
+    sketch = (
+        inst.select(row_structs())
+        .select("s.d", "s.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = inst.groupBy("token").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(CMS_TOPK)
+    probes = top.select("token", "exact_n", row_structs()).select(
+        "token", "exact_n", "s.d", "s.bucket"
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cm_est"))
+    )

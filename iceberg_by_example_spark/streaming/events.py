@@ -202,3 +202,79 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     because at 100 TB a struct-MIN combines map-side while a
     row_number window must materialize every duplicate in the sort."""
     return dedup_first_per_key(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: view → purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_MIN = 30
+
+
+def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: each purchase pairs with the SAME user's views in
+    the preceding ATTRIB_WINDOW_MIN minutes — the canonical stream-
+    stream join (ad impression → conversion attribution). Defined once
+    for both modes: the batch query below grades it against DuckDB;
+    tests/test_streaming.py drives the identical plan as a true
+    stream-stream inner join (watermarks on both sides bound the join
+    state; the two-sided event-time constraint is what lets Spark
+    expire buffered rows instead of holding both streams forever)."""
+    from iceberg_by_example_spark.util import epoch_micros
+
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+    )
+    return pairs.select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (epoch_micros("p_ts") - epoch_micros("v_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id,
+           EPOCH_US(p.ts) - EPOCH_US(v.ts) AS gap_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL '{ATTRIB_WINDOW_MIN} minutes'
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    category="streaming",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grading twin of the stream-stream interval join: purchase
+    ↔ prior-views attribution pairs with the exact microsecond gap.
+
+    Scale shape: an equi-join on user_id (the time bounds are a
+    post-join filter for the optimizer, a state-expiry bound for the
+    streaming engine) — shuffles partition by user, skew-safe for
+    normal user distributions and salt-able (operators/skew.py) for
+    hot keys. In streaming mode the watermark bounds per-side state
+    to ~window+lateness of events per user, so the join runs forever
+    in fixed memory."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return view_purchase_pairs(views, purchases)

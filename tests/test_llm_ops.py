@@ -1090,3 +1090,17 @@ def test_lm_rare_mass_flags_novel_text(spark, tmp_path):
     # the common phrase trains on >= 3 docs => its trigrams are not rare
     for i in in_train:
         assert rows[i]["rare_ratio"] == 0.0
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    """Count-min property: every estimate >= the exact count (hash
+    collisions only inflate), and with 256 buckets over this tiny
+    vocabulary the heavy hitters should estimate exactly."""
+    from iceberg_by_example_spark.operators.text import (
+        text_heavy_hitters_cms,
+    )
+
+    rows = text_heavy_hitters_cms(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["cm_est"] >= r["exact_n"]

@@ -482,3 +482,55 @@ def test_transform_with_state_running_count(spark, event_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """True stream-stream inner join: two file-source streams (views,
+    purchases) with watermarks on both sides and a two-sided event-time
+    constraint must emit exactly the batch attribution pairs."""
+    from iceberg_by_example_spark.streaming.events import view_purchase_pairs
+
+    src = str(tmp_path / "events_ssj")
+    events = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    events.repartition(4).write.parquet(src)
+    schema = events.schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    v_s = stream().filter(F.col("event_type") == "view").withWatermark(
+        "ts", "1 hour"
+    )
+    p_s = stream().filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    q = (
+        view_purchase_pairs(v_s, p_s)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["view_id"]): r["gap_us"]
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["purchase_id"], r["view_id"]): r["gap_us"]
+        for r in view_purchase_pairs(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert want, "batch attribution should find at least one pair"
+    assert got == want
