@@ -1015,3 +1015,206 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assets"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-ball pHash matching (banded near-duplicate images)
+# ---------------------------------------------------------------------------
+
+# Exact-hash grouping (multimodal_phash_dedup) catches resamples; a
+# re-encode or mild edit flips a FEW dHash bits, so production image
+# dedup matches within a Hamming ball. The scalable plan is the
+# simhash pigeonhole: split the 64-bit hash into HAM_BANDS bands —
+# any pair within distance HAM_MAX shares at least one intact band
+# (HAM_MAX < HAM_BANDS), so banded equality joins generate every true
+# candidate and the exact popcount filter keeps the ball.
+#
+# The corpus PLANTS the decision boundary. A base image is an 8×9
+# designed grayscale grid (equal RGB channels and 299+587+114 = 1000
+# make gray == the designed value; at exactly thumbnail resolution
+# the floor-index downsample is the identity, so every gradient bit
+# is chosen, not emergent). Variants: an exact NN upscale (distance
+# 0), a 1-bit flip (inside the ball), and a 4-bit flip placed one per
+# band (outside the ball AND sharing no band — provably filtered at
+# candidate time, not just at verify time).
+PHASH_HAM_DIR = "/tmp/iceberg_by_example_phash_ham_corpus"
+HAM_GROUPS = 3
+HAM_BANDS = 4  # 16 bits per band
+HAM_MAX = 3  # ball radius; < HAM_BANDS ⇒ pigeonhole recall guarantee
+
+
+def _ham_grid(g: int):
+    """Designed 8×9 grayscale grid for group g: each horizontal
+    gradient's sign is a seeded coin flip realized as a ±8 step, so
+    any single bit can be flipped later by inverting one step."""
+    import random as _random
+
+    import numpy as np
+
+    rng = _random.Random(7000 + g)
+    grid = np.zeros((_DHASH_ROWS, _DHASH_COLS), dtype="int32")
+    for r in range(_DHASH_ROWS):
+        v = 128
+        grid[r, 0] = v
+        for c in range(_DHASH_COLS - 1):
+            v = v + 8 if rng.random() < 0.5 else v - 8
+            grid[r, c + 1] = v
+    return grid
+
+
+def _ham_flip(grid, r: int):
+    """Invert the last gradient of row r (bit r·8+7) by reflecting the
+    final cell around its predecessor — touches exactly one bit."""
+    out = grid.copy()
+    out[r, -1] = 2 * out[r, -2] - out[r, -1]
+    return out
+
+
+def _ham_pixels(grid, k: int):
+    """k× NN upscale of a grid, stacked to equal-channel RGB (gray
+    recovers the grid exactly: (299v+587v+114v)//1000 == v)."""
+    import numpy as np
+
+    g8 = grid.astype("uint8")
+    up = g8.repeat(k, axis=0).repeat(k, axis=1)
+    return np.stack([up, up, up], axis=2)
+
+
+def _ham_variants(g: int):
+    """(suffix, pixel array) per group: base, dup (distance 0), near
+    (distance 1, flip in row 1 = band 0), far (distance 4, one flip
+    in each band: rows 0, 2, 4, 6)."""
+    base = _ham_grid(g)
+    far = base
+    for r in (0, 2, 4, 6):
+        far = _ham_flip(far, r)
+    return [
+        ("base", _ham_pixels(base, 2)),
+        ("dup", _ham_pixels(base, 3)),
+        ("near", _ham_pixels(_ham_flip(base, 1), 2)),
+        ("far", _ham_pixels(far, 2)),
+    ]
+
+
+def _ham_assets() -> list[tuple[str, "object"]]:
+    return [
+        (f"hb_{g}_{suffix}.bmp", arr)
+        for g in range(HAM_GROUPS)
+        for suffix, arr in _ham_variants(g)
+    ]
+
+
+def _ham_expected() -> list[tuple[str, str]]:
+    """(asset, dhash) from the generator grids — codec never runs."""
+    return [(asset, _dhash_hex(arr)) for asset, arr in _ham_assets()]
+
+
+def _ensure_ham_corpus() -> str:
+    import os
+
+    os.makedirs(PHASH_HAM_DIR, exist_ok=True)
+    for asset, arr in _ham_assets():
+        _ensure_corpus_file(
+            os.path.join(PHASH_HAM_DIR, asset), _encode_bmp(arr)
+        )
+    return PHASH_HAM_DIR
+
+
+_ensure_ham_corpus()
+
+
+def _hamming64(a, b):
+    """Popcount of XOR over two 16-hex-char hashes, computed on two
+    32-bit halves (a full 64-bit parse can overflow the signed type
+    when bit 63 is set). Twin: BIT_COUNT(XOR(...))."""
+    h = lambda col, lo: F.conv(F.substring(col, lo, 8), 16, 10).cast("long")
+    return F.bit_count(h(a, 1).bitwiseXOR(h(b, 1))) + F.bit_count(
+        h(a, 9).bitwiseXOR(h(b, 9))
+    )
+
+
+@register(
+    "multimodal_phash_hamming",
+    oracle="WITH hashes(asset, phash) AS (VALUES "
+    + ", ".join(f"('{a}', '{h}')" for a, h in _ham_expected())
+    + f""")
+    , banded AS (
+      SELECT asset, phash, b, SUBSTR(phash, 1 + 4*b, 4) AS band_val
+      FROM hashes, LATERAL (SELECT UNNEST(RANGE(0, {HAM_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT a.asset AS asset_a, a.phash AS ph_a,
+                      x.asset AS asset_b, x.phash AS ph_b
+      FROM banded a JOIN banded x
+        ON a.b = x.b AND a.band_val = x.band_val AND a.asset < x.asset)
+    SELECT asset_a, asset_b,
+           CAST(BIT_COUNT(XOR(('0x' || SUBSTR(ph_a, 1, 8))::BIGINT,
+                              ('0x' || SUBSTR(ph_b, 1, 8))::BIGINT))
+              + BIT_COUNT(XOR(('0x' || SUBSTR(ph_a, 9, 8))::BIGINT,
+                              ('0x' || SUBSTR(ph_b, 9, 8))::BIGINT))
+              AS BIGINT) AS hamming
+    FROM cand
+    WHERE BIT_COUNT(XOR(('0x' || SUBSTR(ph_a, 1, 8))::BIGINT,
+                        ('0x' || SUBSTR(ph_b, 1, 8))::BIGINT))
+        + BIT_COUNT(XOR(('0x' || SUBSTR(ph_a, 9, 8))::BIGINT,
+                        ('0x' || SUBSTR(ph_b, 9, 8))::BIGINT)) <= {HAM_MAX}
+    """,
+    category="multimodal",
+)
+def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs within a Hamming-{HAM_MAX} ball of
+    dHash: real BMP decode → 64-bit hash → {HAM_BANDS}-band pigeonhole
+    candidates (any pair within the ball shares an intact 16-bit band)
+    → exact popcount verify. The planted corpus proves both sides of
+    the boundary: the 1-bit variant is found, the 4-bit variant (one
+    flip per band) shares NO band — dropped at candidate generation,
+    demonstrating the recall/cost line rather than asserting it.
+
+    Scale shape: identical to simhash text dedup — the band join
+    buckets 16-byte keys, pair work is Σ bucket², and popcount runs
+    only on banded candidates. Pixels never shuffle; after the decode
+    map the whole pipeline is 24-byte rows."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(PHASH_HAM_DIR)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("asset"),
+            F.col("content").alias("payload"),
+        )
+    )
+    hashed = df.mapInPandas(dhash_bmp_batches, PHASH_SCHEMA)
+    banded = hashed.select(
+        "asset",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring("phash", 1 + 4 * b, 4).alias("band_val"),
+                    )
+                    for b in range(HAM_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("asset", "phash", "s.b", "s.band_val")
+    a, x = banded.alias("a"), banded.alias("x")
+    cand = (
+        a.join(
+            x,
+            (F.col("a.b") == F.col("x.b"))
+            & (F.col("a.band_val") == F.col("x.band_val"))
+            & (F.col("a.asset") < F.col("x.asset")),
+        )
+        .select(
+            F.col("a.asset").alias("asset_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("x.asset").alias("asset_b"),
+            F.col("x.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = _hamming64(F.col("ph_a"), F.col("ph_b"))
+    return cand.select(
+        "asset_a", "asset_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= HAM_MAX)

@@ -1104,3 +1104,23 @@ def test_cms_overcounts_never_undercounts(spark):
     assert rows
     for r in rows:
         assert r["cm_est"] >= r["exact_n"]
+
+
+def test_phash_hamming_planted_boundary(spark):
+    """Each group yields exactly (base,dup,0), (base,near,1),
+    (dup,near,1); the 4-flip 'far' variant appears in NO pair — it
+    shares no band, so the pigeonhole drops it before popcount."""
+    from iceberg_by_example_spark.operators.multimodal import (
+        HAM_GROUPS,
+        multimodal_phash_hamming,
+    )
+
+    rows = multimodal_phash_hamming(spark, "unused").collect()
+    got = {(r["asset_a"], r["asset_b"]): r["hamming"] for r in rows}
+    assert len(got) == 3 * HAM_GROUPS
+    for g in range(HAM_GROUPS):
+        base, dup, near = (f"hb_{g}_{s}.bmp" for s in ("base", "dup", "near"))
+        assert got[tuple(sorted((base, dup)))] == 0
+        assert got[tuple(sorted((base, near)))] == 1
+        assert got[tuple(sorted((dup, near)))] == 1
+    assert not any("far" in a or "far" in b for a, b in got)
