@@ -1006,6 +1006,60 @@ def _pq_adc_sql(qe: str, codes: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+PQ_ENCODE_SCHEMA = (
+    "vec_id long, embedding array<float>, cell long, "
+    "codes array<long>, cells_by_key array<long>"
+)
+
+
+def pq_encode_batches(pdfs):
+    """Arrow-batched IVF-PQ encoder: per batch, quantize to int64 and
+    compute every vector-to-centroid / vector-to-code squared distance
+    as d² = Σq² − 2·q·Cᵀ + Σc² — three integer matmuls, no 3-D
+    temporaries. All arithmetic is exact int64 (bounds in
+    ``_pq_codebooks``), so the emitted cells/codes equal the
+    ``_ivf_key``/``_pq_code`` expression forms bit-for-bit; argmin's
+    first-occurrence rule realizes the same lowest-id tie-break as
+    their injective keys. ``cells_by_key`` is the full cell ranking
+    (keys are injective ⇒ unique ⇒ stable), from which the query row
+    slices its NPROBE probe cells."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(IVF_CENTROIDS, dtype=np.int64)  # (K, DIM)
+    cent_sq = (cent * cent).sum(axis=1)  # (K,)
+    cbs = np.asarray(PQ_CODEBOOKS, dtype=np.int64)  # (M, CODES, SUB)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["embedding"].to_numpy())  # (n, DIM) float32
+        qv = np.floor(x.astype(np.float64) * QUANT).astype(np.int64)
+        qsq = (qv * qv).sum(axis=1, keepdims=True)  # (n, 1)
+        d2 = qsq - 2 * (qv @ cent.T) + cent_sq[None, :]  # (n, K)
+        keys = d2 * IVF_K + np.arange(IVF_K, dtype=np.int64)[None, :]
+        cells_by_key = np.argsort(keys, axis=1).astype(np.int64)
+        codes = np.empty((len(x), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            cb = cbs[m]  # (CODES, SUB)
+            d2m = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            keym = d2m * PQ_CODES + np.arange(PQ_CODES, dtype=np.int64)
+            codes[:, m] = keym.argmin(axis=1)
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": list(pdf["embedding"]),
+                "cell": cells_by_key[:, 0],
+                "codes": list(codes),
+                "cells_by_key": list(cells_by_key),
+            }
+        )
+
+
 @register(
     "sim_ivf_pq_topk",
     oracle=f"""
@@ -1060,25 +1114,36 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the code table for 1e9 vectors is ~4 GB (memory-
     resident per executor), vector reads happen only for the
     shortlist, and every stage is a map or a 1-row broadcast —
-    no corpus-side shuffle anywhere."""
+    no corpus-side shuffle anywhere.
+
+    Encode-stage implementation note: the encode is a dense
+    integer GEMM (every vector against every centroid/code), which is
+    the wrong shape for scalar SQL expressions — the zip_with
+    reference forms (``_pq_code``/``_ivf_key``) evaluate as
+    interpreted higher-order functions (~11 s / 2000 rows), and
+    flattening them into ~5k scalar expressions trades that for
+    minutes of Catalyst planning. Production ANN encodes with SIMD
+    kernels (FAISS), and the Spark-shaped equivalent is an
+    Arrow-batched vectorized worker: ``pq_encode_batches`` does the
+    whole batch as three numpy matmuls in exact int64
+    (d² = Σq² − 2·q·C + Σc², identical integers to the reference
+    forms — a pytest pins them equal), ~100× the expression forms.
+    Probe, ADC, and re-rank stay relational."""
+    from iceberg_by_example_spark.util import detach
+
     e = load_table(spark, sf_dir, "embeddings")
-    ivf_keys = F.array(
-        *[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)]
+    # Pin the encoded table: the query branch and the candidate branch
+    # both read it, and without the pin each would run its own encode
+    # pass (the production analogue is that codes are MATERIALIZED in
+    # the index, not recomputed per query).
+    assigned = detach(
+        e.select("vec_id", "embedding").mapInPandas(
+            pq_encode_batches, PQ_ENCODE_SCHEMA
+        )
     )
-    assigned = e.select(
-        "vec_id",
-        "embedding",
-        (F.array_min(ivf_keys) % IVF_K).alias("cell"),
-        F.array(
-            *[_pq_code(F.col("embedding"), m) for m in range(PQ_M)]
-        ).alias("codes"),
-    )
-    q = e.filter(F.col("vec_id") == 0).select(
+    q = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"),
-        F.transform(
-            F.slice(F.array_sort(ivf_keys), 1, IVF_NPROBE),
-            lambda x: x % IVF_K,
-        ).alias("probe_cells"),
+        F.slice(F.col("cells_by_key"), 1, IVF_NPROBE).alias("probe_cells"),
     )
     cands = assigned.crossJoin(F.broadcast(q)).filter(
         F.array_contains(F.col("probe_cells"), F.col("cell"))
@@ -1105,4 +1170,140 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR: maximal-marginal-relevance diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+# NOT computed as 1 - MMR_LAMBDA: that is 0.30000000000000004 in
+# binary64, and the oracle must multiply by the bit-identical
+# constant — both sides parse the literal string "0.3"/"0.7".
+MMR_MU = 0.3
+MMR_POOL = 30  # relevance shortlist the greedy selection works over
+MMR_K = 10
+
+
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR as a DuckDB recursive CTE: the anchor picks the most
+    relevant candidate; each recursive step scores the remaining pool
+    by λ·rel − (1−λ)·max-sim-to-picked and appends the argmax (ties to
+    the lowest vec_id). Both engines run the identical IEEE ops on
+    identical quantized-integer cosines, so scores match bit-for-bit."""
+    cos = lambda a, b: (
+        f"CAST({_DOT_SQL.format(a=a, b=b)} AS DOUBLE) / "
+        f"(SQRT(CAST({_DOT_SQL.format(a=a, b=a)} AS DOUBLE)) * "
+        f"SQRT(CAST({_DOT_SQL.format(a=b, b=b)} AS DOUBLE)))"
+    )
+    return f"""
+    WITH RECURSIVE
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, {cos('e.embedding', 'qv.qe')} AS rel
+      FROM embeddings e, qv WHERE e.vec_id != 0
+      ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    pair AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {cos('a.embedding', 'b.embedding')} AS sim
+      FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+    sel AS (
+      (SELECT 1 AS rank, [vec_id] AS picked, vec_id, rel AS mmr_score
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT s.rank + 1, LIST_APPEND(s.picked, c.vec_id), c.vec_id,
+              CAST('{MMR_LAMBDA}' AS DOUBLE) * c.rel
+              - CAST('{MMR_MU}' AS DOUBLE) * (
+                SELECT MAX(p.sim) FROM pair p
+                WHERE p.a = c.vec_id AND LIST_CONTAINS(s.picked, p.b))
+                AS score
+       FROM sel s JOIN cand c ON NOT LIST_CONTAINS(s.picked, c.vec_id)
+       WHERE s.rank < {MMR_K}
+       ORDER BY score DESC, c.vec_id
+       LIMIT 1)
+    )
+    SELECT rank, vec_id, mmr_score FROM sel
+    """
+
+
+@register(
+    "sim_mmr_topk",
+    oracle=_mmr_oracle_sql(),
+    category="similarity",
+)
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k by maximal marginal relevance (Carbonell &
+    Goldstein): greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s), so results cover the query's neighborhood instead of
+    returning {MMR_K} copies of the same cluster — the retrieval shape
+    RAG rerankers and dataset-diversification passes use.
+
+    Scale split: everything that touches the CORPUS is Spark — the
+    relevance pass (one scan against the 1-row broadcast query) and
+    the {MMR_POOL}×{MMR_POOL} candidate similarity matrix. The greedy
+    selection itself is O(K·POOL) comparisons over {MMR_POOL}
+    driver-side doubles — constants, independent of corpus size, the
+    same bounded-driver dispatch as the union-find gate
+    (``CLUSTER_DRIVER_MAX_EDGES``); at 100 TB the scan dominates and
+    the pool stays {MMR_POOL} rows. Scores stay bit-reproducible:
+    cosines are quantized-integer exact, and the driver applies the
+    identical IEEE multiply/subtract both engines run (the oracle's
+    recursive CTE replays the same greedy trajectory)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            _cosine(
+                _qdot(F.col("embedding"), F.col("qe")),
+                _qnorm2(F.col("embedding")),
+                _qnorm2(F.col("qe")),
+            ).alias("rel"),
+        )
+    )
+    from iceberg_by_example_spark.util import detach
+
+    cand = detach(
+        scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        _cosine(
+            _qdot(F.col("a.embedding"), F.col("b.embedding")),
+            _qnorm2(F.col("a.embedding")),
+            _qnorm2(F.col("b.embedding")),
+        ).alias("sim"),
+    )
+    rels = {
+        r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()
+    }
+    sims = {(r["a_id"], r["b_id"]): r["sim"] for r in pair.collect()}
+
+    picked: list[tuple[int, int, float]] = []  # (rank, vec_id, score)
+    chosen: list[int] = []
+    first = min(rels, key=lambda v: (-rels[v], v))
+    picked.append((1, first, rels[first]))
+    chosen.append(first)
+    while len(picked) < MMR_K and len(chosen) < len(rels):
+        best = None
+        for v, rel in rels.items():
+            if v in chosen:
+                continue
+            score = MMR_LAMBDA * rel - MMR_MU * max(
+                sims[(v, s)] for s in chosen
+            )
+            if best is None or score > best[0] or (
+                score == best[0] and v < best[1]
+            ):
+                best = (score, v)
+        picked.append((len(picked) + 1, best[1], best[0]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, mmr_score double"
     )

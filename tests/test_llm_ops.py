@@ -1124,3 +1124,69 @@ def test_phash_hamming_planted_boundary(spark):
         assert got[tuple(sorted((base, near)))] == 1
         assert got[tuple(sorted((dup, near)))] == 1
     assert not any("far" in a or "far" in b for a, b in got)
+
+
+def test_mmr_properties(spark):
+    """MMR structure: rank 1 is the pure-relevance argmax (equals
+    brute-force top-1); scores are non-increasing from rank 2 on
+    (the max-sim penalty grows pointwise as the picked set grows and
+    the candidate pool only shrinks); picks are distinct; the run is
+    deterministic."""
+    from iceberg_by_example_spark.operators.similarity import (
+        MMR_K,
+        sim_mmr_topk,
+        sim_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        sim_mmr_topk(spark, sf).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    brute_top1 = sim_topk_cosine(spark, sf).collect()[0]
+    assert rows[0]["vec_id"] == brute_top1["vec_id"]
+    assert rows[0]["mmr_score"] == brute_top1["cosine"]
+    scores = [r["mmr_score"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    rows2 = sorted(
+        sim_mmr_topk(spark, sf).collect(), key=lambda r: r["rank"]
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_pq_encode_batches_matches_expression_forms(spark):
+    """The vectorized numpy encoder must emit bit-identical cells and
+    codes to the zip_with expression forms (_ivf_key/_pq_code) — the
+    reference semantics the oracle is derived from."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.similarity import (
+        IVF_K,
+        PQ_ENCODE_SCHEMA,
+        PQ_M,
+        _ivf_key,
+        _pq_code,
+        pq_encode_batches,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in e.select("vec_id", "embedding")
+        .mapInPandas(pq_encode_batches, PQ_ENCODE_SCHEMA)
+        .collect()
+    }
+    keys = F.array(*[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)])
+    want = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in e.select(
+            "vec_id",
+            (F.array_min(keys) % IVF_K).alias("cell"),
+            F.array(
+                *[_pq_code(F.col("embedding"), m) for m in range(PQ_M)]
+            ).alias("codes"),
+        ).collect()
+    }
+    assert got == want
