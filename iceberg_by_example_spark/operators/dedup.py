@@ -1494,7 +1494,6 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token block — the unit choice changes, the algorithm (global hash →
 # first occurrence wins → reassemble survivors in order) does not.
 BLOCK_TOKENS = 15
-_BLOCK_ORD = 100_000  # idx < this bound ⇒ doc_id·bound + idx injective
 
 
 @register(
@@ -1508,11 +1507,11 @@ _BLOCK_ORD = 100_000  # idx < this bound ⇒ doc_id·bound + idx injective
       FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
              1, LEN(t), {BLOCK_TOKENS})) AS i)),
     inst AS (
-      SELECT doc_id, idx, block, MD5(block) AS h,
-             doc_id * {_BLOCK_ORD} + idx AS ord
-      FROM b),
-    firsts AS (SELECT h, MIN(ord) AS first_ord FROM inst GROUP BY h),
-    k AS (SELECT i.*, (i.ord = f.first_ord) AS kept
+      SELECT doc_id, idx, block, MD5(block) AS h FROM b),
+    firsts AS (SELECT h,
+                 MIN(struct_pack(doc_id := doc_id, idx := idx)) AS f
+               FROM inst GROUP BY h),
+    k AS (SELECT i.*, (i.doc_id = f.f.doc_id AND i.idx = f.f.idx) AS kept
           FROM inst i JOIN firsts f ON i.h = f.h)
     SELECT doc_id,
            COUNT(*) AS n_blocks,
@@ -1545,9 +1544,10 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-key join back; reassembly aggregates per doc_id. Block
     instances ≈ corpus_tokens / BLOCK_TOKENS rows — smaller than any
     shingle index. No pairwise anything: cost is linear in corpus
-    size at any scale. The keep-first rule is an injective integer
-    min (doc_id·{_BLOCK_ORD} + idx), so re-partitioning can never
-    flip a winner (cross-engine determinism rule 2)."""
+    size at any scale. The keep-first rule is a lexicographic MIN
+    over struct(doc_id, idx) — injective for ANY block count (no
+    encoding bound to overflow), so re-partitioning can never flip
+    a winner (cross-engine determinism rule 2)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= 1
@@ -1566,11 +1566,14 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         "block",
         F.md5("block").alias("h"),
-        (F.col("doc_id") * _BLOCK_ORD + F.col("idx")).alias("ord"),
     )
-    firsts = inst.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    firsts = inst.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first_ord")
+    )
     k = inst.join(firsts, "h").withColumn(
-        "kept", F.col("ord") == F.col("first_ord")
+        "kept",
+        (F.col("doc_id") == F.col("first_ord.doc_id"))
+        & (F.col("idx") == F.col("first_ord.idx")),
     )
     kept_structs = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("idx", "block")))
@@ -1583,4 +1586,134 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(kept_structs, lambda s: s["block"]), " "
             )
         ).alias("kept_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring detection at EVERY position (unsampled rolling index)
+# ---------------------------------------------------------------------------
+
+# The sampled span index (dedup_span_ngram: 20-token windows every 10
+# positions) only guarantees detection for shared runs >= 29 tokens;
+# dedup_block_keep_first is fixed-block (a shared run that straddles a
+# block boundary is invisible). This operator closes the remaining gap
+# with the deduplicate-text-datasets (Lee et al. 2022) suffix-array
+# shape, bounded for Spark: a 16-byte rolling hash at EVERY token
+# position for spans of exactly SUB_TOKENS, keep-first by injective
+# struct-min, and a gaps-and-islands pass that chains consecutive
+# duplicated positions back into the LONGEST shared substring (R
+# consecutive duplicated window starts == a shared run of R +
+# SUB_TOKENS - 1 tokens — exact, not sampled).
+SUB_TOKENS = 15
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    w AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             MD5(ARRAY_TO_STRING(t[i:i+{SUB_TOKENS - 1}], ' ')) AS h
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t) - {SUB_TOKENS - 1})) AS i)
+      WHERE LEN(t) >= {SUB_TOKENS}),
+    firsts AS (SELECT h,
+                 MIN(struct_pack(doc_id := doc_id, pos := pos)) AS f
+               FROM w GROUP BY h),
+    k AS (SELECT w.doc_id, w.pos,
+                 NOT (w.doc_id = f.f.doc_id AND w.pos = f.f.pos) AS dup
+          FROM w JOIN firsts f ON w.h = f.h),
+    runs AS (SELECT doc_id,
+                    pos - ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM k WHERE dup),
+    runlen AS (SELECT doc_id, grp, COUNT(*) AS run
+               FROM runs GROUP BY doc_id, grp),
+    agg AS (SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup
+            FROM k GROUP BY doc_id)
+    SELECT a.doc_id, a.n_windows, a.n_dup,
+           CAST(COALESCE(MAX(r.run) + {SUB_TOKENS - 1}, 0) AS BIGINT)
+             AS longest_dup_run
+    FROM agg a LEFT JOIN runlen r ON a.doc_id = r.doc_id
+    GROUP BY a.doc_id, a.n_windows, a.n_dup
+    """,
+    category="dedup",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsampled exact-substring detection — per document: how many
+    SUB_TOKENS-token windows it has, how many are verbatim repeats of
+    an earlier corpus position (keep-first: global struct-min over
+    (doc_id, pos) per window hash), and the length in tokens of its
+    longest duplicated run (consecutive duplicated window starts chain
+    — R in a row means an R + SUB_TOKENS - 1 token shared substring).
+    This is the bounded Spark rendition of suffix-array substring
+    dedup: it detects ANY shared span of >= SUB_TOKENS tokens at its
+    exact length, below the >= 29-token horizon the sampled span index
+    guarantees and across the block boundaries the fixed-block pass
+    can't see.
+
+    Scale shape: the index is ~corpus_tokens rows of (doc_id, pos,
+    16-byte hash) — SPAN_STRIDE× the sampled variant's size, the price
+    of the exact guarantee (SCALING.md quantifies the trade). All wide
+    ops are linear: one groupBy on the hash (struct-min combines
+    map-side), one hash join back, one per-doc window + groupBy.
+    No pairwise output at all — coverage stats and run lengths, the
+    remove-the-span decision input, not O(df²) doc pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SUB_TOKENS
+    )
+    win = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SUB_TOKENS - 1}), "
+                f"i -> md5(array_join(slice(t, i, {SUB_TOKENS}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    firsts = win.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    k = win.join(firsts, "h").select(
+        "doc_id",
+        "pos",
+        (
+            ~(
+                (F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("pos") == F.col("f.pos"))
+            )
+        ).alias("dup"),
+    )
+    runs = (
+        k.filter("dup")
+        .select(
+            "doc_id",
+            (
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("pos")
+                )
+            ).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("run") + F.lit(SUB_TOKENS - 1)).alias("longest_dup_run")
+        )
+    )
+    agg = k.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup"),
+    )
+    return agg.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_dup",
+        F.coalesce("longest_dup_run", F.lit(0)).cast("long").alias(
+            "longest_dup_run"
+        ),
     )

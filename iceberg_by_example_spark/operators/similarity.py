@@ -1008,7 +1008,7 @@ def _pq_adc_sql(qe: str, codes: str) -> str:
 
 PQ_ENCODE_SCHEMA = (
     "vec_id long, embedding array<float>, cell long, "
-    "codes array<long>, cells_by_key array<long>"
+    "codes array<long>, probe_cells array<long>"
 )
 
 
@@ -1020,9 +1020,11 @@ def pq_encode_batches(pdfs):
     ``_pq_codebooks``), so the emitted cells/codes equal the
     ``_ivf_key``/``_pq_code`` expression forms bit-for-bit; argmin's
     first-occurrence rule realizes the same lowest-id tie-break as
-    their injective keys. ``cells_by_key`` is the full cell ranking
-    (keys are injective ⇒ unique ⇒ stable), from which the query row
-    slices its NPROBE probe cells."""
+    their injective keys. ``probe_cells`` is the NPROBE-cell probe
+    ranking (keys are injective ⇒ unique ⇒ stable) computed ONLY for
+    the query row (vec_id=0) — corpus rows carry an empty list, so
+    the encode output stays 4-bytes-per-vector-ish (cell + codes),
+    not a per-row cell ranking."""
     import numpy as np
     import pandas as pd
 
@@ -1037,7 +1039,11 @@ def pq_encode_batches(pdfs):
         qsq = (qv * qv).sum(axis=1, keepdims=True)  # (n, 1)
         d2 = qsq - 2 * (qv @ cent.T) + cent_sq[None, :]  # (n, K)
         keys = d2 * IVF_K + np.arange(IVF_K, dtype=np.int64)[None, :]
-        cells_by_key = np.argsort(keys, axis=1).astype(np.int64)
+        cells = keys.argmin(axis=1).astype(np.int64)
+        vid = pdf["vec_id"].to_numpy()
+        probe = [np.empty(0, dtype=np.int64)] * len(x)
+        for i in np.flatnonzero(vid == 0):
+            probe[i] = np.argsort(keys[i])[:IVF_NPROBE].astype(np.int64)
         codes = np.empty((len(x), PQ_M), dtype=np.int64)
         for m in range(PQ_M):
             sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
@@ -1051,11 +1057,11 @@ def pq_encode_batches(pdfs):
             codes[:, m] = keym.argmin(axis=1)
         yield pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].to_numpy(),
+                "vec_id": vid,
                 "embedding": list(pdf["embedding"]),
-                "cell": cells_by_key[:, 0],
+                "cell": cells,
                 "codes": list(codes),
-                "cells_by_key": list(cells_by_key),
+                "probe_cells": probe,
             }
         )
 
@@ -1142,10 +1148,9 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"),
-        F.slice(F.col("cells_by_key"), 1, IVF_NPROBE).alias("probe_cells"),
+        F.col("embedding").alias("qe"), "probe_cells"
     )
-    cands = assigned.crossJoin(F.broadcast(q)).filter(
+    cands = assigned.drop("probe_cells").crossJoin(F.broadcast(q)).filter(
         F.array_contains(F.col("probe_cells"), F.col("cell"))
         & (F.col("vec_id") != 0)
     )
@@ -1209,7 +1214,8 @@ def _mmr_oracle_sql() -> str:
              {cos('a.embedding', 'b.embedding')} AS sim
       FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
     sel AS (
-      (SELECT 1 AS rank, [vec_id] AS picked, vec_id, rel AS mmr_score
+      (SELECT 1 AS rank, [vec_id] AS picked, vec_id,
+              CAST('{MMR_LAMBDA}' AS DOUBLE) * rel AS mmr_score
        FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
       UNION ALL
       (SELECT s.rank + 1, LIST_APPEND(s.picked, c.vec_id), c.vec_id,
@@ -1231,6 +1237,7 @@ def _mmr_oracle_sql() -> str:
     "sim_mmr_topk",
     oracle=_mmr_oracle_sql(),
     category="similarity",
+    bench=True,
 )
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k by maximal marginal relevance (Carbonell &
@@ -1288,7 +1295,10 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked: list[tuple[int, int, float]] = []  # (rank, vec_id, score)
     chosen: list[int] = []
     first = min(rels, key=lambda v: (-rels[v], v))
-    picked.append((1, first, rels[first]))
+    # canonical MMR scores the seed on the same λ·rel scale as every
+    # later rank (with an empty picked set the penalty term is 0), so
+    # mmr_score is comparable across ranks
+    picked.append((1, first, MMR_LAMBDA * rels[first]))
     chosen.append(first)
     while len(picked) < MMR_K and len(chosen) < len(rels):
         best = None

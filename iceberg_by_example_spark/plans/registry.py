@@ -93,6 +93,7 @@ _FORCE_REGRADE: dict[str, int] = {
     "agg_approx_distinct": 6,  # r6: portable-HLL estimate, first oracle
     "multimodal_resize": 6,  # r6: half-up rounding + first oracle
     "multimodal_decode_stats": 6,  # r6: first oracle (stub arithmetic)
+    "sim_mmr_topk": 8,  # r8: seed scored λ·rel (canonical MMR scale)
 }
 
 

@@ -262,6 +262,7 @@ def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
     WHERE p.event_type = 'purchase' AND v.event_type = 'view'
     """,
     category="streaming",
+    bench=True,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch grading twin of the stream-stream interval join: purchase

@@ -959,6 +959,14 @@ def test_ivf_pq_rerank_consistent_with_bruteforce(spark):
         assert r["adc"] >= 0
         if r["vec_id"] in brute:
             assert r["cosine"] == brute[r["vec_id"]]
+    # recall floor: the score-equality check alone would pass with zero
+    # overlap; pin that the approximate path actually finds part of the
+    # true top-10. Measured recall@10 is 3 at sf0.001 (500 vectors,
+    # NPROBE 4 of 16 cells — true neighbors land in unprobed cells on a
+    # corpus this small) and 5 at sf0.01; floor at the measured value so
+    # a regression to zero-overlap can never pass again.
+    overlap = {r["vec_id"] for r in pq} & set(brute)
+    assert len(overlap) >= 3, f"PQ recall@10 too low: {sorted(overlap)}"
 
 
 def test_pq_codes_are_4bit(spark):
@@ -1128,12 +1136,14 @@ def test_phash_hamming_planted_boundary(spark):
 
 def test_mmr_properties(spark):
     """MMR structure: rank 1 is the pure-relevance argmax (equals
-    brute-force top-1); scores are non-increasing from rank 2 on
-    (the max-sim penalty grows pointwise as the picked set grows and
-    the candidate pool only shrinks); picks are distinct; the run is
-    deterministic."""
+    brute-force top-1) scored on the canonical λ·rel scale (empty
+    picked set ⇒ zero penalty, so all ranks share one scale); scores
+    are non-increasing from rank 2 on (the max-sim penalty grows
+    pointwise as the picked set grows and the candidate pool only
+    shrinks); picks are distinct; the run is deterministic."""
     from iceberg_by_example_spark.operators.similarity import (
         MMR_K,
+        MMR_LAMBDA,
         sim_mmr_topk,
         sim_topk_cosine,
     )
@@ -1146,7 +1156,7 @@ def test_mmr_properties(spark):
     assert len({r["vec_id"] for r in rows}) == MMR_K
     brute_top1 = sim_topk_cosine(spark, sf).collect()[0]
     assert rows[0]["vec_id"] == brute_top1["vec_id"]
-    assert rows[0]["mmr_score"] == brute_top1["cosine"]
+    assert rows[0]["mmr_score"] == MMR_LAMBDA * brute_top1["cosine"]
     scores = [r["mmr_score"] for r in rows[1:]]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
     rows2 = sorted(

@@ -248,6 +248,7 @@ def test_export_window_rotates_by_staleness(registry):
 BENCH_EXCHANGE_SNAPSHOT = {
     "agg_groupby_count": 1,
     "agg_pricing_summary": 1,
+    "dedup_block_keep_first": 2,  # injective-min groupBy + per-doc reassembly
     "dedup_cluster_canonical": 0,  # driver union-find path at this size
     "dedup_containment": 3,
     "dedup_embedding_lsh": 0,  # bucket join broadcasts at this scale
@@ -267,9 +268,12 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "pipeline_pack_sequences": 1,
     "scan_projection_filter": 0,
     "sim_batch_topk": 1,  # the per-query window's single exchange
+    "sim_ivf_pq_topk": 0,  # literal codebooks: corpus side is map-only
     "sim_lsh_ann_topk": 0,
+    "sim_mmr_topk": 0,  # rel/sim candidates map-only; greedy pick on driver
     "sim_topk_cosine": 0,
     "stream_dedup_events": 1,
+    "stream_stream_join": 0,  # purchases side broadcast, no shuffle
     "stream_tumbling_window": 1,
     "text_chunk_windows": 0,
     "text_token_stats": 0,
