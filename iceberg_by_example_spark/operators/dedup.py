@@ -1660,7 +1660,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops are linear: one groupBy on the hash (struct-min combines
     map-side), one hash join back, one per-doc window + groupBy.
     No pairwise output at all — coverage stats and run lengths, the
-    remove-the-span decision input, not O(df²) doc pairs."""
+    remove-the-span decision input, not O(df²) doc pairs. The
+    per-position flags (doc_id, pos, dup — fixed 17-byte rows, no
+    strings) are pinned with ``detach`` because both output branches
+    (per-doc counts; run chaining) read them — without the pin
+    Catalyst re-derives the window index four times (tokenize + md5
+    per position is the dominant map)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SUB_TOKENS
@@ -1677,15 +1682,17 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = win.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("f")
     )
-    k = win.join(firsts, "h").select(
-        "doc_id",
-        "pos",
-        (
-            ~(
-                (F.col("doc_id") == F.col("f.doc_id"))
-                & (F.col("pos") == F.col("f.pos"))
-            )
-        ).alias("dup"),
+    k = detach(
+        win.join(firsts, "h").select(
+            "doc_id",
+            "pos",
+            (
+                ~(
+                    (F.col("doc_id") == F.col("f.doc_id"))
+                    & (F.col("pos") == F.col("f.pos"))
+                )
+            ).alias("dup"),
+        )
     )
     runs = (
         k.filter("dup")
@@ -1716,4 +1723,147 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("longest_dup_run", F.lit(0)).cast("long").alias(
             "longest_dup_run"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefiltered incremental dedup
+# ---------------------------------------------------------------------------
+
+# The Bloom filter the ingest path would actually ship: BLOOM_BITS
+# positions (2^20), BLOOM_HASHES independent probes per fingerprint via
+# the portable _md5_hash60 (hash of "fp:j"). At |corpus| distinct fps
+# = n, the false-positive rate is (1 - e^(-k·n/m))^k — sized so the
+# sf0.01 corpus (~4.5k fps) sits at ~2e-6; production re-sizes m to
+# the corpus cardinality, the plan does not change.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 3
+
+
+def _bloom_bit(fp, j: int):
+    """Bit position for probe j of fingerprint ``fp`` — portable:
+    DuckDB twin ``(('0x' || SUBSTR(MD5(fp || ':j'), 1, 15))::BIGINT) %
+    BLOOM_BITS`` (hash60 is non-negative, so % == pmod)."""
+    return _md5_hash60(F.concat(fp, F.lit(f":{j}"))) % BLOOM_BITS
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp,
+             SUBSTR(MD5('incr:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               AS bucket
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp
+               WHERE bucket >= '{INCR_BATCH_BUCKET}'),
+    batch AS (SELECT doc_id, source, fp FROM fp
+              WHERE bucket < '{INCR_BATCH_BUCKET}'),
+    bits AS (
+      SELECT DISTINCT
+             (('0x' || SUBSTR(MD5(fp || ':' || CAST(j AS VARCHAR)), 1, 15)
+              )::BIGINT) % {BLOOM_BITS} AS bit
+      FROM corpus, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, {BLOOM_HASHES})) AS j)),
+    bp AS (
+      SELECT doc_id,
+             (('0x' || SUBSTR(MD5(fp || ':' || CAST(j AS VARCHAR)), 1, 15)
+              )::BIGINT) % {BLOOM_BITS} AS bit
+      FROM batch, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, {BLOOM_HASHES})) AS j)),
+    cand AS (SELECT bp.doc_id, BOOL_AND(b.bit IS NOT NULL)
+               AS bloom_candidate
+             FROM bp LEFT JOIN bits b ON bp.bit = b.bit
+             GROUP BY bp.doc_id)
+    SELECT ba.doc_id, ba.source, c.bloom_candidate,
+           (co.fp IS NOT NULL) AS exact_dup
+    FROM batch ba
+    JOIN cand c ON ba.doc_id = c.doc_id
+    LEFT JOIN corpus co ON ba.fp = co.fp
+    """,
+    category="dedup",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through a Bloom-filter prefilter — the shape
+    that beats ``dedup_incremental_exact`` when the corpus index is
+    too big to join every ingest: the corpus's distinct fingerprints
+    are folded into a BLOOM_BITS bitset (as set-bit rows here — a real
+    deployment packs them into m/8 bytes and broadcasts), the batch
+    probes the bitset, and only Bloom-positive docs pay the exact
+    index join. Emits per batch doc both verdicts — ``bloom_candidate``
+    (all BLOOM_HASHES probe bits set) and ``exact_dup`` (fingerprint
+    truly in corpus) — so the oracle pins the false-positive behavior,
+    not just the happy path: candidate ∧ ¬dup rows ARE the Bloom FP
+    measurement.
+
+    Scale shape: the bitset is ≤ BLOOM_BITS distinct bigint rows
+    (1 MB-ish packed; the set-bit relation broadcasts at any corpus
+    size since it saturates at m rows), the batch side explodes to
+    BLOOM_HASHES rows per doc (narrow map), and the ONLY corpus-sized
+    wide op is the distinct over fingerprints — which the incremental
+    pipeline keeps materialized anyway. The exact verify join runs on
+    the Bloom-positive subset only; with a right-sized m that subset
+    is the true dups plus an ε of FPs, so at 100 TB the daily ingest
+    never shuffles against the full index."""
+    d = load_table(spark, sf_dir, "documents")
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), " +", " ")).alias(
+            "fp"
+        ),
+        hash_bucket(F.col("doc_id"), "incr").alias("bucket"),
+    )
+    corpus = (
+        fp.filter(F.col("bucket") >= INCR_BATCH_BUCKET)
+        .select("fp")
+        .distinct()
+    )
+    batch = fp.filter(F.col("bucket") < INCR_BATCH_BUCKET).select(
+        "doc_id", "source", "fp"
+    )
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(F.col("fp"), j)
+                        for j in range(1, BLOOM_HASHES + 1)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    bp = batch.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_bit(F.col("fp"), j)
+                    for j in range(1, BLOOM_HASHES + 1)
+                ]
+            )
+        ).alias("bit"),
+    )
+    cand = (
+        bp.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.bool_and(F.col("_set").isNotNull()).alias("bloom_candidate"))
+    )
+    return (
+        batch.join(cand, "doc_id")
+        .join(
+            corpus.withColumn("_hit", F.lit(1)), "fp", "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "bloom_candidate",
+            F.col("_hit").isNotNull().alias("exact_dup"),
+        )
     )

@@ -1317,3 +1317,113 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rank int, vec_id long, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication within coarse clusters
+# ---------------------------------------------------------------------------
+
+# Cosine threshold for "semantically the same". Real SemDeDup tunes
+# this per-embedding-model (0.95+ for trained encoders); this corpus's
+# planted near-dup structure sits at the same 0.35 the exact-verify
+# operator (dedup_embedding_cosine) uses, so the two operators'
+# outputs compose (SemDeDup removals ⊆ pair graph restricted to
+# same-cell pairs).
+SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH asg AS (
+      SELECT vec_id, embedding,
+             LIST_MIN({_ivf_keys_sql('embedding')}) AS mk,
+             LIST_MIN({_ivf_keys_sql('embedding')}) % {IVF_K} AS cell,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings),
+    a2 AS (
+      SELECT vec_id, embedding, cell,
+             CAST((mk - cell) // {IVF_K} AS BIGINT) AS d2, n2
+      FROM asg),
+    rem AS (
+      SELECT DISTINCT a.vec_id
+      FROM a2 a JOIN a2 b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE CAST({_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+              >= {SEMDEDUP_TAU}
+        AND (b.d2 > a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.d2,
+           (r.vec_id IS NOT NULL) AS removed
+    FROM a2 a LEFT JOIN rem r ON a.vec_id = r.vec_id
+    """,
+    category="dedup",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
+    WITHIN coarse clusters — embeddings are k-means-clustered (here:
+    the same deterministic IVF cells the ANN index uses), and inside
+    each cluster any pair with cosine ≥ SEMDEDUP_TAU is a semantic
+    duplicate group, from which the member FARTHEST from the cluster
+    centroid is kept (the paper's keep-low-centroid-similarity rule —
+    it preserves the cluster's diverse rim over its redundant core).
+    A vector is ``removed`` iff some same-cell neighbor above the
+    threshold beats it on (centroid-d² DESC, vec_id ASC) — a pure
+    pairwise rule, so the result is order- and partitioning-invariant.
+
+    Output: every vector with its cell, exact quantized centroid-d²,
+    and the removal verdict — the downstream corpus filter is
+    ``WHERE NOT removed``.
+
+    Scale shape: the cluster assignment is a map over literal
+    centroids (no shuffle — the sim_ivf_topk plan); the pair
+    comparison is a self-join ON CELL, which is the entire point of
+    SemDeDup — with k ∝ corpus size, cells stay O(corpus/k) and the
+    join is Σ|cell|² ≪ n², embarrassingly parallel across cells,
+    shuffled once on the cell key. The removal rule needs no global
+    state (compare-to-neighbors, not compare-to-winner), so no
+    iteration, no driver round-trips. Cites the reference's dedup
+    suite for the exact-dup analogue (keep-first); the semantic family
+    is additive (SURVEY.md north-star extension)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    keys = F.array(*[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)])
+    asg = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min(keys).alias("mk"),
+        (F.array_min(keys) % IVF_K).alias("cell"),
+        _qnorm2(F.col("embedding")).alias("n2"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.expr(f"(mk - cell) div {IVF_K}").alias("d2"),
+        "n2",
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = _cosine(
+        _qdot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    beats = (F.col("b.d2") > F.col("a.d2")) | (
+        (F.col("b.d2") == F.col("a.d2"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter((cos >= SEMDEDUP_TAU) & beats)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return asg.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "d2",
+        F.col("_rm").isNotNull().alias("removed"),
+    )

@@ -1200,3 +1200,103 @@ def test_pq_encode_batches_matches_expression_forms(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_substring_semantics(spark, tmp_path):
+    """Planted shared run: a 20-token span duplicated into a second
+    doc's middle is detected at its exact length (20 = 6 consecutive
+    duplicated 15-token window starts → 6 + 14); the first occurrence
+    (lowest doc_id, pos) is never marked dup; a doc with no repeats
+    reports n_dup = 0, longest_dup_run = 0."""
+    from iceberg_by_example_spark.operators.dedup import (
+        SUB_TOKENS,
+        dedup_exact_substring,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(25))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}"),  # owns the first occurrence
+            (2, f"{uniq_b} {shared}"),  # repeats it mid-doc
+            (3, uniq_c),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_exact_substring(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 30 tokens → 16 windows, all first occurrences
+    assert (rows[1]["n_dup"], rows[1]["longest_dup_run"]) == (0, 0)
+    # doc 2: windows fully inside the shared 20-token suffix start at
+    # its first 20 - SUB_TOKENS + 1 = 6 positions → run of 6 → 20 tokens
+    assert rows[2]["n_dup"] == 20 - SUB_TOKENS + 1
+    assert rows[2]["longest_dup_run"] == 20
+    assert (rows[3]["n_dup"], rows[3]["longest_dup_run"]) == (0, 0)
+
+
+def test_bloom_prefilter_sound_and_complete(spark, sf_dir):
+    """Bloom soundness: no false negatives ever (every exact dup is a
+    candidate — the filter contains all corpus fingerprints by
+    construction), and on this corpus/filter sizing (m=2^20, k=3,
+    ~450 corpus fps at sf0.001) no false positives either."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_bloom_prefilter,
+    )
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["bloom_candidate"], f"false negative: {r}"
+    fps = [r for r in rows if r["bloom_candidate"] and not r["exact_dup"]]
+    assert not fps, f"unexpected Bloom FPs at this sizing: {fps[:3]}"
+
+
+def test_semdedup_properties(spark, sf_dir):
+    """SemDeDup invariants: removals only happen to vectors with a
+    same-cell neighbor at cosine >= tau (subset of the exact pair
+    graph restricted to same-cell pairs); every such duplicate group
+    keeps at least one member (the cell's farthest-from-centroid
+    vector is never removed by a tie); and a vector with no same-cell
+    pair partner is never removed."""
+    from iceberg_by_example_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        dedup_embedding_cosine,
+        dedup_semdedup,
+    )
+
+    rows = dedup_semdedup(spark, sf_dir).collect()
+    cell = {r["vec_id"]: r["cell"] for r in rows}
+    d2 = {r["vec_id"]: r["d2"] for r in rows}
+    removed = {r["vec_id"] for r in rows if r["removed"]}
+    pairs = [
+        (p["vec_a"], p["vec_b"])
+        for p in dedup_embedding_cosine(spark, sf_dir).collect()
+        if p["cosine"] >= SEMDEDUP_TAU and cell[p["vec_a"]] == cell[p["vec_b"]]
+    ]
+    partnered = {v for p in pairs for v in p}
+    # removals ⊆ same-cell partnered vectors
+    assert removed <= partnered
+    # per pair, the (d2 DESC, vec_id ASC)-worse member must be removed
+    # (the better one may still be removed by a third neighbor, so only
+    # the loser side is asserted); per CELL, the globally best-priority
+    # partnered vector can never lose to anyone — it must survive
+    for va, vb in pairs:
+        lose = min((va, vb), key=lambda v: (d2[v], -v))
+        assert lose in removed
+    best_per_cell = {}
+    for v in partnered:
+        c = cell[v]
+        if c not in best_per_cell or (d2[v], -v) > (
+            d2[best_per_cell[c]],
+            -best_per_cell[c],
+        ):
+            best_per_cell[c] = v
+    for v in best_per_cell.values():
+        assert v not in removed
+    assert pairs, "corpus should contain same-cell duplicate pairs"
