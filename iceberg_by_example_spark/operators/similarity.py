@@ -1427,3 +1427,84 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         F.col("_rm").isNotNull().alias("removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report: the index-quality eval the similarity family ships
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle_sql() -> str:
+    """Composes the already-registered method oracles as subqueries —
+    the report grades EXACTLY the queries the driver grades, not a
+    re-derivation that could drift."""
+    from iceberg_by_example_spark.plans.registry import QUERY_REGISTRY
+
+    o = lambda n: QUERY_REGISTRY[n].oracle
+    return f"""
+    WITH brute AS (SELECT vec_id FROM ({o('sim_topk_cosine')}) tb),
+    m AS (
+      SELECT 'ivf' AS method, vec_id FROM ({o('sim_ivf_topk')}) t1
+      UNION ALL
+      SELECT 'ivf_pq' AS method, vec_id FROM ({o('sim_ivf_pq_topk')}) t2
+      UNION ALL
+      SELECT 'lsh' AS method, vec_id FROM ({o('sim_lsh_ann_topk')}) t3
+    )
+    SELECT m.method,
+           COUNT(*) AS k_returned,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10 AS recall_at_10
+    FROM m LEFT JOIN brute b ON m.vec_id = b.vec_id
+    GROUP BY m.method
+    """
+
+
+@register(
+    "sim_recall_report",
+    oracle=_recall_oracle_sql(),
+    category="similarity",
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate index against the brute-force
+    ground truth — the eval row an ANN deployment watches when it
+    retunes NPROBE / band counts / shortlist sizes. One row per
+    method: how many rows the index returned (probe misses can yield
+    < 10), how many are true top-10 members, and the recall fraction.
+
+    Built by composing the REGISTERED method queries (and the oracle
+    composes their registered SQL verbatim), so the report can never
+    disagree with what the driver grades per-method.
+
+    Scale shape: each method's plan is its own bounded pipeline (all
+    map + 1-row broadcast, no corpus shuffle — see the per-method
+    docstrings); the report adds three 10-row unions and a broadcast
+    join against the 10-row truth set. At 100 TB you'd run it over a
+    SAMPLED query set (q × methods rows), still driver-free."""
+    import functools
+
+    brute = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("_b", F.lit(1))
+    )
+    parts = [
+        fn(spark, sf_dir).select(F.lit(m).alias("method"), "vec_id")
+        for m, fn in (
+            ("ivf", sim_ivf_topk),
+            ("ivf_pq", sim_ivf_pq_topk),
+            ("lsh", sim_lsh_ann_topk),
+        )
+    ]
+    un = functools.reduce(DataFrame.unionByName, parts)
+    hits = F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+    return (
+        un.join(F.broadcast(brute), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("k_returned"),
+            hits.alias("hits"),
+            (hits.cast("double") / 10).alias("recall_at_10"),
+        )
+    )

@@ -1300,3 +1300,31 @@ def test_semdedup_properties(spark, sf_dir):
     for v in best_per_cell.values():
         assert v not in removed
     assert pairs, "corpus should contain same-cell duplicate pairs"
+
+
+def test_recall_report_consistent(spark, sf_dir):
+    """The composed report must agree with recomputing overlap from
+    the individual method queries, and its bounds must hold
+    (hits <= k_returned <= 10, recall = hits/10)."""
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_ivf_pq_topk,
+        sim_ivf_topk,
+        sim_lsh_ann_topk,
+        sim_recall_report,
+        sim_topk_cosine,
+    )
+
+    report = {r["method"]: r for r in sim_recall_report(spark, sf_dir).collect()}
+    assert set(report) == {"ivf", "ivf_pq", "lsh"}
+    brute = {r["vec_id"] for r in sim_topk_cosine(spark, sf_dir).collect()}
+    for method, fn in (
+        ("ivf", sim_ivf_topk),
+        ("ivf_pq", sim_ivf_pq_topk),
+        ("lsh", sim_lsh_ann_topk),
+    ):
+        ids = [r["vec_id"] for r in fn(spark, sf_dir).collect()]
+        r = report[method]
+        assert r["k_returned"] == len(ids)
+        assert r["hits"] == len(set(ids) & brute)
+        assert r["hits"] <= r["k_returned"] <= 10
+        assert r["recall_at_10"] == r["hits"] / 10
