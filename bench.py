@@ -52,6 +52,7 @@ def drop_pinned_blocks(spark) -> None:
 # ---------------------------------------------------------------------------
 
 SCALING_PROBE_QUERIES = [
+    "dedup_exact_substring",  # unsampled index: the linear-at-10x claim
     "dedup_containment",
     "dedup_cluster_canonical",
     "agg_pricing_summary",
@@ -337,14 +338,20 @@ def _parallel_corpus_pass(
             run_query(spec.fn(spark, multi_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
-        if base and min(ts) / base > 2:
-            # multi-file should never be slower than single-file; a
-            # >2× reading is host steal, not the plan — one retry,
-            # same reasoning as _scaling_probe
+        # multi-file should never be slower than single-file — the
+        # same plan over 8 input splits only gains parallelism — so a
+        # ratio much above 1 is presumptively host steal, not the
+        # plan. Up to two retries while it stays >1.2× (a REAL
+        # single-task-stage regression reproduces on every pass and
+        # still surfaces; transient steal doesn't survive the
+        # retries).
+        retries = 0
+        while base and min(ts) / base > 1.2 and retries < 2:
             t0 = time.perf_counter()
             run_query(spec.fn(spark, multi_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
+            retries += 1
         dt = min(ts)
         queries[name] = {
             "single_sec": base,

@@ -1640,6 +1640,7 @@ SUB_TOKENS = 15
     GROUP BY a.doc_id, a.n_windows, a.n_dup
     """,
     category="dedup",
+    bench=True,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsampled exact-substring detection — per document: how many

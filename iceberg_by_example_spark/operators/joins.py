@@ -29,13 +29,24 @@ def asof_join(
     carry_cols: list[str],
     right_time_alias: str = "matched_ts",
     tiebreak_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each row of ``left``, attach the latest row of ``right`` with
-    the same ``on`` key and ``right.time_col <= left.time_col``.
+    the same ``on`` key and ``right.time_col <= left.time_col``
+    (``direction="backward"``, the default) — or the EARLIEST right row
+    with ``right.time_col >= left.time_col`` (``direction="forward"``).
+    The pandas ``merge_asof`` direction family; "nearest" composes the
+    two (see ``join_asof_nearest_events``).
 
-    Equal timestamps match (right sorts before left at ties). Columns
-    in ``carry_cols`` are taken from the matched right row; unmatched
-    left rows get NULLs (left-outer as-of semantics).
+    Equal timestamps match in both directions (right sorts before left
+    at ties). Columns in ``carry_cols`` are taken from the matched
+    right row; unmatched left rows get NULLs (left-outer as-of
+    semantics).
+
+    The forward pass is the SAME union-and-carry plan traversed in
+    descending time order: ``last(ignorenulls)`` then carries the
+    smallest right time at-or-after each left row. One shuffle on the
+    key either way, linear work, no skew amplification.
 
     ``tiebreak_cols`` (right-side columns, ideally a unique key) break
     ties between right rows sharing (key, time): the carried row is the
@@ -44,6 +55,8 @@ def asof_join(
     nondeterministic across runs (the repo's determinism rule: every
     window ORDER BY ends in a unique key).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     tiebreak_cols = tiebreak_cols or []
     r = right.select(
         F.col(on),
@@ -64,10 +77,15 @@ def asof_join(
         ],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    t_ord = (
+        F.col(time_col).asc()
+        if direction == "backward"
+        else F.col(time_col).desc()
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(
-            F.col(time_col).asc(),
+            t_ord,
             F.col("_side").asc(),
             *[F.col(c).asc_nulls_first() for c in tiebreak_cols],
         )
@@ -138,6 +156,128 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_micros("ts") - epoch_micros("view_ts")).alias(
             "usecs_since_view"
         ),
+    )
+
+
+def _purchase_view_asof(spark, sf_dir: str, direction: str) -> DataFrame:
+    """Shared purchase↔view as-of pass for the direction variants."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        views.withColumnRenamed("event_id", "view_event_id"),
+        on="user_id",
+        time_col="ts",
+        carry_cols=["view_event_id"],
+        right_time_alias="view_ts",
+        tiebreak_cols=["view_event_id"],
+        direction=direction,
+    )
+
+
+@register(
+    "join_asof_forward_events",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           v.event_id AS view_event_id,
+           EPOCH_US(v.ts) - EPOCH_US(p.ts) AS usecs_until_view
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    category="join",
+)
+def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's NEXT 'view'
+    at-or-after it (the did-they-come-back signal). Same union-and-
+    carry plan as the backward pass, traversed in descending time;
+    DuckDB verifies with its native forward ASOF (``p.ts <= v.ts``)."""
+    joined = _purchase_view_asof(spark, sf_dir, "forward")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        "view_event_id",
+        (epoch_micros("view_ts") - epoch_micros("ts")).alias(
+            "usecs_until_view"
+        ),
+    )
+
+
+@register(
+    "join_asof_nearest_events",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+    b AS (
+      SELECT p.event_id, v.event_id AS bid, v.ts AS bts
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts),
+    f AS (
+      SELECT p.event_id, v.event_id AS fid, v.ts AS fts
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts)
+    SELECT p.event_id, p.user_id,
+           CASE WHEN b.bid IS NOT NULL AND (f.fid IS NULL
+                  OR EPOCH_US(p.ts) - EPOCH_US(b.bts)
+                     <= EPOCH_US(f.fts) - EPOCH_US(p.ts))
+                THEN b.bid ELSE f.fid END AS view_event_id,
+           CASE WHEN b.bid IS NOT NULL AND (f.fid IS NULL
+                  OR EPOCH_US(p.ts) - EPOCH_US(b.bts)
+                     <= EPOCH_US(f.fts) - EPOCH_US(p.ts))
+                THEN EPOCH_US(p.ts) - EPOCH_US(b.bts)
+                ELSE EPOCH_US(f.fts) - EPOCH_US(p.ts) END AS gap_us
+    FROM purchases p
+    LEFT JOIN b ON p.event_id = b.event_id
+    LEFT JOIN f ON p.event_id = f.event_id
+    """,
+    category="join",
+)
+def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas ``direction='nearest'``): each purchase
+    matched to the user's closest 'view' in absolute time, ties to the
+    PRIOR view (deterministic — backward wins at equal gaps). Composed
+    as backward ∘ forward + a per-purchase argmin: two linear carry
+    passes and an equi-join on the purchase key, still no range
+    explosion at any scale."""
+    b = _purchase_view_asof(spark, sf_dir, "backward").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id").alias("bid"),
+        F.col("view_ts").alias("bts"),
+    )
+    f = _purchase_view_asof(spark, sf_dir, "forward").select(
+        "event_id",
+        F.col("view_event_id").alias("fid"),
+        F.col("view_ts").alias("fts"),
+    )
+    j = b.join(f, "event_id")
+    gap_b = epoch_micros("ts") - epoch_micros("bts")
+    gap_f = epoch_micros("fts") - epoch_micros("ts")
+    back_wins = F.col("bid").isNotNull() & (
+        F.col("fid").isNull() | (gap_b <= gap_f)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("bid")).otherwise(F.col("fid")).alias(
+            "view_event_id"
+        ),
+        F.when(back_wins, gap_b).otherwise(gap_f).alias("gap_us"),
     )
 
 

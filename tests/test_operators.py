@@ -118,3 +118,53 @@ def test_bucketed_join_is_exchange_free(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_directions_match_bruteforce(spark):
+    """Forward and nearest as-of against per-row brute force on a
+    slice: forward picks the earliest view at-or-after the purchase,
+    nearest the min-|gap| view with ties to the prior one."""
+    from iceberg_by_example_spark.operators.joins import (
+        join_asof_forward_events,
+        join_asof_nearest_events,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    fwd = {
+        r["event_id"]: r["view_event_id"]
+        for r in join_asof_forward_events(spark, SF).collect()
+    }
+    near = {
+        r["event_id"]: (r["view_event_id"], r["gap_us"])
+        for r in join_asof_nearest_events(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    views = [
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in ev.filter(F.col("event_type") == "view").collect()
+    ]
+    purchases = [
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+    ]
+    for user, ts, eid in purchases[:100]:
+        after = [(vts, vid) for vu, vts, vid in views if vu == user and vts >= ts]
+        # earliest ts; same-ts duplicates resolve to the GREATEST
+        # event_id (the carry's tiebreak rule, matching the backward
+        # test's max(cands))
+        want_f = min(after, key=lambda t: (t[0], -t[1]))[1] if after else None
+        assert fwd[eid] == want_f, ("forward", eid, fwd[eid], want_f)
+        cands = [
+            (abs((vts - ts).total_seconds()), vts <= ts, vid)
+            for vu, vts, vid in views
+            if vu == user
+        ]
+        if not cands:
+            assert near[eid] == (None, None)
+            continue
+        # min |gap|; at a tie prefer the prior view, then greatest id
+        _, _, nvid = min(
+            (gap, not before, -vid) for gap, before, vid in cands
+        )
+        want_n = -nvid
+        assert near[eid][0] == want_n, ("nearest", eid, near[eid], want_n)

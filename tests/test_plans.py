@@ -254,6 +254,9 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "dedup_embedding_lsh": 0,  # bucket join broadcasts at this scale
     "dedup_exact": 1,
     "dedup_exact_keep_best": 1,
+    "dedup_exact_substring": 2,  # post-pin: per-doc window + agg branches
+    # (the keep-first groupBy runs before the detach pin, so the
+    # snapshot sees only the run-chaining side of the lineage)
     "dedup_incremental_exact": 1,
     "dedup_incremental_minhash": 1,  # source rides the sig projection (carry)
     "dedup_minhash_lsh": 1,
