@@ -84,6 +84,77 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSAMPLE_MOD = 10  # keep 1-in-10 rows: deterministic hash sample
+
+
+@register(
+    "agg_quantile_hash_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity, l_extendedprice,
+             (('0x' || SUBSTR(MD5('qs:' || CAST(l_orderkey AS VARCHAR)
+                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT)
+               % {QSAMPLE_MOD} = 0 AS samp
+      FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sample,
+           QUANTILE_CONT(CASE WHEN samp THEN l_quantity END, 0.5)
+             AS p50_qty_sample,
+           QUANTILE_CONT(CASE WHEN samp THEN l_quantity END, 0.9)
+             AS p90_qty_sample,
+           QUANTILE_CONT(CASE WHEN samp THEN l_extendedprice END, 0.5)
+             AS p50_price_sample
+    FROM s GROUP BY l_returnflag
+    """,
+    category="agg",
+)
+def agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles over a DETERMINISTIC hash sample — the
+    mergeable quantile path for 100 TB: exact ``percentile`` holds
+    every group value in aggregation state (O(rows) memory — fine at
+    sf0.1, lethal at petabyte groups), while a 1-in-{QSAMPLE_MOD}
+    hash-rank sample bounds state at rows/{QSAMPLE_MOD} with ~sqrt
+    relative rank error, commutes with any partitioning (the filter is
+    a pure map on the row key's md5 — no RNG, identical rows sampled
+    on every engine, every run, every cluster size), and UNIONs
+    across shards/days without re-sampling. Built-in
+    ``approx_percentile`` solves the same problem with a
+    non-portable sketch; this form trades a constant factor for
+    cross-engine reproducibility (the same trade as the portable HLL).
+    Emits sample size next to each estimate so consumers can see the
+    error bar; pytest bounds the estimates against the exact
+    percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("qs"),
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    samp = (h % QSAMPLE_MOD) == 0
+    qty_s = F.when(samp, F.col("l_quantity"))
+    price_s = F.when(samp, F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(samp.cast("long")).alias("n_sample"),
+        F.percentile(qty_s, 0.5).alias("p50_qty_sample"),
+        F.percentile(qty_s, 0.9).alias("p90_qty_sample"),
+        F.percentile(price_s, 0.5).alias("p50_price_sample"),
+    )
+
+
 def approx_distinct_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct via the built-in
     ``approx_count_distinct`` — the native 100 TB cardinality

@@ -168,3 +168,33 @@ def test_asof_directions_match_bruteforce(spark):
         )
         want_n = -nvid
         assert near[eid][0] == want_n, ("nearest", eid, near[eid], want_n)
+
+
+def test_hash_sample_quantiles_near_exact(spark):
+    """The 10% hash-sample quantile estimates must sit near the exact
+    percentiles (rank error ~ 1/sqrt(n_sample)), the sample fraction
+    near 1/QSAMPLE_MOD, and repeated runs must be identical (the
+    sample is hash-determined, not RNG)."""
+    from iceberg_by_example_spark.plans.reshape import (
+        QSAMPLE_MOD,
+        agg_percentiles,
+        agg_quantile_hash_sample,
+    )
+
+    est = {r["l_returnflag"]: r for r in agg_quantile_hash_sample(spark, SF).collect()}
+    exact = {r["l_returnflag"]: r for r in agg_percentiles(spark, SF).collect()}
+    assert set(est) == set(exact)
+    for flag, r in est.items():
+        frac = r["n_sample"] / r["n_rows"]
+        assert abs(frac - 1 / QSAMPLE_MOD) < 0.25 / QSAMPLE_MOD
+        e = exact[flag]
+        assert abs(r["p50_qty_sample"] - e["median_qty"]) <= 0.10 * e["median_qty"]
+        assert abs(r["p90_qty_sample"] - e["p90_qty"]) <= 0.10 * e["p90_qty"]
+        assert (
+            abs(r["p50_price_sample"] - e["median_price"])
+            <= 0.10 * e["median_price"]
+        )
+    est2 = {r["l_returnflag"]: r for r in agg_quantile_hash_sample(spark, SF).collect()}
+    assert {k: tuple(v) for k, v in est.items()} == {
+        k: tuple(v) for k, v in est2.items()
+    }
