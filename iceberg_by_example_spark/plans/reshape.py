@@ -647,3 +647,71 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(
         bin_id.alias("bin"), (bin_id * 5.0).alias("bin_low")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_bitwise_family",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_linenumber) AS and_linenumber,
+           BIT_OR(l_linenumber) AS or_linenumber,
+           BIT_XOR(l_suppkey) AS xor_suppkey,
+           BIT_OR(l_partkey % 256) AS or_partbyte
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="agg",
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — bit_and / bit_or / bit_xor: flag-mask
+    rollups and the constant-state parity/checksum idioms (xor of a
+    key column is a cheap order-independent set fingerprint for
+    partition-reconciliation checks). All three are commutative +
+    associative → map-side combinable, O(1) state per group at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("and_linenumber"),
+        F.bit_or("l_linenumber").alias("or_linenumber"),
+        F.bit_xor("l_suppkey").alias("xor_suppkey"),
+        F.bit_or(F.col("l_partkey") % 256).alias("or_partbyte"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linenumber AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT l_returnflag,
+             MAX(struct_pack(cnt := cnt, v := v)) AS s
+      FROM c GROUP BY 1)
+    SELECT l_returnflag, s.cnt AS mode_count, s.v AS mode_value
+    FROM m
+    """,
+    category="agg",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group. The
+    built-in ``mode()`` breaks frequency ties arbitrarily — which
+    value you get depends on partitioning, violating the repo's
+    reproducibility rule — so this is the argmax-by-struct form:
+    count per (group, value), then MAX over struct(count, value)
+    resolves ties to the GREATEST value, identically on every engine,
+    partitioning, and run (the struct-min keep-first idiom, flipped).
+    Two hash aggregations, both map-side combinable; state is
+    O(distinct values per group), the same bound the built-in
+    needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_linenumber").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    m = c.groupBy("l_returnflag").agg(
+        F.max(F.struct("cnt", "v")).alias("s")
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("s.cnt").alias("mode_count"),
+        F.col("s.v").alias("mode_value"),
+    )
