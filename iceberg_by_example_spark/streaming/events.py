@@ -279,3 +279,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view")
     purchases = e.filter(F.col("event_type") == "purchase")
     return view_purchase_pairs(views, purchases)
+
+
+def window_user_spend(events: DataFrame) -> DataFrame:
+    """Per 5-minute window per user: event count + exact spend. The
+    mode-agnostic half of windowed top-k — ranking is not a streaming
+    operator, so it applies DOWNSTREAM of this aggregation (per
+    emitted window in a stream; one window function in batch)."""
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value", scale=6).alias("spend"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "user_id",
+            "n",
+            "spend",
+        )
+    )
+
+
+def topk_per_window(spend: DataFrame, k: int = 3) -> DataFrame:
+    """Rank users within each window by (spend DESC, user_id ASC) and
+    keep the top ``k`` — deterministic at ties by the unique key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w_start").orderBy(
+        F.desc("spend"), F.asc("user_id")
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("w_start", "rnk", "user_id", "n", "spend")
+    )
+
+
+@register(
+    "stream_window_topk_users",
+    oracle="""
+    WITH wagg AS (
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS w_start, user_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS spend
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY w_start
+               ORDER BY spend DESC, user_id) AS rnk
+      FROM wagg)
+    SELECT w_start, rnk, user_id, n, spend FROM r WHERE rnk <= 3
+    """,
+    category="streaming",
+)
+def stream_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k — the leaderboard shape (top spenders per
+    5-minute window). The windowed per-user aggregation is
+    mode-agnostic (``window_user_spend`` runs verbatim under
+    readStream; tests/test_streaming.py proves the streaming run
+    converges to this batch result); the rank-and-keep-k step applies
+    to each FINALIZED window downstream — in a stream that is a
+    per-microbatch window function over the updated windows
+    (foreachBatch), never a global sort.
+
+    Scale shape: one shuffle on (window, user) with map-side partial
+    counts/sums, then a per-window row_number whose partitions are
+    single windows — bounded by users-per-window, embarrassingly
+    parallel across windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_window(window_user_spend(ev))

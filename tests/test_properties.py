@@ -311,3 +311,87 @@ def test_wav_codec_roundtrip_property(n, seed):
     rate, got = mm._decode_wav(mm._encode_wav(s))
     assert rate == mm._AUDIO_RATE
     assert np.array_equal(got, s)
+
+
+TS0 = 1_700_000_000  # epoch base for generated event times
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=500),  # t offset (sec)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_asof_join_equals_bruteforce_property(spark, lefts, rights):
+    """asof_join(direction=backward|forward) ≡ the per-row brute-force
+    argmin/argmax on arbitrary small inputs, including duplicate
+    timestamps (ties resolve to the greatest tiebreak id) and keys
+    with no match (NULL carry)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.joins import asof_join
+
+    mk_ts = lambda off: dt.datetime.utcfromtimestamp(TS0 + off)
+    left_rows = [
+        (i, k, mk_ts(off)) for i, (k, off) in enumerate(lefts)
+    ]
+    right_rows = [
+        (100 + i, k, mk_ts(off)) for i, (k, off) in enumerate(rights)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "rid long, k long, ts timestamp"
+    )
+    if not right_rows:
+        right = right.filter(F.col("rid").isNotNull())
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left,
+                right,
+                on="k",
+                time_col="ts",
+                carry_cols=["rid"],
+                right_time_alias="rts",
+                tiebreak_cols=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        for lid, k, ts in left_rows:
+            if direction == "backward":
+                cands = [
+                    (rts, rid)
+                    for rid, rk, rts in right_rows
+                    if rk == k and rts <= ts
+                ]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [
+                    (rts, -rid)
+                    for rid, rk, rts in right_rows
+                    if rk == k and rts >= ts
+                ]
+                want = -min(cands)[1] if cands else None
+            assert got[lid] == want, (direction, lid, got[lid], want)

@@ -534,3 +534,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert want, "batch attribution should find at least one pair"
     assert got == want
+
+
+def test_stream_window_topk_matches_batch(spark, event_stream):
+    """Windowed top-k duality: the per-(window, user) aggregation runs
+    under readStream (complete mode); ranking the sink per window must
+    reproduce the batch composition exactly."""
+    from iceberg_by_example_spark.streaming.events import (
+        topk_per_window,
+        window_user_spend,
+    )
+
+    stream_df, batch_df = event_stream
+    q = (
+        window_user_spend(stream_df.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["w_start"], r["rnk"]): (r["user_id"], r["n"], r["spend"])
+            for r in topk_per_window(
+                spark.sql("SELECT * FROM topk_test")
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["w_start"], r["rnk"]): (r["user_id"], r["n"], r["spend"])
+        for r in topk_per_window(window_user_spend(batch_df)).collect()
+    }
+    assert got and got == want
