@@ -1508,3 +1508,113 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hits.cast("double") / 10).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's step: k-means refinement with exact integer means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=f"""
+    WITH a0 AS (
+      SELECT vec_id, embedding,
+             LIST_MIN({_ivf_keys_sql('embedding')}) % {IVF_K} AS cell0
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, cell0, CAST(i AS BIGINT) AS d,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*{QUANT}) AS BIGINT)
+               AS qx
+      FROM a0, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(embedding))) AS i)),
+    counts AS (SELECT cell0, COUNT(*) AS n FROM a0 GROUP BY cell0),
+    sums AS (SELECT cell0, d, CAST(SUM(qx) AS BIGINT) AS s
+             FROM dims GROUP BY cell0, d),
+    means AS (
+      SELECT s.cell0 AS cell, s.d,
+             CAST(FLOOR(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) AS m
+      FROM sums s JOIN counts c ON s.cell0 = c.cell0),
+    per AS (
+      SELECT dm.vec_id, me.cell,
+             CAST(SUM((dm.qx - me.m) * (dm.qx - me.m)) AS BIGINT) AS d2
+      FROM dims dm JOIN means me ON dm.d = me.d
+      GROUP BY dm.vec_id, me.cell),
+    k1 AS (SELECT vec_id, CAST(MIN(d2 * {IVF_K} + cell) AS BIGINT) AS k
+           FROM per GROUP BY vec_id)
+    SELECT a.vec_id, CAST(a.cell0 AS BIGINT) AS cell0,
+           k.k % {IVF_K} AS cell1,
+           (a.cell0 != k.k % {IVF_K}) AS moved
+    FROM a0 a JOIN k1 k ON a.vec_id = k.vec_id
+    """,
+    category="similarity",
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd's iteration — k-means TRAINING as a
+    DataFrame plan, exact cross-engine: seed cells come from the
+    literal IVF centroids (map-only), the refined centroids are the
+    per-cell per-dimension integer means (floor of the exact quantized
+    sum over the exact count — FLOOR(double)/n, the one division both
+    engines compute identically; `//`/`div` truncate differently on
+    negatives), and every vector re-assigns to its nearest refined
+    centroid via the injective d²·K+cell argmin. Emits per vector the
+    before/after cell and a moved flag — the convergence signal a
+    driver loop would watch (call again for further iterations; empty
+    cells die naturally, standard Lloyd).
+
+    Scale shape — the distributed k-means template: (1) centroid
+    update is ONE groupBy (cell, dim) partial-agg over the long-form
+    dims (corpus·DIM rows of 3 longs, map-side combinable); (2) the
+    refined centroid table is K·DIM rows (16×64 here — kilobytes at
+    any corpus size) and BROADCASTS; (3) re-assignment is a map-side
+    join + one groupBy (vec, cell) — no corpus self-join, no driver
+    round-trip inside the step. Iterations chain by re-running the
+    step; the per-iteration cost is linear in corpus·DIM·K.
+
+    pytest pins the Lloyd invariant: total within-cluster d² under
+    the refined assignment never exceeds the seed assignment's."""
+    e = load_table(spark, sf_dir, "embeddings")
+    keys = F.array(*[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)])
+    a0 = e.select(
+        "vec_id",
+        "embedding",
+        (F.array_min(keys) % IVF_K).alias("cell0"),
+    )
+    dims = a0.select(
+        "vec_id",
+        "cell0",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "cell0",
+        F.col("d").cast("long").alias("d"),
+        F.floor(F.col("x").cast("double") * QUANT).cast("long").alias("qx"),
+    )
+    counts = a0.groupBy("cell0").agg(F.count("*").alias("n"))
+    sums = dims.groupBy("cell0", "d").agg(F.sum("qx").alias("s"))
+    means = sums.join(F.broadcast(counts), "cell0").select(
+        F.col("cell0").alias("cell"),
+        "d",
+        F.floor(F.col("s").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("m"),
+    )
+    per = (
+        dims.select("vec_id", "d", "qx")
+        .join(F.broadcast(means), "d")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("m")) * (F.col("qx") - F.col("m"))
+            ).alias("d2")
+        )
+    )
+    k1 = per.groupBy("vec_id").agg(
+        F.min(F.col("d2") * IVF_K + F.col("cell")).alias("k")
+    )
+    return a0.select("vec_id", "cell0").join(k1, "vec_id").select(
+        "vec_id",
+        F.col("cell0").cast("long").alias("cell0"),
+        (F.col("k") % IVF_K).alias("cell1"),
+        (F.col("cell0") != F.col("k") % IVF_K).alias("moved"),
+    )

@@ -1328,3 +1328,46 @@ def test_recall_report_consistent(spark, sf_dir):
         assert r["hits"] == len(set(ids) & brute)
         assert r["hits"] <= r["k_returned"] <= 10
         assert r["recall_at_10"] == r["hits"] / 10
+
+
+def test_kmeans_refine_lloyd_invariant(spark, sf_dir):
+    """Lloyd's step invariant: against the refined integer means,
+    every vector's new cell is at least as close as its seed cell
+    (argmin), `moved` is exactly cell0 != cell1, and the total
+    within-cluster d2 never increases."""
+    import math
+
+    from iceberg_by_example_spark.operators.similarity import (
+        IVF_K,
+        QUANT,
+        sim_kmeans_refine,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    rows = sim_kmeans_refine(spark, sf_dir).collect()
+    assert rows
+    res = {r["vec_id"]: (r["cell0"], r["cell1"], r["moved"]) for r in rows}
+    emb = {
+        r["vec_id"]: [math.floor(float(x) * QUANT) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # refined means from the seed assignment
+    by_cell = {}
+    for vid, (c0, _, _) in res.items():
+        by_cell.setdefault(c0, []).append(emb[vid])
+    means = {
+        c: [math.floor(sum(col) / len(vecs)) for col in zip(*vecs)]
+        for c, vecs in by_cell.items()
+    }
+    d2 = lambda v, m: sum((a - b) * (a - b) for a, b in zip(v, m))
+    total0 = total1 = 0
+    for vid, (c0, c1, moved) in res.items():
+        assert moved == (c0 != c1)
+        d_new, d_old = d2(emb[vid], means[c1]), d2(emb[vid], means[c0])
+        assert d_new <= d_old, (vid, c0, c1)
+        # and c1 is the global argmin over all refined means
+        best = min((d2(emb[vid], m) * IVF_K + c) for c, m in means.items())
+        assert best % IVF_K == c1
+        total0 += d_old
+        total1 += d_new
+    assert total1 <= total0
