@@ -55,6 +55,12 @@ def test_star_join_broadcasts_all_dims(spark, registry):
         "dedup_incremental_minhash",
         "pipeline_training_set",
         "pipeline_decontaminate",
+        "dedup_exact_substring",
+        "dedup_bloom_prefilter",
+        "dedup_semdedup",
+        "join_asof_forward_events",
+        "join_asof_nearest_events",
+        "sim_kmeans_refine",
     ],
 )
 def test_candidate_generation_never_cartesian(spark, registry, name):
@@ -395,3 +401,47 @@ def test_skew_diagnosis_uses_top_k_not_global_sort(spark, registry):
     per-key counts."""
     plan = plan_of(registry["diag_key_skew"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bench_probe_sets_are_bench_queries(registry):
+    """bench.py's probe lists must stay subsets of the bench set (the
+    probes read the main pass's floors as their baselines) and the
+    contention canary must itself be a bench query with a recorded
+    snapshot entry."""
+    import bench
+
+    benchset = {n for n, s in registry.items() if s.bench}
+    assert set(bench.SCALING_PROBE_QUERIES) <= benchset
+    assert set(bench.SCALING_30X_QUERIES) <= benchset
+    assert set(bench.PARALLEL_QUERIES) <= benchset
+    assert bench.CANARY_QUERY in benchset
+    assert bench.CANARY_QUERY in BENCH_EXCHANGE_SNAPSHOT
+
+
+def test_bloom_prefilter_broadcasts_bitset(spark, registry):
+    """The Bloom set-bit relation must reach the batch probe as a
+    BROADCAST (it saturates at m rows at any corpus size); the batch
+    must never shuffle against it."""
+    plan = plan_of(registry["dedup_bloom_prefilter"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_joins_on_cell_key(spark, registry):
+    """SemDeDup's pair stage must be an equi-join on the cell key —
+    hash-partitioned or broadcast, never a nested loop over the
+    corpus."""
+    plan = plan_of(registry["dedup_semdedup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_refine_broadcasts_centroids(spark, registry):
+    """Lloyd's step: the refined K x DIM centroid table must broadcast
+    into the re-assignment (it is kilobytes at any corpus size); the
+    corpus-side dims must shuffle only for the two groupBys, and the
+    aggregations must combine map-side."""
+    plan = plan_of(registry["sim_kmeans_refine"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
