@@ -1569,7 +1569,12 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size) and BROADCASTS; (3) re-assignment is a map-side
     join + one groupBy (vec, cell) — no corpus self-join, no driver
     round-trip inside the step. Iterations chain by re-running the
-    step; the per-iteration cost is linear in corpus·DIM·K.
+    step; the per-iteration cost is linear in corpus·DIM·K. The
+    long-form dims are DELIBERATELY recomputed for the re-assignment
+    pass rather than pinned: they are corpus·DIM rows (the one thing
+    you never materialize at 100 TB), and the rebuild is a narrow
+    posexplode off the scan — cheaper than the storage round-trip a
+    pin would cost.
 
     pytest pins the Lloyd invariant: total within-cluster d² under
     the refined assignment never exceeds the seed assignment's."""

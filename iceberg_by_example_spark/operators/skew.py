@@ -135,3 +135,50 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_rows_per_key"),
         (F.col("n") / mean).alias("skew_factor"),
     )
+
+
+def aqe_skew_join_demo(spark: SparkSession, n_rows: int = 400_000):
+    """Planted-skew join for the AQE runtime-split demonstration —
+    UNREGISTERED (the output is a 1-row aggregate whose value is
+    partitioning-trivial; what matters is the PLAN, which
+    tests/test_plans.py asserts): 90% of the fact rows share one join
+    key, the rest spread over 96 keys, and each row carries a 96-char
+    high-entropy payload so the hot partition's estimated shuffle
+    size reflects real bytes (a constant payload compresses away and
+    hides the skew from AQE's MapOutputStatistics — found the hard
+    way).
+
+    Three conditions the demo encodes, each a production gotcha:
+    - the payload must SURVIVE column pruning into the shuffle (the
+      probe aggregates min(pay)), or the skewed partition shrinks to
+      its 8-byte keys;
+    - the post-join aggregate must not REQUIRE the join's hash
+      partitioning (a groupBy on the join key blocks the split —
+      AQE refuses to break a partitioning a downstream operator
+      reuses); the global agg here is partition-independent;
+    - thresholds sized to the demo (skewedPartitionThresholdInBytes /
+      advisoryPartitionSizeInBytes) — production defaults (256 MB)
+      are the same rule at 1000× the bytes.
+
+    This is the runtime complement to ``join_salted``: salting
+    rewrites the QUERY to pre-split a known hot key; AQE splits the
+    skewed partitions it MEASURES at the map-stage boundary, no query
+    change at all."""
+    pay = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.md5((F.col("id") + 1).cast("string")),
+        F.md5((F.col("id") + 2).cast("string")),
+    )
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id") % 97)
+        .alias("k"),
+        pay.alias("pay"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("lab"),
+    )
+    return fact.join(dim, "k").agg(
+        F.count("*").alias("n"), F.min("pay").alias("p0")
+    )

@@ -445,3 +445,36 @@ def test_kmeans_refine_broadcasts_centroids(spark, registry):
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan or "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """AQE's runtime skew-join split must fire on a measured hot
+    partition: the executed final plan shows SortMergeJoin(skew=true)
+    with the fact side's AQEShuffleRead marked skewed. This is the
+    no-query-change complement to join_salted — the rows land
+    correctly either way; the assertion is about the RUNTIME replan."""
+    from iceberg_by_example_spark.operators.skew import aqe_skew_join_demo
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = aqe_skew_join_demo(spark)
+        rows = df.collect()  # executes THIS query's own AQE plan
+        assert rows[0]["n"] == 400_000
+        plan = plan_of(df)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, "no AQEShuffleRead skewed marker"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
