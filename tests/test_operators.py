@@ -198,3 +198,35 @@ def test_hash_sample_quantiles_near_exact(spark):
     assert {k: tuple(v) for k, v in est.items()} == {
         k: tuple(v) for k, v in est2.items()
     }
+
+
+def test_approx_percentile_builtin_within_bounds(spark):
+    """The native approx_percentile (KLL-style sketch — constant state
+    per group, the 100 TB default) must land within its documented
+    accuracy envelope of the exact percentiles. Its sketch internals
+    aren't cross-engine reproducible, so the REGISTERED quantile
+    operators are `agg_percentiles` (exact) and
+    `agg_quantile_hash_sample` (portable sample); this bounds the
+    native fast path against them."""
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    rows = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+            ).alias("ap"),
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    assert rows
+    for flag, r in rows.items():
+        ap50, ap90 = r["ap"]
+        # accuracy parameter 1000 → rank error <= 1/1000; translate to
+        # a generous value tolerance on this distribution (5%)
+        assert abs(ap50 - r["p50"]) <= 0.05 * r["p50"], (flag, ap50, r["p50"])
+        assert abs(ap90 - r["p90"]) <= 0.05 * r["p90"], (flag, ap90, r["p90"])

@@ -568,3 +568,45 @@ def test_stream_window_topk_matches_batch(spark, event_stream):
         for r in topk_per_window(window_user_spend(batch_df)).collect()
     }
     assert got and got == want
+
+
+def test_stream_tumbling_on_rocksdb_state_store(spark, event_stream):
+    """The same windowed aggregation, state backed by RocksDB — the
+    production state store for 100 TB streaming (bounded JVM heap,
+    spill-to-disk state, incremental checkpoints). Results must equal
+    the batch run exactly; only the state backend changes."""
+    stream_df, batch_df = event_stream
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            tumbling_counts(stream_df.withWatermark("ts", "10 minutes"))
+            .writeStream.format("memory")
+            .queryName("rocksdb_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM rocksdb_test").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    want = {
+        (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(batch_df).collect()
+    }
+    assert got == want
