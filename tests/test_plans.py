@@ -478,3 +478,50 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — the 100 TB star-join enabler: a
+    filter on the DIM side must prune the partitioned FACT scan at
+    runtime (SubqueryBroadcast dynamicpruning in the fact side's
+    PartitionFilters), and the result must equal the DPP-disabled
+    run. At scale this is reading 3 date partitions instead of 30."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_part")
+    spark.range(60_000).select(
+        F.col("id").alias("v"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")
+        ).alias("ds"),
+    ).write.partitionBy("ds").mode("overwrite").parquet(fact_path)
+    dim = spark.range(30).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("ds"),
+        F.when(F.col("id") < 3, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "flag"
+        ),
+    )
+
+    def run():
+        fact = spark.read.parquet(fact_path)
+        df = (
+            fact.join(dim, "ds")
+            .filter(F.col("flag") == "keep")
+            .agg(F.sum("v").alias("s"))
+        )
+        return df, df.collect()[0]["s"]
+
+    df, got = run()
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        df2, want = run()
+        assert "dynamicpruning" not in plan_of(df2).lower()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+    assert got == want
