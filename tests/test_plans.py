@@ -525,3 +525,20 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
         )
     assert got == want
+
+
+def test_hot_queries_stay_in_whole_stage_codegen(spark, registry):
+    """The hot scan→filter→project→agg pipelines must run inside
+    whole-stage codegen (the `*(n)` spans in the FINAL adaptive plan
+    — AQE defers codegen insertion to stage planning, so the check
+    executes first). A dropped span here usually means an expression
+    fell back to interpreted eval on the corpus-sized path."""
+    for name, floor in (
+        ("agg_pricing_summary", 4),  # exact-decimal Q1: both agg stages
+        ("dedup_exact", 6),  # fingerprint + MIN + semi-join stages
+        ("scan_projection_filter", 2),
+    ):
+        df = registry[name].fn(spark, SF)
+        df.collect()
+        final = plan_of(df).split("== Initial Plan ==")[0]
+        assert final.count("*(") >= floor, (name, final[:1200])
