@@ -1799,7 +1799,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement.
 
     Scale shape: the bitset is ≤ BLOOM_BITS distinct bigint rows
-    (1 MB-ish packed; the set-bit relation broadcasts at any corpus
+    (128 KB packed at m=2^20; the set-bit relation broadcasts at any corpus
     size since it saturates at m rows), the batch side explodes to
     BLOOM_HASHES rows per doc (narrow map), and the ONLY corpus-sized
     wide op is the distinct over fingerprints — which the incremental

@@ -1193,7 +1193,9 @@ MMR_K = 10
 
 def _mmr_oracle_sql() -> str:
     """Greedy MMR as a DuckDB recursive CTE: the anchor picks the most
-    relevant candidate; each recursive step scores the remaining pool
+    relevant candidate, scored λ·rel — the empty-picked-set case of
+    the same scale every later rank uses; each recursive step scores
+    the remaining pool
     by λ·rel − (1−λ)·max-sim-to-picked and appends the argmax (ties to
     the lowest vec_id). Both engines run the identical IEEE ops on
     identical quantized-integer cosines, so scores match bit-for-bit."""
@@ -1382,9 +1384,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is Σ|cell|² ≪ n², embarrassingly parallel across cells,
     shuffled once on the cell key. The removal rule needs no global
     state (compare-to-neighbors, not compare-to-winner), so no
-    iteration, no driver round-trips. Cites the reference's dedup
-    suite for the exact-dup analogue (keep-first); the semantic family
-    is additive (SURVEY.md north-star extension)."""
+    iteration, no driver round-trips. The assignment map feeds three
+    consumers (both self-join sides + the output join) and is
+    DELIBERATELY recomputed rather than pinned — it is corpus-sized
+    (it carries the vectors the cosine needs), and in production the
+    cell assignment is MATERIALIZED in the ANN index anyway, making
+    the recompute an artifact of this self-contained form. Cites the
+    reference's dedup suite for the exact-dup analogue (keep-first);
+    the semantic family is additive (SURVEY.md north-star
+    extension)."""
     e = load_table(spark, sf_dir, "embeddings")
     keys = F.array(*[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)])
     asg = e.select(
