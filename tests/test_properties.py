@@ -395,3 +395,73 @@ def test_asof_join_equals_bruteforce_property(spark, lefts, rights):
                 ]
                 want = -min(cands)[1] if cands else None
             assert got[lid] == want, (direction, lid, got[lid], want)
+
+
+# Four 8-token phrases; docs concatenate 0-6 of them, so 15-token
+# windows frequently recur across docs and WITHIN docs (repeated
+# phrase ids) — the regimes the planted-corpus test can't sweep.
+_PHRASES = [[f"p{i}w{j}" for j in range(8)] for i in range(4)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=6),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_exact_substring_equals_bruteforce(spark, tmp_path_factory, docs):
+    """dedup_exact_substring ≡ per-position brute force: window
+    counts, keep-first dup flags (global (doc_id, pos) order), and
+    gaps-and-islands longest-run chaining on arbitrary phrase-composed
+    corpora."""
+    from iceberg_by_example_spark.operators.dedup import (
+        SUB_TOKENS,
+        dedup_exact_substring,
+    )
+
+    toks = {
+        i: [t for pid in ph for t in _PHRASES[pid]]
+        for i, ph in enumerate(docs)
+    }
+    rows = [(i, " ".join(ts)) for i, ts in toks.items()]
+    loc = tmp_path_factory.mktemp("substr")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{loc}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["longest_dup_run"])
+        for r in dedup_exact_substring(spark, str(loc)).collect()
+    }
+    # brute force
+    first: dict[tuple, tuple] = {}
+    wins: dict[int, list[tuple]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        wins[i] = [
+            tuple(ts[p : p + SUB_TOKENS])
+            for p in range(len(ts) - SUB_TOKENS + 1)
+        ]
+        for p, w in enumerate(wins[i]):
+            first.setdefault(w, (i, p))
+    for i, ts in toks.items():
+        if len(ts) < SUB_TOKENS:
+            assert i not in got  # filtered out, as the operator documents
+            continue
+        dup = [first[w] != (i, p) for p, w in enumerate(wins[i])]
+        n_dup = sum(dup)
+        longest = run = 0
+        for flag in dup:
+            run = run + 1 if flag else 0
+            longest = max(longest, run)
+        want = (
+            len(wins[i]),
+            n_dup,
+            longest + SUB_TOKENS - 1 if longest else 0,
+        )
+        assert got[i] == want, (i, got[i], want)
