@@ -1371,3 +1371,81 @@ def test_kmeans_refine_lloyd_invariant(spark, sf_dir):
         total0 += d_old
         total1 += d_new
     assert total1 <= total0
+
+
+def test_incremental_ingest_bloom_dedup_lifecycle(spark, tmp_path):
+    """Lakehouse + pipeline integration — the daily-ingest dedup loop:
+    day-1 docs land in a versioned table and seed a Bloom bitset of
+    fingerprints; day-2 lands as a second commit; the INCREMENTAL read
+    (only day-2's files) probes the bitset. Every replayed day-1 text
+    must flag as a Bloom candidate AND an exact dup; fresh docs pass
+    through clean."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.dedup import (
+        BLOOM_HASHES,
+        _bloom_bit,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "docs"), schema="doc_id bigint, text string"
+    )
+    day1 = [(i, f"day one document number {i} body") for i in range(20)]
+    dups = [(100 + i, day1[i][1]) for i in range(5)]  # replayed texts
+    fresh = [(200 + i, f"day two fresh document {i}") for i in range(7)]
+    s1 = t.append(spark.createDataFrame(day1, "doc_id long, text string"))
+    t.append(spark.createDataFrame(dups + fresh, "doc_id long, text string"))
+
+    fp = lambda df: df.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), " +", " ")).alias(
+            "fp"
+        ),
+    )
+    corpus = fp(t.read(snapshot_id=s1.snapshot_id)).select("fp").distinct()
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(F.col("fp"), j)
+                        for j in range(1, BLOOM_HASHES + 1)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    batch = fp(t.read_incremental(from_snapshot_id=s1.snapshot_id))
+    assert batch.count() == len(dups) + len(fresh)  # day-2 files only
+    bp = batch.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_bit(F.col("fp"), j)
+                    for j in range(1, BLOOM_HASHES + 1)
+                ]
+            )
+        ).alias("bit"),
+    )
+    cand = (
+        bp.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.bool_and(F.col("_set").isNotNull()).alias("candidate"))
+    )
+    verdicts = {
+        r["doc_id"]: (r["candidate"], r["_hit"] is not None)
+        for r in batch.join(cand, "doc_id")
+        .join(corpus.withColumn("_hit", F.lit(1)), "fp", "left")
+        .collect()
+    }
+    for i in range(5):
+        assert verdicts[100 + i] == (True, True), (100 + i, verdicts)
+    for i in range(7):
+        assert verdicts[200 + i][1] is False
+        # Bloom may false-positive in principle; at this sizing it must not
+        assert verdicts[200 + i][0] is False
+    t.drop()
