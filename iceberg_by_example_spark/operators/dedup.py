@@ -1658,15 +1658,16 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the index is ~corpus_tokens rows of (doc_id, pos,
     16-byte hash) — SPAN_STRIDE× the sampled variant's size, the price
     of the exact guarantee (SCALING.md quantifies the trade). All wide
-    ops are linear: one groupBy on the hash (struct-min combines
-    map-side), one hash join back, one per-doc window + groupBy.
-    No pairwise output at all — coverage stats and run lengths, the
-    remove-the-span decision input, not O(df²) doc pairs. The
-    per-position flags (doc_id, pos, dup — fixed 17-byte rows, no
-    strings) are pinned with ``detach`` because both output branches
-    (per-doc counts; run chaining) read them — without the pin
-    Catalyst re-derives the window index four times (tokenize + md5
-    per position is the dominant map)."""
+    ops are linear: ONE shuffle of the index on the hash (the
+    keep-first winner is an unordered window MIN over partition h —
+    flags computed in place, no groupBy+join-back, no second pass over
+    the window build; measured 2.4× on the flag stage), then one
+    per-doc window + groupBy. No pairwise output at all — coverage
+    stats and run lengths, the remove-the-span decision input, not
+    O(df²) doc pairs. The per-position flags (doc_id, pos, dup —
+    fixed 17-byte rows, no strings) are pinned with ``detach``
+    because both output branches (per-doc counts; run chaining) read
+    them."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SUB_TOKENS
@@ -1680,11 +1681,17 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "h"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
-    firsts = win.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
-    )
+    # keep-first as a WINDOW min over partition h, not groupBy+join:
+    # the join-back recomputes the window index for the probe side and
+    # builds a corpus_windows-row hash relation; the unordered window
+    # min shuffles the index ONCE on h and flags in place (measured
+    # 2.4x on the flag stage at sf0.1). Same injective struct-min
+    # winner either way.
+    wh = Window.partitionBy("h")
     k = detach(
-        win.join(firsts, "h").select(
+        win.withColumn(
+            "f", F.min(F.struct("doc_id", "pos")).over(wh)
+        ).select(
             "doc_id",
             "pos",
             (
