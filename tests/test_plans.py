@@ -254,7 +254,7 @@ def test_export_window_rotates_by_staleness(registry):
 BENCH_EXCHANGE_SNAPSHOT = {
     "agg_groupby_count": 1,
     "agg_pricing_summary": 1,
-    "dedup_block_keep_first": 2,  # injective-min groupBy + per-doc reassembly
+    "dedup_block_keep_first": 2,  # index shuffle (window MIN) + reassembly
     "dedup_cluster_canonical": 0,  # driver union-find path at this size
     "dedup_containment": 3,
     "dedup_embedding_lsh": 0,  # bucket join broadcasts at this scale
