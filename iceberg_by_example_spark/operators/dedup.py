@@ -1549,7 +1549,16 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     size at any scale. The keep-first rule is a lexicographic MIN
     over struct(doc_id, idx) — injective for ANY block count (no
     encoding bound to overflow), so re-partitioning can never flip
-    a winner (cross-engine determinism rule 2)."""
+    a winner (cross-engine determinism rule 2).
+
+    Skew caveat: the window MIN has no map-side partial aggregation,
+    so a pathologically hot block hash (one boilerplate block
+    repeated across a huge fraction of the corpus) lands its entire
+    partition in one task's window buffer. If profiling shows a
+    single hash dominating (``diag_key_skew`` on ``h``), fall back to
+    the groupBy-min + join-back form for that run — it combines
+    map-side and caps the hot key's reduce-side volume at one row per
+    map partition, at the cost of the second shuffle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= 1
@@ -1675,7 +1684,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(df²) doc pairs. The per-position flags (doc_id, pos, dup —
     fixed 17-byte rows, no strings) are pinned with ``detach``
     because both output branches (per-doc counts; run chaining) read
-    them."""
+    them.
+
+    Skew caveat: as in ``dedup_block_keep_first``, the window MIN
+    skips map-side partial aggregation — a single boilerplate span
+    hash hot enough to dominate the corpus serializes its partition
+    into one task's window sort. The groupBy-min + join-back form
+    (map-side combined, one row per hot key per map partition) is the
+    fallback when ``diag_key_skew`` flags such a hash."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SUB_TOKENS
@@ -1871,11 +1887,16 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.bool_and(F.col("_set").isNotNull()).alias("bloom_candidate"))
     )
-    return (
-        batch.join(cand, "doc_id")
-        .join(
-            corpus.withColumn("_hit", F.lit(1)), "fp", "left"
-        )
+    # Only Bloom-positive docs pay the exact index join; Bloom filters
+    # have no false negatives, so every Bloom-negative doc is exactly
+    # `exact_dup = false` — union it back without touching the index.
+    # At 100 TB this is the operator's whole point: the daily batch
+    # never shuffles against the full fingerprint index, only the
+    # (true dups + ε FPs) candidate subset does.
+    verdicts = batch.join(cand, "doc_id")
+    positives = (
+        verdicts.filter(F.col("bloom_candidate"))
+        .join(corpus.withColumn("_hit", F.lit(1)), "fp", "left")
         .select(
             "doc_id",
             "source",
@@ -1883,3 +1904,10 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hit").isNotNull().alias("exact_dup"),
         )
     )
+    negatives = verdicts.filter(~F.col("bloom_candidate")).select(
+        "doc_id",
+        "source",
+        "bloom_candidate",
+        F.lit(False).alias("exact_dup"),
+    )
+    return positives.unionByName(negatives)

