@@ -1631,3 +1631,115 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % IVF_K).alias("cell1"),
         (F.col("cell0") != F.col("k") % IVF_K).alias("moved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical + dense inner-product, fused with
+# Reciprocal Rank Fusion (Cormack et al.) — the standard two-stage
+# retrieval shape (lexical first pass, dense re-rank, rank fusion)
+# ---------------------------------------------------------------------------
+
+from iceberg_by_example_spark.operators.text import _BM25_SCORED_CTES
+
+RRF_POOL = 50  # per-ranker candidate pool depth
+RRF_K0 = 60  # the canonical RRF smoothing constant
+RRF_SCALE = 1_000_000_000  # 1/(k0+rank) in exact integer fixed point
+RRF_K = 10
+
+
+def _ranked_pool(scored: DataFrame, key: str, score: str) -> DataFrame:
+    """Top-RRF_POOL rows by (score DESC, key ASC) with their rank.
+
+    Two stages on purpose: the ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (k rows per partition, no global sort over
+    the scored relation); the row_number window then runs on the
+    RRF_POOL-row result — a single tiny task, not a corpus sort."""
+    from pyspark.sql import Window
+
+    pool = scored.orderBy(F.desc(score), F.asc(key)).limit(RRF_POOL)
+    w = Window.orderBy(F.desc(score), F.asc(key))
+    return pool.withColumn("rk", F.row_number().over(w)).select(
+        F.col(key).alias("doc_id"), "rk"
+    )
+
+
+@register(
+    "sim_hybrid_rrf_topk",
+    oracle=f"""
+    WITH {{bm25_ctes}},
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+               AS lex_rk
+      FROM (SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id,
+             {{dot}} AS dot
+      FROM embeddings e, qv WHERE e.vec_id != 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS den_rk
+      FROM (SELECT vec_id, dot FROM dots
+            ORDER BY dot DESC, vec_id LIMIT {RRF_POOL})),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             COALESCE(lex.lex_rk, 0) AS lex_rank,
+             COALESCE(dense.den_rk, 0) AS dense_rank,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K0} + lex.lex_rk), 0)
+                  + COALESCE({RRF_SCALE} // ({RRF_K0} + dense.den_rk), 0)
+                  AS BIGINT) AS rrf
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_K}
+    """.format(
+        bm25_ctes=_BM25_SCORED_CTES,
+        dot=_DOT_SQL.format(a="e.embedding", b="qv.qe"),
+    ),
+    category="similarity",
+)
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (documents,
+    text.bm25_scored, query BM25_QUERY) with the dense inner-product
+    ranking (embeddings vs the vec_id=0 query vector, exact quantized
+    integer dots) by Reciprocal Rank Fusion. The RRF contribution
+    1/(k0+rank) is RRF_SCALE // (k0+rank) — exact integer division, so
+    the fused score is bit-identical across engines; a ranker that
+    missed a doc contributes rank 0 / score 0 (no nullable columns —
+    the grading hash goes through pandas, where nullable int becomes
+    float64).
+
+    Scale shape: each ranker produces its RRF_POOL candidates with its
+    own scale-safe plan (BM25: postings + TakeOrderedAndProject; dense:
+    broadcast query, embarrassingly-parallel scan, no corpus shuffle);
+    ranks attach via a window over the POOL rows only (one tiny task);
+    the fusion is a full outer join of two RRF_POOL-row relations —
+    broadcast-trivial at any corpus size. This is the production
+    two-retriever layout: candidate generation stays distributed, only
+    rank lists meet."""
+    from iceberg_by_example_spark.operators.text import bm25_scored
+
+    lex = _ranked_pool(
+        bm25_scored(spark, sf_dir), "doc_id", "bm25"
+    ).withColumnRenamed("rk", "lex_rk")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dots = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _qdot(F.col("embedding"), F.col("qe")).alias("dot"))
+    )
+    dense = _ranked_pool(dots, "vec_id", "dot").withColumnRenamed(
+        "rk", "den_rk"
+    )
+    contrib = lambda rk: F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K0} + {rk})"),
+        F.lit(0).cast("long"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rk", F.lit(0)).alias("lex_rank"),
+        F.coalesce("den_rk", F.lit(0)).alias("dense_rank"),
+        (contrib("lex_rk") + contrib("den_rk")).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_K)

@@ -800,3 +800,129 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_n")
         .agg(F.min("cnt").alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k lexical retrieval (north-star extension: the classic
+# inverted-index scorer the decontamination / quality pipelines use as
+# the first stage before embedding re-rank — pairs with
+# similarity.sim_topk_cosine, fused in sim_hybrid_rrf_topk)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "join", "window")  # fixed query terms
+BM25_K = 10
+BM25_SCALE = 1_000_000  # fixed-point scale for the integer tf saturation
+
+# Okapi parameters k1=1.2, b=0.75 expressed as exact integer ratios so
+# the per-term score is pure int64 arithmetic (bit-identical across
+# engines):  tf_sat = (k1+1)*tf / (tf + k1*(1-b) + k1*b*dl/avgdl)
+# with avgdl = D/N multiplies through by 10*D into
+#   num = 22 * D * tf          (2.2 * tf * 10D)
+#   den = 10*D*tf + 3*D + 9*N*dl   (k1(1-b)=0.3, k1*b=0.9)
+# and the IDF is the repo's integer rarity weight (N - df), the same
+# monotone surrogate text_tfidf_topterms uses instead of ln(N/df).
+_BM25_TERM_SQL = (
+    f"(n_docs - df) * (({BM25_SCALE} * 22 * d_tokens * tf)"
+    f" // (10 * d_tokens * tf + 3 * d_tokens + 9 * n_docs * dl))"
+)
+_BM25_TERM_SPARK = (
+    f"(n_docs - df) * ((CAST({BM25_SCALE} AS BIGINT) * 22 * d_tokens * tf)"
+    f" div (10 * d_tokens * tf + 3 * d_tokens + 9 * n_docs * dl))"
+)
+
+
+# The scored-relation CTE chain, shared with the RRF hybrid oracle in
+# operators/similarity.py (compose as  WITH {_BM25_SCORED_CTES}, ...).
+_BM25_SCORED_CTES = f"""toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl
+      FROM toks WHERE term <> '' GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS d_tokens
+      FROM dl),
+    q AS (SELECT UNNEST({list(BM25_QUERY)}) AS term),
+    docfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM({_BM25_TERM_SQL}) AS BIGINT) AS bm25,
+             COUNT(*) AS n_terms
+      FROM tf
+      JOIN q USING (term)
+      JOIN docfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, bm25, n_terms FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}
+    """,
+    category="text",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term query — the inverted-index
+    scorer (tf, df, doc-length normalization) in exact int64 fixed
+    point: Okapi k1=1.2 / b=0.75 become the integer ratios 22/10, 3/10
+    and 9/10 multiplied through by 10*D (see _BM25_TERM_SQL), the tf
+    saturation is one integer division, and the IDF is the integer
+    rarity weight (N - df) — so the score is bit-identical across
+    engines, no float in sight.
+
+    Scale shape: tf/df/dl are map-side-combinable integer aggregates
+    over the token explode (the postings build — computed once, reused
+    by any query against the corpus); query terms and the
+    query-filtered docfreq slice broadcast (|Q| rows); the per-doc
+    score is one partial-agg groupBy on doc_id over ONLY the postings
+    matching a query term; top-k is TakeOrderedAndProject — k rows per
+    partition, never a global sort. At 100 TB the postings relation is
+    the materialized index and a query touches |Q| posting lists, not
+    the corpus."""
+    return bm25_scored(spark, sf_dir).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(BM25_K)
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored relation (doc_id, bm25, n_terms) for BM25_QUERY
+    before top-k — shared by ``text_bm25_topk`` and the RRF hybrid
+    fusion in operators/similarity.py."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("d_tokens")
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], "term string"
+    )
+    docfreq = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(docfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_TERM_SPARK)).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return scored
