@@ -346,3 +346,130 @@ def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (raw_epochs > MAX_EPOCHS).alias("clipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al., "Data Selection for
+# Language Models via Importance Resampling"): hashed n-gram bag
+# models of a target domain vs the raw corpus, per-doc importance
+# log-weight, deterministic selection downstream
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature space (2^k buckets; paper uses 2^16)
+DSIR_LOG_SCALE = 1_000_000  # per-bucket log-ratio in 1e-6 fixed point
+DSIR_TARGET_LANG = "en"  # the target domain: English-like text
+
+
+@register(
+    "pipeline_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             (('0x' || SUBSTR(MD5(term), 1, 15))::BIGINT) % {DSIR_BUCKETS}
+               AS b
+      FROM toks WHERE term <> ''),
+    counts AS (
+      SELECT b, COUNT(*) AS rc,
+             COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tc
+      FROM feat GROUP BY b),
+    tots AS (
+      SELECT CAST(SUM(rc) AS BIGINT) AS raw_tot,
+             CAST(SUM(tc) AS BIGINT) AS tgt_tot
+      FROM counts),
+    lr AS (
+      SELECT counts.b,
+             CAST(ROUND({DSIR_LOG_SCALE} * LN(
+                 CAST((counts.tc + 1) * (tots.raw_tot + {DSIR_BUCKETS})
+                      AS DOUBLE)
+               / CAST((counts.rc + 1) * (tots.tgt_tot + {DSIR_BUCKETS})
+                      AS DOUBLE))) AS BIGINT) AS lw
+      FROM counts CROSS JOIN tots),
+    docb AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM feat GROUP BY doc_id, b),
+    w AS (
+      SELECT docb.doc_id,
+             CAST(SUM(docb.c * lr.lw) AS BIGINT) AS dsir_weight,
+             CAST(SUM(docb.c) AS BIGINT) AS n_tokens
+      FROM docb JOIN lr USING (b) GROUP BY docb.doc_id)
+    SELECT d.doc_id, d.lang, w.dsir_weight, w.n_tokens
+    FROM documents d JOIN w ON d.doc_id = w.doc_id
+    """,
+    category="pipeline",
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: estimate a hashed-unigram bag model of
+    the target domain (lang = DSIR_TARGET_LANG) and of the raw corpus,
+    add-one smoothed over DSIR_BUCKETS hashed features, and score each
+    doc by sum(count_b * log(p_target(b)/q_raw(b))) — the importance
+    log-weight that DSIR resamples by. The per-BUCKET log-ratio is
+    quantized once to DSIR_LOG_SCALE fixed point (256 values, ratios
+    of exact int64 counts → identical doubles → identical rounding in
+    both engines per the repo's ROUND(LN(..)) precedent); the per-DOC
+    aggregation is then pure int64 — order-independent and
+    map-side combinable, respecting registry determinism rule 2 (no
+    raw double aggregates).
+
+    Scale shape: the feature explode is a narrow map (hash % 2^k);
+    bucket counts are a DSIR_BUCKETS-row aggregate (map-side combined;
+    one count pass computes raw AND target via conditional count);
+    the log-ratio relation is 2^k rows → broadcast; the per-doc
+    weight is ONE partial-agg groupBy(doc_id). No joins wider than
+    the model broadcast, no sort anywhere. Selection (top fraction /
+    importance resampling) composes downstream: rank-free threshold
+    via agg_quantile_hash_sample's sampled quantiles, or the
+    hash_bucket Gumbel-top-k trick — never a global sort over the
+    corpus. Paper-faithful deltas: unigrams not bigrams and 2^8 not
+    2^16 buckets (this corpus' vocabulary is tiny); both are the same
+    plan at production sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "").select(
+        "doc_id",
+        "lang",
+        (_md5_hash60(F.col("term")) % DSIR_BUCKETS).alias("b"),
+    )
+    counts = feat.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, True)
+        ).alias("tc"),
+    )
+    tots = counts.agg(
+        F.sum("rc").alias("raw_tot"), F.sum("tc").alias("tgt_tot")
+    )
+    lr = counts.join(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.lit(DSIR_LOG_SCALE)
+            * F.ln(
+                (
+                    (F.col("tc") + 1) * (F.col("raw_tot") + DSIR_BUCKETS)
+                ).cast("double")
+                / (
+                    (F.col("rc") + 1) * (F.col("tgt_tot") + DSIR_BUCKETS)
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("lw"),
+    )
+    docb = feat.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lw")).alias("dsir_weight"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    return d.select("doc_id", "lang").join(w, "doc_id").select(
+        "doc_id", "lang", "dsir_weight", "n_tokens"
+    )

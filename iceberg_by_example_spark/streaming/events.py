@@ -281,6 +281,95 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_pairs(views, purchases)
 
 
+UNMATCHED_SENTINEL = -1  # left-outer: "no view in the window" marker
+
+
+def view_purchase_pairs_outer(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER interval join from the purchase side: every purchase
+    emits its attribution pairs, OR one sentinel row (view_id = -1,
+    gap_us = -1) when the user had NO view in the preceding
+    ATTRIB_WINDOW_MIN minutes — the unattributed-conversion report.
+    Sentinels instead of nulls because the grading hash goes through
+    pandas, where a nullable int column degrades to float64.
+
+    Mode duality: in batch this is a plain left join with the time
+    bounds in the ON clause. As a stream-stream left outer join the
+    same plan emits matched pairs eagerly and holds each buffered
+    purchase until the VIEW-side watermark passes its event time (the
+    join condition admits no view newer than the purchase, so that is
+    the moment no future match can arrive) — then emits the unmatched
+    row exactly once. State stays watermark-bounded on both sides,
+    identical to the inner variant; the left-outer's only extra cost
+    is the purchase rows living to their expiry instead of dying at
+    first match-window close. Convergence is pytest-proven in
+    tests/test_streaming.py for the expired prefix."""
+    from iceberg_by_example_spark.util import epoch_micros
+
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+        "left_outer",
+    )
+    return pairs.select(
+        "purchase_id",
+        F.coalesce("view_id", F.lit(UNMATCHED_SENTINEL)).alias("view_id"),
+        F.col("p_user").alias("user_id"),
+        F.coalesce(
+            epoch_micros("p_ts") - epoch_micros("v_ts"),
+            F.lit(UNMATCHED_SENTINEL).cast("long"),
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "stream_stream_join_outer",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           COALESCE(v.event_id, {UNMATCHED_SENTINEL}) AS view_id,
+           p.user_id AS user_id,
+           COALESCE(EPOCH_US(p.ts) - EPOCH_US(v.ts),
+                    {UNMATCHED_SENTINEL}) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL '{ATTRIB_WINDOW_MIN} minutes'
+    """,
+    category="streaming",
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grading twin of the stream-stream LEFT OUTER interval
+    join: attribution pairs plus one sentinel row per unattributed
+    purchase (see view_purchase_pairs_outer for the mode duality and
+    state-expiry semantics).
+
+    Scale shape: identical to the inner variant — an equi-join
+    shuffle on user_id, time bounds as residual condition; the outer
+    side adds zero exchanges (unmatched rows surface in the same join
+    operator). Skew remedies (salting) apply unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return view_purchase_pairs_outer(views, purchases)
+
+
 def window_user_spend(events: DataFrame) -> DataFrame:
     """Per 5-minute window per user: event count + exact spend. The
     mode-agnostic half of windowed top-k — ranking is not a streaming
