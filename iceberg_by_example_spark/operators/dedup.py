@@ -1321,8 +1321,15 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ngram_jaccard_pairs`` (census join keeps the cap exact). The md5
     window key (not xxhash64) keeps the whole operator
     oracle-checkable: both engines hash identical strings."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("t")).filter(
+    return span_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def span_pairs(docs: DataFrame) -> DataFrame:
+    """The sampled span-index pairing over an arbitrary ``documents``
+    relation (doc_id, text) — the DataFrame core of
+    ``dedup_span_ngram``, reusable as tier 1 of the two-tier substring
+    strategy (``dedup_two_tier_substring``)."""
+    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SPAN_TOKENS
     )
     win = tok.select(
@@ -1350,6 +1357,135 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared_spans"))
     )
+
+
+# Winnowing (Schleimer et al. 2003, the MOSS fingerprinting paper):
+# from every window of WINNOW_W consecutive span hashes, select the
+# minimum. Selection is CONTENT-DEFINED, so it is alignment-free —
+# the position-strided sampler above only pairs two docs when their
+# shared run sits at offsets congruent mod SPAN_STRIDE (windows start
+# at fixed absolute positions), i.e. it misses (SPAN_STRIDE-1)/
+# SPAN_STRIDE of random alignments. Winnowing's theorem: any shared
+# run of >= SPAN_TOKENS + WINNOW_W - 1 tokens contains WINNOW_W
+# consecutive in-run span hashes in BOTH docs, the min of that window
+# is determined by run content alone, and it is selected on both
+# sides — guaranteed detection at ANY alignment, same expected index
+# density (~1 key per WINNOW_W positions).
+WINNOW_W = SPAN_STRIDE
+
+
+def winnow_keys(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowed fingerprint keys: (doc_id, k) where k is the
+    min md5 span hash of some WINNOW_W-window of consecutive
+    positions. The whole selection runs INSIDE the token array
+    (transform + slice + array_min — a narrow map, no shuffle, no
+    per-position explode): only the selected ~tokens/WINNOW_W keys
+    ever leave the doc row. Docs with fewer than WINNOW_W span hashes
+    winnow their single clamped window (at least one key per doc)."""
+    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SPAN_TOKENS
+    )
+    hs = tok.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(t) - {SPAN_TOKENS - 1}), "
+            f"i -> md5(array_join(slice(t, i, {SPAN_TOKENS}), ' ')))"
+        ).alias("H"),
+    )
+    return hs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(H) - {WINNOW_W - 1},"
+                f" 1)), j -> array_min(slice(H, j, {WINNOW_W})))"
+            )
+        ).alias("k"),
+    ).distinct()
+
+
+def span_winnow_pairs(docs: DataFrame) -> DataFrame:
+    """Alignment-free span duplicate pairing: docs sharing at least
+    one winnowed fingerprint, with the shared-key count as overlap
+    weight. Same census df-cap bound on the pairing join as
+    ``span_pairs``; the index it self-joins is the winnowed ~1/
+    WINNOW_W subset, so the join is SMALLER than the strided
+    variant's at equal detection strength — and the detection
+    guarantee actually holds at any alignment."""
+    sel = winnow_keys(docs)
+    census = sel.groupBy("k").agg(F.count("*").alias("df"))
+    a = sel.alias("a").join(
+        census.filter(F.col("df") <= SPAN_DF_CAP), "k", "left_semi"
+    )
+    return (
+        a.alias("a")
+        .join(sel.alias("b"), "k")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_keys"))
+    )
+
+
+@register(
+    "dedup_span_winnow",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                 FROM documents
+                 WHERE LEN(STRING_SPLIT(text, ' ')) >= {SPAN_TOKENS}),
+    hs AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {SPAN_TOKENS - 1}),
+               i -> MD5(ARRAY_TO_STRING(t[i:i+{SPAN_TOKENS - 1}], ' ')))
+               AS H
+      FROM tok),
+    sel AS (
+      SELECT DISTINCT doc_id, k FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, GREATEST(LEN(H) - {WINNOW_W - 1}, 1)),
+                 j -> LIST_MIN(H[j:j+{WINNOW_W - 1}]))) AS k
+        FROM hs)),
+    census AS (SELECT k, COUNT(*) AS df FROM sel GROUP BY k)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_keys
+    FROM sel a
+    JOIN census c ON a.k = c.k AND c.df <= {SPAN_DF_CAP}
+    JOIN sel b ON a.k = b.k AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    category="dedup",
+    bench=True,
+)
+def dedup_span_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed span dedup — ``dedup_span_ngram``'s sampler replaced
+    by content-defined selection (Schleimer et al. 2003). The strided
+    sampler's published guarantee ("any shared run >= 29 tokens
+    aligns a window on both sides") is alignment-CONDITIONAL: windows
+    start at absolute positions 0 mod SPAN_STRIDE, so two copies of
+    the same run only share a sampled key when their offsets are
+    congruent mod SPAN_STRIDE — a random-alignment paste is missed
+    (SPAN_STRIDE-1)/SPAN_STRIDE of the time. Winnowing selects the
+    min span hash of every WINNOW_W-window of positions; the min of a
+    window fully inside the shared run is content-determined and
+    selected in BOTH copies, so any run of >= SPAN_TOKENS + WINNOW_W
+    - 1 = 29 tokens (TWO_TIER_HORIZON) is detected at ANY alignment
+    — the deterministic guarantee the strided form only appears to
+    have. Runs of SPAN_TOKENS..28 tokens are detected
+    opportunistically (their in-run hashes win winnow windows by
+    content luck); below SPAN_TOKENS no shared window exists at all.
+
+    Scale shape: selection happens INSIDE each doc's token array
+    (transform + array_min over slices — a narrow map): no
+    per-position explode, no window function, no shuffle until the
+    selected ~tokens/WINNOW_W keys hit the census. From there the
+    plan is the span plan: df-capped census semi-join bounds the
+    pairing self-join, so hot boilerplate keys cost O(df) index rows,
+    never O(df²) pairs. The index the self-join sees is ~1/WINNOW_W
+    of positions — the same density as the strided sampler, with a
+    real guarantee. This is tier 1 of ``dedup_two_tier_substring``."""
+    return span_winnow_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1610,8 +1746,10 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-substring detection at EVERY position (unsampled rolling index)
 # ---------------------------------------------------------------------------
 
-# The sampled span index (dedup_span_ngram: 20-token windows every 10
-# positions) only guarantees detection for shared runs >= 29 tokens;
+# The sampled span indexes guarantee detection only above a horizon:
+# the winnowed one (dedup_span_winnow) for shared runs >= 29 tokens at
+# any alignment, the strided one (dedup_span_ngram) additionally only
+# at stride-congruent offsets;
 # dedup_block_keep_first is fixed-block (a shared run that straddles a
 # block boundary is invisible). This operator closes the remaining gap
 # with the deduplicate-text-datasets (Lee et al. 2022) suffix-array
@@ -1692,8 +1830,16 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one task's window sort. The groupBy-min + join-back form
     (map-side combined, one row per hot key per map partition) is the
     fallback when ``diag_key_skew`` flags such a hash."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("t")).filter(
+    return exact_substring_stats(load_table(spark, sf_dir, "documents"))
+
+
+def exact_substring_stats(docs: DataFrame) -> DataFrame:
+    """The unsampled exact-substring pass over an arbitrary
+    ``documents`` relation (doc_id, text) — the DataFrame core of
+    ``dedup_exact_substring``, reusable as tier 2 of the two-tier
+    strategy (``dedup_two_tier_substring``): same plan whether its
+    input is the whole corpus or the flagged subset."""
+    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SUB_TOKENS
     )
     win = tok.select(
@@ -1755,6 +1901,52 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("longest_dup_run", F.lit(0)).cast("long").alias(
             "longest_dup_run"
         ),
+    )
+
+
+# Detection horizon of the winnowed tier: the Schleimer et al.
+# theorem — a shared run of R >= SPAN_TOKENS + WINNOW_W - 1 tokens
+# contains WINNOW_W consecutive in-run span hashes in both copies;
+# the min of that winnow window is content-determined and selected
+# on both sides, at ANY alignment.
+TWO_TIER_HORIZON = SPAN_TOKENS + WINNOW_W - 1
+
+
+def dedup_two_tier_substring(docs: DataFrame) -> DataFrame:
+    """Two-tier exact-substring dedup — the 100 TB strategy
+    SCALING.md prescribes, as an executable composition: run the
+    winnowed span index corpus-wide (tier 1, ``span_winnow_pairs`` —
+    ~corpus_tokens/WINNOW_W selected keys, alignment-free), then run
+    the UNSAMPLED per-position pass (tier 2,
+    ``exact_substring_stats`` — WINNOW_W× the index density) only on
+    the documents tier 1 flagged. Same plan both tiers; tier 2's
+    input shrinks from the corpus to the flagged subset, which is
+    what makes the exact pass affordable at scale. The flag relation
+    is DISTINCT doc_ids out of the pair stream — O(flagged docs)
+    rows, broadcast into a semi-join so the corpus is filtered in
+    place without a shuffle.
+
+    Exactness contract (pytest-proven on a planted corpus in
+    tests/test_llm_ops.py, deliberately at offsets incongruent mod
+    SPAN_STRIDE — the case the position-strided sampler provably
+    misses): for every corpus whose duplication is CROSS-document
+    shared runs of >= TWO_TIER_HORIZON tokens, the composed result
+    equals ``exact_substring_stats`` over the full corpus restricted
+    to flagged docs, and every doc the full pass finds duplication in
+    IS flagged. Shared runs below SPAN_TOKENS and INTRA-document
+    repeats in otherwise-clean docs are tier-1-invisible by design
+    (no shared 20-token window exists; the pairing join's doc_a <
+    doc_b drops self-pairs); runs of SPAN_TOKENS..TWO_TIER_HORIZON-1
+    are caught opportunistically. That is the sampling trade
+    SCALING.md quantifies; run the unsampled pass corpus-wide where
+    the contract must be unconditional."""
+    flagged = (
+        span_winnow_pairs(docs)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    return exact_substring_stats(
+        docs.join(F.broadcast(flagged), "doc_id", "left_semi")
     )
 
 

@@ -1449,3 +1449,104 @@ def test_incremental_ingest_bloom_dedup_lifecycle(spark, tmp_path):
         # Bloom may false-positive in principle; at this sizing it must not
         assert verdicts[200 + i][0] is False
     t.drop()
+
+
+def _planted_substring_corpus(spark, with_below_horizon=False):
+    """Synthetic corpus for the two-tier contract: globally unique
+    filler tokens (no accidental sharing), plus planted CROSS-doc
+    shared runs. P1 (35 tokens) into docs 2 and 7, P2 (exactly
+    TWO_TIER_HORIZON = 29 tokens) into docs 4 and 9 — all four
+    plants at offsets INCONGRUENT mod SPAN_STRIDE (13 vs 27, 6 vs
+    43), the alignments the position-strided sampler provably
+    misses: the winnowed tier's guarantee must hold regardless.
+    Optionally P3 (18 tokens, below SPAN_TOKENS) into docs 11 and
+    12 — too short for ANY shared 20-token window, so tier 1
+    provably cannot flag it while the unsampled pass (>= 15-token
+    detection) still sees it."""
+    from iceberg_by_example_spark.operators.dedup import TWO_TIER_HORIZON
+
+    p1 = [f"p1x{i:02d}" for i in range(35)]
+    p2 = [f"p2x{i:02d}" for i in range(TWO_TIER_HORIZON)]
+    p3 = [f"p3x{i:02d}" for i in range(18)]
+    rows = []
+    n = 12 if with_below_horizon else 10
+    for doc in range(1, n + 1):
+        toks = [f"d{doc:02d}t{i:02d}" for i in range(60)]
+        if doc == 2:
+            toks = toks[:13] + p1 + toks[13:]
+        elif doc == 7:
+            toks = toks[:27] + p1 + toks[27:]
+        elif doc == 4:
+            toks = toks[:6] + p2 + toks[6:]
+        elif doc == 9:
+            toks = toks[:43] + p2 + toks[43:]
+        elif doc == 11:
+            toks = toks[:3] + p3 + toks[3:]
+        elif doc == 12:
+            toks = toks[:17] + p3 + toks[17:]
+        rows.append((doc, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_two_tier_substring_equals_unsampled_on_flagged(spark):
+    """The SCALING.md two-tier contract, executed: on a corpus whose
+    duplication is cross-doc shared runs >= TWO_TIER_HORIZON tokens,
+    the winnowed tier flags exactly the involved docs (at offsets
+    the strided sampler misses), and the composed pass
+    equals the full unsampled pass on them — row-exact, including
+    longest_dup_run."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_two_tier_substring,
+        exact_substring_stats,
+        span_winnow_pairs,
+    )
+
+    corpus = _planted_substring_corpus(spark)
+    flagged = {
+        d
+        for r in span_winnow_pairs(corpus).collect()
+        for d in (r["doc_a"], r["doc_b"])
+    }
+    assert flagged == {2, 4, 7, 9}
+
+    full = {r["doc_id"]: r for r in exact_substring_stats(corpus).collect()}
+    # keep-first: the lower doc_id holds the kept first occurrences
+    assert {d for d, r in full.items() if r["n_dup"] > 0} == {7, 9}
+    # every doc the full pass finds duplication in IS flagged
+    assert {d for d, r in full.items() if r["n_dup"] > 0} <= flagged
+    # P1 is 35 tokens: 21 consecutive dup window starts -> run of 35
+    assert full[7]["longest_dup_run"] == 35
+
+    composed = {
+        r["doc_id"]: r
+        for r in dedup_two_tier_substring(corpus).collect()
+    }
+    assert set(composed) == flagged
+    for d in flagged:
+        for c in ("n_windows", "n_dup", "longest_dup_run"):
+            assert composed[d][c] == full[d][c], (d, c)
+
+
+def test_two_tier_substring_below_horizon_caveat(spark):
+    """The documented trade: an 18-token shared run (below
+    SPAN_TOKENS — no shared 20-token window can exist) is found by
+    the full unsampled pass but is provably invisible to tier 1 —
+    the composed pass misses it. This is the floor of the sampled
+    tier; TWO_TIER_HORIZON is where detection becomes guaranteed."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_two_tier_substring,
+        exact_substring_stats,
+    )
+
+    corpus = _planted_substring_corpus(spark, with_below_horizon=True)
+    full = {r["doc_id"]: r for r in exact_substring_stats(corpus).collect()}
+    assert full[12]["n_dup"] > 0  # the unsampled pass sees the 18-token run
+    composed = {
+        r["doc_id"]: r
+        for r in dedup_two_tier_substring(corpus).collect()
+    }
+    assert 12 not in composed  # ...the sampled tier cannot flag it
+    # the above-horizon docs are still flagged and row-exact
+    for d in (7, 9):
+        for c in ("n_windows", "n_dup", "longest_dup_run"):
+            assert composed[d][c] == full[d][c], (d, c)

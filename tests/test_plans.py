@@ -267,6 +267,10 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "dedup_incremental_minhash": 1,  # source rides the sig projection (carry)
     "dedup_minhash_lsh": 1,
     "dedup_span_ngram": 5,
+    "dedup_span_winnow": 5,  # same census/pairing shape; selection is
+    # map-side (inside the token array), the index it shuffles is the
+    # winnowed ~1/WINNOW_W subset
+
     "events_user_sessions": 1,
     "join_broadcast_dims": 1,
     "join_sortmerge_facts": 1,

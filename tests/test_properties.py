@@ -465,3 +465,55 @@ def test_exact_substring_equals_bruteforce(spark, tmp_path_factory, docs):
             longest + SUB_TOKENS - 1 if longest else 0,
         )
         assert got[i] == want, (i, got[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    run_len=st.integers(min_value=29, max_value=40),
+    off_a=st.integers(min_value=0, max_value=25),
+    off_b=st.integers(min_value=0, max_value=25),
+    fill_a=st.integers(min_value=30, max_value=50),
+    fill_b=st.integers(min_value=30, max_value=50),
+)
+def test_winnow_guarantee_vs_strided_alignment_property(
+    spark, run_len, off_a, off_b, fill_a, fill_b
+):
+    """The Schleimer et al. winnowing theorem, fuzzed: a shared run of
+    >= SPAN_TOKENS + WINNOW_W - 1 tokens planted at ARBITRARY offsets
+    in two docs is ALWAYS paired by `span_winnow_pairs` — while the
+    position-strided `span_pairs` detects it exactly when the two
+    offsets are congruent mod SPAN_STRIDE (windows start at absolute
+    positions ≡ 0 mod stride, so incongruent copies never sample the
+    same in-run window). This pins both the new sampler's guarantee
+    and the precise characterization of the old one's gap."""
+    from iceberg_by_example_spark.operators.dedup import (
+        SPAN_STRIDE,
+        span_pairs,
+        span_winnow_pairs,
+    )
+
+    run = [f"r{i:02d}" for i in range(run_len)]
+    ta = [f"a{i:02d}" for i in range(fill_a)]
+    tb = [f"b{i:02d}" for i in range(fill_b)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(ta[:off_a] + run + ta[off_a:])),
+            (2, " ".join(tb[:off_b] + run + tb[off_b:])),
+            (3, " ".join(f"c{i:02d}" for i in range(40))),
+            (4, " ".join(f"e{i:02d}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    winnowed = {
+        (r["doc_a"], r["doc_b"]) for r in span_winnow_pairs(docs).collect()
+    }
+    assert winnowed == {(1, 2)}, (run_len, off_a, off_b)
+    strided = {(r["doc_a"], r["doc_b"]) for r in span_pairs(docs).collect()}
+    if off_a % SPAN_STRIDE == off_b % SPAN_STRIDE:
+        assert strided == {(1, 2)}, (run_len, off_a, off_b)
+    else:
+        assert strided == set(), (run_len, off_a, off_b)
