@@ -1550,3 +1550,100 @@ def test_two_tier_substring_below_horizon_caveat(spark):
     for d in (7, 9):
         for c in ("n_windows", "n_dup", "longest_dup_run"):
             assert composed[d][c] == full[d][c], (d, c)
+
+
+def test_bm25_fixed_point_matches_float_okapi(spark):
+    """The integer BM25 is exact fixed-point Okapi: recompute float
+    BM25 (k1=1.2, b=0.75, idf = N - df) from the raw parquet with an
+    independent pandas tokenization and require (a) every doc's
+    integer score to sit within the per-term floor-quantization bound
+    of BM25_SCALE * float score, and (b) the full induced ranking to
+    agree."""
+    import collections
+
+    import pandas as pd
+
+    from iceberg_by_example_spark.operators.text import (
+        BM25_QUERY,
+        BM25_SCALE,
+        bm25_scored,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in pdf.itertuples()
+    }
+    n_docs = len(toks)
+    d_tokens = sum(len(t) for t in toks.values())
+    avgdl = d_tokens / n_docs
+    tf = {
+        d: collections.Counter(t)
+        for d, t in toks.items()
+    }
+    df = {
+        q: sum(1 for d in tf if tf[d][q] > 0)
+        for q in BM25_QUERY
+    }
+    want = {}
+    for d, counts in tf.items():
+        s = 0.0
+        n_terms = 0
+        for q in BM25_QUERY:
+            if counts[q] == 0:
+                continue
+            n_terms += 1
+            sat = (2.2 * counts[q]) / (
+                counts[q] + 0.3 + 0.9 * len(toks[d]) / avgdl
+            )
+            s += (n_docs - df[q]) * sat
+        if n_terms:
+            want[d] = s
+
+    got = {
+        r["doc_id"]: r["bm25"] for r in bm25_scored(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    # floor quantization loses < 1 fixed-point unit per term, scaled
+    # by the term's (N - df) idf weight
+    bound = len(BM25_QUERY) * n_docs + 1
+    for d, s in want.items():
+        assert abs(got[d] - s * BM25_SCALE) <= bound, (d, got[d], s)
+    rank = lambda scores: sorted(scores, key=lambda d: (-scores[d], d))
+    assert rank(got) == rank(want)
+
+
+def test_rrf_fusion_consistency(spark):
+    """RRF internal consistency at sf0.001: the reported ranks must
+    reproduce each ranker's own ordering (lex_rank 1 = the BM25
+    argmax), and the fused score must equal the integer-division
+    formula applied to the reported ranks, with absent rankers
+    contributing exactly zero."""
+    from iceberg_by_example_spark.operators.similarity import (
+        RRF_K0,
+        RRF_SCALE,
+    )
+    from iceberg_by_example_spark.operators.text import bm25_scored
+    from iceberg_by_example_spark.plans.registry import QUERY_REGISTRY, _load_all
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERY_REGISTRY["sim_hybrid_rrf_topk"].fn(spark, sf).collect()
+    assert rows and len(rows) <= 10
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] > 0:
+            expect += RRF_SCALE // (RRF_K0 + r["lex_rank"])
+        if r["dense_rank"] > 0:
+            expect += RRF_SCALE // (RRF_K0 + r["dense_rank"])
+        assert r["rrf"] == expect, r
+    # fused output is sorted by (rrf desc, doc_id)
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    # the doc holding lex_rank 1 is the true BM25 argmax
+    lex1 = [r["doc_id"] for r in rows if r["lex_rank"] == 1]
+    bm = {r["doc_id"]: r["bm25"] for r in bm25_scored(spark, sf).collect()}
+    argmax = min(bm, key=lambda d: (-bm[d], d))
+    if lex1:
+        assert lex1 == [argmax]

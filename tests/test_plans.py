@@ -564,3 +564,16 @@ def test_hot_queries_stay_in_whole_stage_codegen(spark, registry):
         df.collect()
         final = plan_of(df).split("== Initial Plan ==")[0]
         assert final.count("*(") >= floor, (name, final[:1200])
+
+
+def test_bm25_and_rrf_retrieval_no_corpus_sort(spark, registry):
+    """VERDICT r8 task #4's done-condition: BM25 (and the RRF hybrid
+    built on it) must never globally sort the corpus — top-k compiles
+    to TakeOrderedAndProject (k rows per partition), so the plan may
+    contain NO range-partitioning exchange (the physical signature of
+    a global sort) and no CartesianProduct."""
+    for name in ("text_bm25_topk", "sim_hybrid_rrf_topk"):
+        plan = plan_of(registry[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
