@@ -718,3 +718,98 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     overdue = {p for p in want_unmatched if p_ts[p] < cutoff}
     assert overdue, "the expired prefix should be non-trivial"
     assert overdue <= got_unmatched
+
+
+def test_stream_dedup_ingest_bloom_exactly_once(spark, tmp_path):
+    """The full streaming production-dedup loop: a document stream
+    with planted duplicates (of the standing corpus, of earlier
+    batches, and WITHIN a batch) lands Bloom-prefiltered and
+    exactly-once in the lakehouse — the docs table ends with exactly
+    one copy per fingerprint (keep-first), the fingerprint index
+    matches it 1:1, and a full-batch replay (crash recovery) commits
+    nothing twice."""
+    from iceberg_by_example_spark.streaming.dedup_ingest import (
+        FINGERPRINT_COL,
+        fingerprint_docs,
+        make_dedup_committer,
+        stream_dedup_ingest,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    docs_t = VersionedTable.create(
+        spark, str(tmp_path / "docs"), schema="doc_id bigint, text string"
+    )
+    idx_t = VersionedTable.create(
+        spark, str(tmp_path / "idx"), schema=f"{FINGERPRINT_COL} string"
+    )
+    try:
+        # standing corpus: docs 1-5
+        seed = spark.createDataFrame(
+            [(i, f"corpus document number {i}") for i in range(1, 6)],
+            "doc_id bigint, text string",
+        )
+        docs_t.append(seed)
+        idx_t.append(fingerprint_docs(seed).select(FINGERPRINT_COL))
+
+        # stream: 2 files -> 2 microbatches. Batch A: one corpus dup
+        # (doc 1's text), one internal dup pair (11/12), one fresh
+        # (13). Batch B: a dup of batch A's survivor (21 vs 11), one
+        # fresh (22).
+        src = str(tmp_path / "incoming")
+        a = [
+            (11, "streamed document alpha"),
+            (12, "streamed document alpha"),
+            (13, "streamed document beta"),
+            (14, "corpus document number 1"),
+        ]
+        b = [
+            (21, "streamed document alpha"),
+            (22, "streamed document gamma"),
+        ]
+        spark.createDataFrame(a, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(src)
+        spark.createDataFrame(b, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_ingest(
+            stream, docs_t, idx_t, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["doc_id"] for r in docs_t.read().collect()}
+        # survivors: corpus 1-5 + first-of-each-new-fingerprint
+        assert got == {1, 2, 3, 4, 5, 11, 13, 22} or got == {
+            1, 2, 3, 4, 5, 13, 22, 11,
+        }, got
+        texts = [r["text"] for r in docs_t.read().collect()]
+        assert len(texts) == len(set(texts)), "duplicate text ingested"
+        idx_fps = {r[FINGERPRINT_COL] for r in idx_t.read().collect()}
+        doc_fps = {
+            r[FINGERPRINT_COL]
+            for r in fingerprint_docs(docs_t.read()).collect()
+        }
+        assert idx_fps == doc_fps
+
+        # crash-recovery replay: re-commit the last batch id directly
+        n_before = docs_t.read().count()
+        snaps_before = len(docs_t._snapshots())
+        committer = make_dedup_committer(
+            docs_t, idx_t, stream_id=str(tmp_path / "ckpt")
+        )
+        replay = spark.createDataFrame(b, "doc_id bigint, text string")
+        committer(replay, 1)
+        assert docs_t.read().count() == n_before
+        assert len(docs_t._snapshots()) == snaps_before
+    finally:
+        docs_t.drop()
+        idx_t.drop()
