@@ -30,17 +30,26 @@ def run_query(df) -> None:
 
 def drop_pinned_blocks(spark) -> None:
     """Drop pinned blocks (localCheckpoint / persist) left by the
-    query that just ran. Pinned RDDs otherwise linger until JVM GC
-    triggers the ContextCleaner, and 29 queries × 4 passes of
-    accumulated blocks slows later queries (storage eviction + GC
-    pressure) — each query should be timed against a clean executor,
-    as the driver would run it. Called OUTSIDE the timed section;
-    BLOCKING, so eviction never bleeds into the next query's timed
-    window (non-blocking removal overlapped the next timer and showed
-    up as multi-second phantom regressions after pin-heavy sf1
-    probes)."""
+    query that just ran AND force a JVM GC. Pinned RDDs otherwise
+    linger until JVM GC triggers the ContextCleaner, and 29 queries ×
+    4 passes of accumulated blocks slows later queries (storage
+    eviction + GC pressure) — each query should be timed against a
+    clean executor, as the driver would run it. Called OUTSIDE the
+    timed section; BLOCKING, so eviction never bleeds into the next
+    query's timed window (non-blocking removal overlapped the next
+    timer and showed up as multi-second phantom regressions after
+    pin-heavy sf1 probes).
+
+    The forced GC is the r10 fix for the r9 scaling-probe blowup:
+    with a 32g heap the JVM GCs so rarely that ContextCleaner work
+    (shuffle/broadcast/accumulator cleanup is weak-reference driven)
+    accumulates across queries and lands inside later timed windows —
+    reproduced in isolation as 10.7s -> 59.3s on BACK-TO-BACK
+    identical sf1 runs, restored to a stable 11.1s floor by a forced
+    GC between queries. The GC itself (~0.2-1s) runs untimed here."""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist(True)
+    spark._jvm.System.gc()
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +68,12 @@ SCALING_PROBE_QUERIES = [
     "dedup_embedding_lsh",
     "pipeline_decontaminate",
     "dedup_span_ngram",
+    # r9 operators (VERDICT r9 task #5): the postings build and the
+    # winnow index are the two with real scale surface
+    "text_bm25_topk",
+    "sim_hybrid_rrf_topk",
+    "pipeline_dsir_weights",
+    "dedup_span_winnow",
 ]
 SF1_REPLICAS = 10
 
@@ -264,29 +279,49 @@ def _ensure_docs30(spark, base_dir: str) -> str:
 
 
 def _scaling_probe_30x(spark, sf_dir: str, floors: dict[str, float]) -> dict:
-    """min-of-1 pass of the two heaviest queries at 30× — with one
-    retry when the ratio looks implausible, same steal-time reasoning
-    as ``_scaling_probe`` (a real super-linear blowup reproduces; a
-    host-contention artifact doesn't)."""
+    """The two heaviest queries at 30×, each in a FRESH subprocess
+    JVM (tools/probe_one.py) with a contention canary timed
+    IMMEDIATELY before the probe. The r9 in-session version reported
+    a fake 7× blowup on unchanged code: the probes ran LAST in a
+    session that had executed 37 bench queries × 4 passes, and the
+    accumulated ContextCleaner/GC state (see drop_pinned_blocks) plus
+    whatever shares the box during the bench tail landed inside the
+    probe's timed window. A fresh JVM per probe removes the
+    accumulation variable entirely, and the per-probe canary stamp
+    describes the probe's OWN host window instead of the run start's.
+    Isolated r10 re-measurement: containment 11.97s (0.82× the r8
+    record), cluster 16.1s — linear-ish at 30×; the 107s/43.6s in
+    BENCH_LOCAL_r09 were harness artifacts. NOTE the subprocess
+    canary runs in a cold JVM (one warmup pass of the same query, vs
+    the in-bench canary's fully warm session), so ~2-3× is its quiet
+    floor — compare probe canaries to each other, not to
+    canary_ratio."""
+    import subprocess
+
     d30 = _ensure_docs30(spark, sf_dir)
+    here = os.path.dirname(os.path.abspath(__file__))
     queries = {}
     for name in SCALING_30X_QUERIES:
-        spec = QUERY_REGISTRY[name]
         base = floors.get(name)
-        ts = []
-        for attempt in range(2):
-            t0 = time.perf_counter()
-            run_query(spec.fn(spark, d30))
-            ts.append(time.perf_counter() - t0)
-            drop_pinned_blocks(spark)
-            if not (base and ts[-1] / base > 45 and attempt == 0):
-                break
-        dt = min(ts)
-        queries[name] = {
-            "sf01_sec": base,
-            "sf3_sec": round(dt, 3),
-            "ratio": round(dt / base, 2) if base else None,
-        }
+        entry: dict = {"sf01_sec": base}
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "probe_one.py"),
+                 name, d30, "2"],
+                capture_output=True, text=True, timeout=1200,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            dt = r["floor_sec"]
+            entry.update(
+                sf3_sec=round(dt, 3),
+                ratio=round(dt / base, 2) if base else None,
+                probe_canary_ratio=r["canary_ratio"],
+                raw_sec=r["passes"],
+            )
+        except Exception as exc:
+            entry["error"] = f"{type(exc).__name__}: {exc}"
+        queries[name] = entry
     return {"replicas": SF3_REPLICAS, "queries": queries}
 
 

@@ -1912,7 +1912,7 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
 TWO_TIER_HORIZON = SPAN_TOKENS + WINNOW_W - 1
 
 
-def dedup_two_tier_substring(docs: DataFrame) -> DataFrame:
+def two_tier_substring_stats(docs: DataFrame) -> DataFrame:
     """Two-tier exact-substring dedup — the 100 TB strategy
     SCALING.md prescribes, as an executable composition: run the
     winnowed span index corpus-wide (tier 1, ``span_winnow_pairs`` —
@@ -1923,8 +1923,15 @@ def dedup_two_tier_substring(docs: DataFrame) -> DataFrame:
     input shrinks from the corpus to the flagged subset, which is
     what makes the exact pass affordable at scale. The flag relation
     is DISTINCT doc_ids out of the pair stream — O(flagged docs)
-    rows, broadcast into a semi-join so the corpus is filtered in
-    place without a shuffle.
+    rows, consumed by a left-semi join with NO broadcast hint: the
+    flagged-doc count is corpus-dependent (a crawl corpus with
+    pervasive boilerplate flags a large fraction of all docs), so a
+    forced broadcast would OOM executors at exactly the scale this
+    composition exists for. AQE picks the broadcast strategy at
+    runtime when the measured flagged set is small, and falls back to
+    a shuffled semi-join when it isn't — the same counted-dispatch
+    philosophy as ``components_adaptive``, delegated to the engine's
+    own size statistics.
 
     Exactness contract (pytest-proven on a planted corpus in
     tests/test_llm_ops.py, deliberately at offsets incongruent mod
@@ -1937,17 +1944,95 @@ def dedup_two_tier_substring(docs: DataFrame) -> DataFrame:
     repeats in otherwise-clean docs are tier-1-invisible by design
     (no shared 20-token window exists; the pairing join's doc_a <
     doc_b drops self-pairs); runs of SPAN_TOKENS..TWO_TIER_HORIZON-1
-    are caught opportunistically. That is the sampling trade
-    SCALING.md quantifies; run the unsampled pass corpus-wide where
-    the contract must be unconditional."""
+    are caught opportunistically. One finer-grained edge of that
+    trade: a flagged doc's n_dup/longest_dup_run are exact RELATIVE
+    TO THE FLAGGED SUBSET, not the corpus — if a flagged doc
+    additionally shares a sub-horizon (SUB_TOKENS..TWO_TIER_HORIZON-1
+    token) run with an UNFLAGGED doc, tier 2 never sees the unflagged
+    doc's windows, so that run is invisible to the composed stats
+    (pytest-pinned in test_llm_ops.py). Run the unsampled pass
+    corpus-wide where the contract must be unconditional."""
     flagged = (
         span_winnow_pairs(docs)
         .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
-    return exact_substring_stats(
-        docs.join(F.broadcast(flagged), "doc_id", "left_semi")
-    )
+    return exact_substring_stats(docs.join(flagged, "doc_id", "left_semi"))
+
+
+@register(
+    "dedup_two_tier_substring",
+    oracle=f"""
+    WITH tokw AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                  FROM documents
+                  WHERE LEN(STRING_SPLIT(text, ' ')) >= {SPAN_TOKENS}),
+    hs AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {SPAN_TOKENS - 1}),
+               i -> MD5(ARRAY_TO_STRING(t[i:i+{SPAN_TOKENS - 1}], ' ')))
+               AS H
+      FROM tokw),
+    sel AS (
+      SELECT DISTINCT doc_id, k FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, GREATEST(LEN(H) - {WINNOW_W - 1}, 1)),
+                 j -> LIST_MIN(H[j:j+{WINNOW_W - 1}]))) AS k
+        FROM hs)),
+    census AS (SELECT k, COUNT(*) AS df FROM sel GROUP BY k),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sel a
+      JOIN census c ON a.k = c.k AND c.df <= {SPAN_DF_CAP}
+      JOIN sel b ON a.k = b.k AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+    tok AS (SELECT d.doc_id, STRING_SPLIT(d.text, ' ') AS t
+            FROM documents d JOIN flagged USING (doc_id)),
+    w AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             MD5(ARRAY_TO_STRING(t[i:i+{SUB_TOKENS - 1}], ' ')) AS h
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t) - {SUB_TOKENS - 1})) AS i)
+      WHERE LEN(t) >= {SUB_TOKENS}),
+    firsts AS (SELECT h,
+                 MIN(struct_pack(doc_id := doc_id, pos := pos)) AS f
+               FROM w GROUP BY h),
+    k AS (SELECT w.doc_id, w.pos,
+                 NOT (w.doc_id = f.f.doc_id AND w.pos = f.f.pos) AS dup
+          FROM w JOIN firsts f ON w.h = f.h),
+    runs AS (SELECT doc_id,
+                    pos - ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM k WHERE dup),
+    runlen AS (SELECT doc_id, grp, COUNT(*) AS run
+               FROM runs GROUP BY doc_id, grp),
+    agg AS (SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup
+            FROM k GROUP BY doc_id)
+    SELECT a.doc_id, a.n_windows, a.n_dup,
+           CAST(COALESCE(MAX(r.run) + {SUB_TOKENS - 1}, 0) AS BIGINT)
+             AS longest_dup_run
+    FROM agg a LEFT JOIN runlen r ON a.doc_id = r.doc_id
+    GROUP BY a.doc_id, a.n_windows, a.n_dup
+    """,
+    category="dedup",
+    bench=True,
+)
+def dedup_two_tier_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-tier substring composition over the ``documents``
+    table — ``two_tier_substring_stats`` (see its docstring for the
+    plan shape and the exactness contract): winnowed span index
+    corpus-wide, unsampled per-position exact-substring stats on the
+    flagged docs only. The oracle composes the two already-graded
+    halves (the ``dedup_span_winnow`` pairing CTEs -> flagged ids ->
+    the ``dedup_exact_substring`` stats CTEs restricted to them) —
+    one SQL statement, same composition."""
+    return two_tier_substring_stats(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -1451,7 +1451,9 @@ def test_incremental_ingest_bloom_dedup_lifecycle(spark, tmp_path):
     t.drop()
 
 
-def _planted_substring_corpus(spark, with_below_horizon=False):
+def _planted_substring_corpus(
+    spark, with_below_horizon=False, with_subhorizon_cross=False
+):
     """Synthetic corpus for the two-tier contract: globally unique
     filler tokens (no accidental sharing), plus planted CROSS-doc
     shared runs. P1 (35 tokens) into docs 2 and 7, P2 (exactly
@@ -1462,20 +1464,29 @@ def _planted_substring_corpus(spark, with_below_horizon=False):
     Optionally P3 (18 tokens, below SPAN_TOKENS) into docs 11 and
     12 — too short for ANY shared 20-token window, so tier 1
     provably cannot flag it while the unsampled pass (>= 15-token
-    detection) still sees it."""
+    detection) still sees it. Optionally P4 (16 tokens, also below
+    SPAN_TOKENS) into UNFLAGGED doc 1 and FLAGGED doc 7, doc 1
+    holding the keep-first occurrence — the flagged<->unflagged
+    sub-horizon edge the composed pass's per-doc stats cannot see."""
     from iceberg_by_example_spark.operators.dedup import TWO_TIER_HORIZON
 
     p1 = [f"p1x{i:02d}" for i in range(35)]
     p2 = [f"p2x{i:02d}" for i in range(TWO_TIER_HORIZON)]
     p3 = [f"p3x{i:02d}" for i in range(18)]
+    p4 = [f"p4x{i:02d}" for i in range(16)]
     rows = []
     n = 12 if with_below_horizon else 10
     for doc in range(1, n + 1):
         toks = [f"d{doc:02d}t{i:02d}" for i in range(60)]
-        if doc == 2:
+        if doc == 1 and with_subhorizon_cross:
+            toks = toks[:9] + p4 + toks[9:]
+        elif doc == 2:
             toks = toks[:13] + p1 + toks[13:]
         elif doc == 7:
             toks = toks[:27] + p1 + toks[27:]
+            if with_subhorizon_cross:
+                # after P1 (spans 27..61) — must not split it
+                toks = toks[:80] + p4 + toks[80:]
         elif doc == 4:
             toks = toks[:6] + p2 + toks[6:]
         elif doc == 9:
@@ -1496,9 +1507,9 @@ def test_two_tier_substring_equals_unsampled_on_flagged(spark):
     equals the full unsampled pass on them — row-exact, including
     longest_dup_run."""
     from iceberg_by_example_spark.operators.dedup import (
-        dedup_two_tier_substring,
         exact_substring_stats,
         span_winnow_pairs,
+        two_tier_substring_stats,
     )
 
     corpus = _planted_substring_corpus(spark)
@@ -1519,7 +1530,7 @@ def test_two_tier_substring_equals_unsampled_on_flagged(spark):
 
     composed = {
         r["doc_id"]: r
-        for r in dedup_two_tier_substring(corpus).collect()
+        for r in two_tier_substring_stats(corpus).collect()
     }
     assert set(composed) == flagged
     for d in flagged:
@@ -1534,8 +1545,8 @@ def test_two_tier_substring_below_horizon_caveat(spark):
     the composed pass misses it. This is the floor of the sampled
     tier; TWO_TIER_HORIZON is where detection becomes guaranteed."""
     from iceberg_by_example_spark.operators.dedup import (
-        dedup_two_tier_substring,
         exact_substring_stats,
+        two_tier_substring_stats,
     )
 
     corpus = _planted_substring_corpus(spark, with_below_horizon=True)
@@ -1543,11 +1554,51 @@ def test_two_tier_substring_below_horizon_caveat(spark):
     assert full[12]["n_dup"] > 0  # the unsampled pass sees the 18-token run
     composed = {
         r["doc_id"]: r
-        for r in dedup_two_tier_substring(corpus).collect()
+        for r in two_tier_substring_stats(corpus).collect()
     }
     assert 12 not in composed  # ...the sampled tier cannot flag it
     # the above-horizon docs are still flagged and row-exact
     for d in (7, 9):
+        for c in ("n_windows", "n_dup", "longest_dup_run"):
+            assert composed[d][c] == full[d][c], (d, c)
+
+
+def test_two_tier_flagged_unflagged_subhorizon_edge(spark):
+    """ADVICE r9 #3 pinned: a 16-token run (>= SUB_TOKENS, <
+    SPAN_TOKENS) shared between FLAGGED doc 7 and UNFLAGGED doc 1 —
+    with doc 1 holding the keep-first occurrence — is counted by the
+    full unsampled pass as dup windows IN THE FLAGGED DOC, yet is
+    invisible to the composed pass: doc 1's windows never enter tier
+    2's firsts relation, so doc 7's copies become firsts themselves.
+    Flagged-doc stats are exact relative to the FLAGGED SUBSET, not
+    the corpus, whenever sub-horizon cross-doc runs touch unflagged
+    docs (the documented trade in two_tier_substring_stats)."""
+    from iceberg_by_example_spark.operators.dedup import (
+        SUB_TOKENS,
+        exact_substring_stats,
+        span_winnow_pairs,
+        two_tier_substring_stats,
+    )
+
+    corpus = _planted_substring_corpus(spark, with_subhorizon_cross=True)
+    flagged = {
+        d
+        for r in span_winnow_pairs(corpus).collect()
+        for d in (r["doc_a"], r["doc_b"])
+    }
+    assert 1 not in flagged  # 16 shared tokens: no shared 20-window
+    assert 7 in flagged  # still flagged via P1
+
+    full = {r["doc_id"]: r for r in exact_substring_stats(corpus).collect()}
+    composed = {
+        r["doc_id"]: r for r in two_tier_substring_stats(corpus).collect()
+    }
+    assert 1 not in composed
+    # the full pass charges doc 7 the P4 windows (first is in doc 1);
+    # the composed pass cannot — exactly the 16-15+1 = 2 windows
+    assert full[7]["n_dup"] - composed[7]["n_dup"] == 16 - SUB_TOKENS + 1
+    # every OTHER flagged doc is still row-exact vs the full pass
+    for d in flagged - {7}:
         for c in ("n_windows", "n_dup", "longest_dup_run"):
             assert composed[d][c] == full[d][c], (d, c)
 
