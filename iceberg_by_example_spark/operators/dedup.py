@@ -1623,6 +1623,73 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-adaptive keep-first annotation (shared by the block and
+# exact-substring passes)
+# ---------------------------------------------------------------------------
+
+# Hot-key gate for the keep-first window MIN: the window form shuffles
+# the index ONCE and flags winners in place, but it has no map-side
+# partial aggregation — every instance of a key lands in ONE task's
+# window buffer. A single boilerplate block/span hash repeated this
+# many times serializes that task into the stage's critical path
+# (~hundreds of MB of buffered rows); past the gate, the groupBy-min +
+# join-back form wins: the MIN partial-aggregates map-side (one row
+# per hot key per map partition), at the cost of a second shuffle.
+KEEP_FIRST_HOT_MAX = 2_000_000
+
+
+def keep_first_min_struct(
+    inst: DataFrame,
+    keys: list[str],
+    ords: list[str],
+    strategy: str | None = "window",
+    hot_max: int = KEEP_FIRST_HOT_MAX,
+) -> DataFrame:
+    """Annotate every row of ``inst`` with ``_first`` = the per-``keys``
+    struct-MIN of ``ords`` — the keep-first winner — choosing between
+    the two physically different but result-identical forms:
+
+    - ``"window"``: unordered window MIN over partition(keys). ONE
+      shuffle of the index, winners flagged in place (measured 1.8-2.4x
+      on the flag stage vs join-back at sf0.1). The right default:
+      real corpora put their hash multiplicities far below the gate.
+    - ``"combined"``: groupBy(keys).min + join back. Two shuffles, but
+      the MIN partial-aggregates map-side, so a pathologically hot key
+      costs one row per map partition instead of one task's entire
+      window buffer — the skew fallback the window form needs.
+    - ``None``: MEASURE, then dispatch — the ``components_adaptive``
+      pattern: one map-side-combinable census pass computes the max
+      per-key multiplicity (the same number ``diag_key_skew`` reports
+      for join keys), and the fallback fires iff it exceeds
+      ``hot_max``. The census costs an extra pass over ``inst``; the
+      registered bench queries keep the static window default, a
+      production ingest that can't rule out boilerplate floods runs
+      with ``strategy=None``.
+
+    Winner identity is a lexicographic struct-MIN — injective for any
+    ords tuple, so both forms (and any partitioning) pick the same
+    winner; pytest pins result equality and that the fallback plan
+    actually drops the Window operator on a planted hot key."""
+    if strategy is None:
+        hot = (
+            inst.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        strategy = "combined" if (hot or 0) > hot_max else "window"
+    if strategy == "window":
+        return inst.withColumn(
+            "_first",
+            F.min(F.struct(*ords)).over(Window.partitionBy(*keys)),
+        )
+    firsts = inst.groupBy(*keys).agg(
+        F.min(F.struct(*ords)).alias("_first")
+    )
+    return inst.join(firsts, list(keys))
+
+
 # Block-level keep-first dedup: the line/paragraph dedup stage of web
 # corpus pipelines (CCNet / RefinedWeb strip duplicated lines across
 # the whole crawl before any document-level pass). This corpus has no
@@ -1687,14 +1754,14 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding bound to overflow), so re-partitioning can never flip
     a winner (cross-engine determinism rule 2).
 
-    Skew caveat: the window MIN has no map-side partial aggregation,
-    so a pathologically hot block hash (one boilerplate block
-    repeated across a huge fraction of the corpus) lands its entire
-    partition in one task's window buffer. If profiling shows a
-    single hash dominating (``diag_key_skew`` on ``h``), fall back to
-    the groupBy-min + join-back form for that run — it combines
-    map-side and caps the hot key's reduce-side volume at one row per
-    map partition, at the cost of the second shuffle."""
+    Skew: the window MIN has no map-side partial aggregation, so a
+    pathologically hot block hash (one boilerplate block repeated
+    across a huge fraction of the corpus) lands its entire partition
+    in one task's window buffer. The fallback is CODE, not advice:
+    ``keep_first_min_struct`` dispatches to the map-side-combined
+    groupBy-min + join-back form — statically here (``"window"``, the
+    measured winner on corpora without a flood), by measured census
+    with ``strategy=None`` on an untrusted ingest."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= 1
@@ -1720,13 +1787,14 @@ def dedup_block_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     # firsts relation that is O(distinct blocks) — un-broadcastable at
     # scale, so that join becomes a SECOND corpus-sized shuffle; the
     # window form moves the corpus once (measured 1.8× at sf0.1).
-    wh = Window.partitionBy("h")
-    k = inst.withColumn(
-        "first_ord", F.min(F.struct("doc_id", "idx")).over(wh)
+    # keep_first_min_struct is the dispatch point for the hot-hash
+    # fallback (see its docstring).
+    k = keep_first_min_struct(
+        inst, ["h"], ["doc_id", "idx"], strategy="window"
     ).withColumn(
         "kept",
-        (F.col("doc_id") == F.col("first_ord.doc_id"))
-        & (F.col("idx") == F.col("first_ord.idx")),
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("idx") == F.col("_first.idx")),
     )
     kept_structs = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("idx", "block")))
@@ -1824,12 +1892,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     because both output branches (per-doc counts; run chaining) read
     them.
 
-    Skew caveat: as in ``dedup_block_keep_first``, the window MIN
-    skips map-side partial aggregation — a single boilerplate span
-    hash hot enough to dominate the corpus serializes its partition
-    into one task's window sort. The groupBy-min + join-back form
-    (map-side combined, one row per hot key per map partition) is the
-    fallback when ``diag_key_skew`` flags such a hash."""
+    Skew: as in ``dedup_block_keep_first``, the window MIN skips
+    map-side partial aggregation — a single boilerplate span hash hot
+    enough to dominate the corpus serializes its partition into one
+    task's window sort. The groupBy-min + join-back fallback
+    (map-side combined, one row per hot key per map partition) is
+    wired in ``keep_first_min_struct``: static ``"window"`` here,
+    measured dispatch with ``strategy=None`` on an untrusted
+    ingest."""
     return exact_substring_stats(load_table(spark, sf_dir, "documents"))
 
 
@@ -1856,18 +1926,18 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
     # builds a corpus_windows-row hash relation; the unordered window
     # min shuffles the index ONCE on h and flags in place (measured
     # 2.4x on the flag stage at sf0.1). Same injective struct-min
-    # winner either way.
-    wh = Window.partitionBy("h")
+    # winner either way — keep_first_min_struct is the dispatch point
+    # for the hot-hash fallback (see its docstring).
     k = detach(
-        win.withColumn(
-            "f", F.min(F.struct("doc_id", "pos")).over(wh)
+        keep_first_min_struct(
+            win, ["h"], ["doc_id", "pos"], strategy="window"
         ).select(
             "doc_id",
             "pos",
             (
                 ~(
-                    (F.col("doc_id") == F.col("f.doc_id"))
-                    & (F.col("pos") == F.col("f.pos"))
+                    (F.col("doc_id") == F.col("_first.doc_id"))
+                    & (F.col("pos") == F.col("_first.pos"))
                 )
             ).alias("dup"),
         )

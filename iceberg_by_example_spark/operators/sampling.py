@@ -382,10 +382,11 @@ DSIR_TARGET_LANG = "en"  # the target domain: English-like text
     lr AS (
       SELECT counts.b,
              CAST(ROUND({DSIR_LOG_SCALE} * LN(
-                 CAST((counts.tc + 1) * (tots.raw_tot + {DSIR_BUCKETS})
-                      AS DOUBLE)
-               / CAST((counts.rc + 1) * (tots.tgt_tot + {DSIR_BUCKETS})
-                      AS DOUBLE))) AS BIGINT) AS lw
+                 CAST(counts.tc + 1 AS DOUBLE)
+               * CAST(tots.raw_tot + {DSIR_BUCKETS} AS DOUBLE)
+               / (CAST(counts.rc + 1 AS DOUBLE)
+                  * CAST(tots.tgt_tot + {DSIR_BUCKETS} AS DOUBLE))))
+               AS BIGINT) AS lw
       FROM counts CROSS JOIN tots),
     docb AS (
       SELECT doc_id, b, COUNT(*) AS c FROM feat GROUP BY doc_id, b),
@@ -398,6 +399,7 @@ DSIR_TARGET_LANG = "en"  # the target domain: English-like text
     FROM documents d JOIN w ON d.doc_id = w.doc_id
     """,
     category="pipeline",
+    bench=True,
 )
 def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: estimate a hashed-unigram bag model of
@@ -405,9 +407,10 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one smoothed over DSIR_BUCKETS hashed features, and score each
     doc by sum(count_b * log(p_target(b)/q_raw(b))) — the importance
     log-weight that DSIR resamples by. The per-BUCKET log-ratio is
-    quantized once to DSIR_LOG_SCALE fixed point (256 values, ratios
-    of exact int64 counts → identical doubles → identical rounding in
-    both engines per the repo's ROUND(LN(..)) precedent); the per-DOC
+    quantized once to DSIR_LOG_SCALE fixed point (256 values; each
+    count factor casts to double BEFORE multiplying, so the ratio is
+    overflow-free at any corpus size and bit-identical across engines
+    per the repo's ROUND(LN(..)) precedent); the per-DOC
     aggregation is then pure int64 — order-independent and
     map-side combinable, respecting registry determinism rule 2 (no
     raw double aggregates).
@@ -445,17 +448,24 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = counts.agg(
         F.sum("rc").alias("raw_tot"), F.sum("tc").alias("tgt_tot")
     )
+    # Each factor casts to double BEFORE the multiply (r9 ADVICE #2):
+    # the int64 product (tc+1)*(raw_tot+B) overflows at trillion-token
+    # corpora and ANSI mode errors. IEEE multiplication is correctly
+    # rounded, so double(a)*double(b) == double(a*b) whenever a*b fits
+    # the int64 form at all (each factor < 2^53 long before the
+    # product hits 2^63) — bit-identical log-ratios at every scale the
+    # old form handled, overflow-free far beyond it.
     lr = counts.join(F.broadcast(tots)).select(
         "b",
         F.round(
             F.lit(DSIR_LOG_SCALE)
             * F.ln(
-                (
-                    (F.col("tc") + 1) * (F.col("raw_tot") + DSIR_BUCKETS)
-                ).cast("double")
+                (F.col("tc") + 1).cast("double")
+                * (F.col("raw_tot") + DSIR_BUCKETS).cast("double")
                 / (
-                    (F.col("rc") + 1) * (F.col("tgt_tot") + DSIR_BUCKETS)
-                ).cast("double")
+                    (F.col("rc") + 1).cast("double")
+                    * (F.col("tgt_tot") + DSIR_BUCKETS).cast("double")
+                )
             )
         )
         .cast("long")

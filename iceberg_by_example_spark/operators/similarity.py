@@ -1697,6 +1697,7 @@ def _ranked_pool(scored: DataFrame, key: str, score: str) -> DataFrame:
         dot=_DOT_SQL.format(a="e.embedding", b="qv.qe"),
     ),
     category="similarity",
+    bench=True,
 )
 def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: fuse the BM25 lexical ranking (documents,

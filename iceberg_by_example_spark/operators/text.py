@@ -814,20 +814,36 @@ BM25_K = 10
 BM25_SCALE = 1_000_000  # fixed-point scale for the integer tf saturation
 
 # Okapi parameters k1=1.2, b=0.75 expressed as exact integer ratios so
-# the per-term score is pure int64 arithmetic (bit-identical across
+# the per-term score is pure integer arithmetic (bit-identical across
 # engines):  tf_sat = (k1+1)*tf / (tf + k1*(1-b) + k1*b*dl/avgdl)
 # with avgdl = D/N multiplies through by 10*D into
 #   num = 22 * D * tf          (2.2 * tf * 10D)
 #   den = 10*D*tf + 3*D + 9*N*dl   (k1(1-b)=0.3, k1*b=0.9)
 # and the IDF is the repo's integer rarity weight (N - df), the same
 # monotone surrogate text_tfidf_topterms uses instead of ln(N/df).
+#
+# Overflow headroom: the numerator BM25_SCALE*22*D*tf crosses int64 at
+# D*tf ~ 4e11 — reachable on any production corpus (r9 ADVICE #1) — so
+# the term evaluates in 128-bit integers: DECIMAL(38,0) in Spark (its
+# `div` computes the exact integral quotient of decimals and returns
+# BIGINT), HUGEINT in DuckDB. Identical exact quotients, therefore
+# bit-identical scores, at every scale the int64 form handled; the new
+# safe bound is num < 1e38, i.e. corpus_tokens * tf < ~4.5e30 —
+# unreachable (SCALING.md "BM25 fixed-point headroom"). The quotient
+# itself is <= 2.2*BM25_SCALE, so the outer (n_docs - df) * quotient
+# product stays in int64 up to ~4e11 docs; SUM over |Q|=3 terms is
+# CAST AS BIGINT in both engines.
 _BM25_TERM_SQL = (
-    f"(n_docs - df) * (({BM25_SCALE} * 22 * d_tokens * tf)"
-    f" // (10 * d_tokens * tf + 3 * d_tokens + 9 * n_docs * dl))"
+    f"(n_docs - df) * ((CAST({BM25_SCALE} AS HUGEINT) * 22 * d_tokens * tf)"
+    f" // (10 * CAST(d_tokens AS HUGEINT) * tf + 3 * d_tokens"
+    f" + 9 * CAST(n_docs AS HUGEINT) * dl))"
 )
 _BM25_TERM_SPARK = (
-    f"(n_docs - df) * ((CAST({BM25_SCALE} AS BIGINT) * 22 * d_tokens * tf)"
-    f" div (10 * d_tokens * tf + 3 * d_tokens + 9 * n_docs * dl))"
+    f"(n_docs - df) * ((CAST({BM25_SCALE} AS DECIMAL(38,0)) * 22"
+    f" * d_tokens * tf)"
+    f" div (CAST(10 AS DECIMAL(38,0)) * d_tokens * tf"
+    f" + CAST(3 AS DECIMAL(38,0)) * d_tokens"
+    f" + CAST(9 AS DECIMAL(38,0)) * n_docs * dl))"
 )
 
 
@@ -869,15 +885,17 @@ _BM25_SCORED_CTES = f"""toks AS (
     ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}
     """,
     category="text",
+    bench=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval for a fixed term query — the inverted-index
-    scorer (tf, df, doc-length normalization) in exact int64 fixed
+    scorer (tf, df, doc-length normalization) in exact integer fixed
     point: Okapi k1=1.2 / b=0.75 become the integer ratios 22/10, 3/10
     and 9/10 multiplied through by 10*D (see _BM25_TERM_SQL), the tf
-    saturation is one integer division, and the IDF is the integer
-    rarity weight (N - df) — so the score is bit-identical across
-    engines, no float in sight.
+    saturation is one 128-bit integral division (DECIMAL(38,0) div /
+    HUGEINT — int64 would overflow at ~4e11 corpus tokens), and the
+    IDF is the integer rarity weight (N - df) — so the score is
+    bit-identical across engines, no float in sight.
 
     Scale shape: tf/df/dl are map-side-combinable integer aggregates
     over the token explode (the postings build — computed once, reused

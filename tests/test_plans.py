@@ -270,8 +270,18 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "dedup_span_winnow": 5,  # same census/pairing shape; selection is
     # map-side (inside the token array), the index it shuffles is the
     # winnowed ~1/WINNOW_W subset
+    "dedup_two_tier_substring": 2,  # post-pin, like exact_substring:
+    # tier 1 (winnow pairs + flag semi-join + keep-first window) runs
+    # eagerly behind the detach pin; the snapshot sees tier 2's
+    # per-doc window + agg branches only
 
     "events_user_sessions": 1,
+    "pipeline_dsir_weights": 4,  # bucket counts, doc-bucket counts,
+    # per-doc weight agg, final doc join; the 256-row model broadcasts
+    "sim_hybrid_rrf_topk": 6,  # two candidate generators (BM25
+    # postings tf/dl/df aggs + dense doc join) + two 50-row rank pools
+    "text_bm25_topk": 6,  # postings build (tf, dl) + query-sliced df
+    # + per-doc score agg; top-k is TakeOrderedAndProject, no sort
     "join_broadcast_dims": 1,
     "join_sortmerge_facts": 1,
     "multimodal_decode_stats": 1,

@@ -658,15 +658,32 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
         .outputMode("append")
         .start()
     )
+    import datetime as dt
+    import time
+
+    ts_sorted = sorted(r["ts"] for r in events.select("ts").collect())
+    t_mid = ts_sorted[len(ts_sorted) // 2 - 1]
+
     try:
         q.processAllAvailable()
         # the trailing no-data microbatch (which applies the FINAL
         # watermark and evicts the last sentinels) can race
-        # processAllAvailable — give it one grace cycle; assertions
-        # below only rely on the guaranteed-applied watermark anyway
-        import time
-
-        time.sleep(2)
+        # processAllAvailable. Poll lastProgress for the watermark
+        # actually reaching the guaranteed floor (the median-derived
+        # cutoff the assertions rely on) instead of a fixed sleep
+        # (r9 ADVICE #4): deterministic on a loaded box, no dead time
+        # on a fast one.
+        target = t_mid - dt.timedelta(hours=1)
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            w = ((q.lastProgress or {}).get("eventTime") or {}).get(
+                "watermark"
+            )
+            if w and dt.datetime.strptime(
+                w, "%Y-%m-%dT%H:%M:%S.%fZ"
+            ) >= target:
+                break
+            time.sleep(0.2)
         q.processAllAvailable()
         got = spark.sql("SELECT * FROM ssj_outer_test").collect()
     finally:
@@ -706,10 +723,6 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     # to the median ts): it is applied during the final data batch.
     # The final watermark may or may not have been applied (no-data
     # microbatch timing), so the cutoff derives from the median.
-    import datetime as dt
-
-    ts_sorted = sorted(r["ts"] for r in events.select("ts").collect())
-    t_mid = ts_sorted[len(ts_sorted) // 2 - 1]
     cutoff = t_mid - dt.timedelta(hours=1, minutes=ATTRIB_WINDOW_MIN + 5)
     p_ts = {
         r["event_id"]: r["ts"]
