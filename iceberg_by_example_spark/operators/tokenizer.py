@@ -1,0 +1,256 @@
+"""BPE tokenizer training + exact subword accounting over ``documents``.
+
+North-star extension (SURVEY.md §2.13 — the reference has no text
+surface at all): a training-data pipeline doesn't just *estimate* token
+budgets (``text_bpe_token_estimate``), it trains the tokenizer on the
+corpus and then accounts for every document in exact learned-subword
+units. This module implements the classic byte-pair-encoding trainer of
+Sennrich, Haddow & Birch (ACL 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — public algorithm) re-expressed for Spark's
+execution model:
+
+- **One distributed corpus pass** builds the word-frequency table — a
+  map-side-combinable ``groupBy(word).count`` (partial aggregation per
+  partition, vocabulary-sized shuffle, never a corpus-sized one),
+  bounded to the top ``vocab_cap`` words by the injective order
+  (freq DESC, word ASC) via TakeOrderedAndProject.
+- **The merge loop runs on the bounded table, driver-side** — exactly
+  as Sennrich's reference implementation does: BPE training operates on
+  the word-frequency *dictionary*, not the corpus, so its cost is
+  O(vocab_cap · n_merges) and INDEPENDENT of corpus size. At 100 TB the
+  corpus pass is the only data-sized stage; the loop state is a few
+  thousand (word, freq) pairs. This is a driver loop over a bounded,
+  capped relation — the same measured-bound philosophy as
+  ``dedup.components_adaptive``, not a driver loop over data.
+- **Application is a broadcast head join + a distinct-word Python
+  tail.** Per-doc word counts reduce the corpus to (doc_id, word,
+  count); in-vocab words (the frequency mass, by Zipf) hit a broadcast
+  word→pieces map — zero Python. Out-of-vocab words are encoded ONCE
+  per *distinct* word by an Arrow-batched pandas UDF (the greedy
+  lowest-rank merge loop is genuinely iterative — no built-in column
+  expression expresses it), then joined back. Python cost is
+  O(distinct OOV words) — Heaps-law growth, not corpus-token growth —
+  and the UDF input is the deduplicated word list, never document text.
+
+Representation: a word is its character sequence plus a final ``</w>``
+end-of-word symbol (so learned merges can distinguish suffixes). With
+zero merges every word therefore counts ``len(word) + 1`` pieces.
+Merge selection is fully deterministic: highest pair count, ties broken
+by the lexicographically smallest pair; training stops early when the
+best pair occurs fewer than 2 times (no compression benefit).
+
+Everything here is pytest-proven against a from-scratch pure-Python
+reference (trainer AND encoder) in tests/test_llm_ops.py — the Spark
+path must reproduce the reference merge list and per-document piece
+counts exactly. Unregistered this round (r10's registry budget was
+spent on ``dedup_two_tier_substring``); the per-doc stats query is
+registration-ready for a future slot.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.sources.tpch import load_table
+
+END_WORD = "</w>"
+BPE_MERGES = 200
+BPE_VOCAB_CAP = 4096
+
+# Word tokenization for the whole module: lowercased maximal ASCII
+# alpha runs. Kept deliberately simple and regex-expressible so the
+# corpus pass stays a pure column expression.
+_WORD_RE = "[a-z]+"
+
+
+def _words_col():
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Driver-side trainer + encoder (pure Python on the BOUNDED vocab table).
+# These double as the algorithm specification: the pytest reference
+# re-implements them independently and the two must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(word_freqs: Iterable[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from a (word, freq) table.
+
+    Sennrich-style: each word is a symbol tuple (chars + END_WORD);
+    every round counts adjacent symbol pairs weighted by word frequency,
+    merges the most frequent pair everywhere, and records it. Ties take
+    the lexicographically smallest pair; training stops early once the
+    best pair's weighted count drops below 2.
+    """
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(word) + (END_WORD,): freq for word, freq in word_freqs
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for symbols, freq in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        # max count first; ties -> lexicographically smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for symbols, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == best[0]
+                    and symbols[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with learned merges: repeatedly apply the
+    LOWEST-rank (earliest-learned) adjacent pair present — the standard
+    greedy BPE segmenter. Deterministic for any rank table."""
+    symbols: list[str] = list(word) + [END_WORD]
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(symbols, symbols[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_counts(docs: DataFrame, vocab_cap: int = BPE_VOCAB_CAP) -> DataFrame:
+    """The single corpus-sized stage: (word, freq) for the top
+    ``vocab_cap`` words. groupBy is map-side combinable (partial counts
+    per partition, the shuffle carries distinct words, not tokens); the
+    cap is the injective order (freq DESC, word ASC) so the selected
+    head is unique — physically TakeOrderedAndProject, never a global
+    sort of the vocabulary."""
+    return (
+        docs.select(F.explode(_words_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(vocab_cap)
+    )
+
+
+def bpe_learn_from_corpus(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """Corpus pass + driver-side training. The collect is the capped
+    vocab table (≤ vocab_cap rows by construction), not data."""
+    head = [(r["w"], r["freq"]) for r in bpe_word_counts(docs, vocab_cap).collect()]
+    return bpe_train(head, n_merges), head
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> DataFrame:
+    """Exact learned-BPE accounting per document: (doc_id, n_words,
+    n_pieces, n_oov_words, n_oov_pieces).
+
+    Head/tail split: per-doc word counts land once (one corpus-sized
+    shuffle on (doc_id, w)); in-vocab words join the broadcast
+    word→n_pieces table (≤ vocab_cap rows — bounded by construction,
+    the hint is safe); the OOV remainder is deduplicated to DISTINCT
+    words before the pandas-UDF encode, then joined back WITHOUT a
+    broadcast hint (the distinct-OOV relation is corpus-dependent; AQE
+    picks broadcast when its measured size allows, exactly the
+    ``dedup_two_tier_substring`` policy).
+    """
+    spark = docs.sparkSession
+    merges, head = bpe_learn_from_corpus(docs, n_merges, vocab_cap)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    enc_rows = [(w, len(bpe_encode(w, ranks))) for w, _ in head]
+    enc = spark.createDataFrame(enc_rows, "w string, n_pieces bigint")
+
+    wc = (
+        docs.select("doc_id", F.explode(_words_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    joined = wc.join(F.broadcast(enc), "w", "left")
+    inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
+        "oov", F.lit(False)
+    )
+
+    @F.pandas_udf("bigint")
+    def _oov_pieces(words: pd.Series) -> pd.Series:
+        # Arrow-batched; input is the DISTINCT OOV word list, one row
+        # per word — Python cost scales with vocabulary breadth
+        # (Heaps' law), never with corpus token count.
+        return words.map(lambda w: len(bpe_encode(w, ranks)))
+
+    oov_words = joined.filter(F.col("n_pieces").isNull()).select("w").distinct()
+    oov_enc = oov_words.select("w", _oov_pieces("w").alias("n_pieces"))
+    oov = (
+        joined.filter(F.col("n_pieces").isNull())
+        .drop("n_pieces")
+        .join(oov_enc, "w")
+        .withColumn("oov", F.lit(True))
+    )
+
+    per_word = inv.unionByName(oov)
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))).alias(
+                "n_oov_words"
+            ),
+            F.sum(
+                F.when(F.col("oov"), F.col("c") * F.col("n_pieces")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov_pieces"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            F.col("n_oov_words").cast("long").alias("n_oov_words"),
+            F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
+        )
+    )
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registration-ready entry shape (spark, sf_dir) over the
+    documents table, with demo-scaled training parameters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_tokenize_stats(docs, n_merges=BPE_MERGES, vocab_cap=BPE_VOCAB_CAP)
