@@ -1560,6 +1560,71 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Batch-vs-corpus winnowed SPAN dedup — the steady-state ingest
+    shape for verbatim-substring contamination, completing the
+    incremental triad (exact fingerprints: ``dedup_incremental_exact``;
+    near-dup sets: ``dedup_incremental_minhash``; shared runs: this).
+    Today's batch is winnowed (``winnow_keys`` — content-defined
+    selection inside the token array, so the alignment-free >=
+    TWO_TIER_HORIZON-token detection guarantee holds between a batch
+    doc and a corpus doc exactly as it does corpus-wide) and its keys
+    probe the standing corpus index; batch<->batch and corpus<->corpus
+    pairs are never formed.
+
+    The df cap is computed on the CORPUS index alone — deliberately:
+    the census is a property of the materialized index a production
+    pipeline keeps between runs (refreshed by the same commit that
+    appends the day's keys), not something recomputed over
+    corpus+batch per ingest. A key that is boilerplate in the corpus
+    (df > SPAN_DF_CAP) is skipped at probe time, bounding the join
+    fan-out per batch key to O(SPAN_DF_CAP) index rows; a key that is
+    rare in the corpus stays probeable no matter how often today's
+    batch repeats it (the batch's own repetition shows up as multiple
+    batch_doc rows, never as a bigger per-key fan-out).
+
+    Scale shape: per-ingest cost is O(batch keys + probed index
+    rows), independent of corpus text bytes. The corpus side is the
+    keys-only winnow index (~tokens/WINNOW_W rows); bucketed on ``k``
+    at write time the probe join needs no corpus-side exchange
+    (``join_bucketed_colocated``'s trick applied to the dedup index,
+    same note as the minhash variant). Returns (batch_doc,
+    corpus_doc, shared_keys)."""
+    census = corpus.groupBy("k").agg(F.count("*").alias("df"))
+    probe = batch.join(
+        census.filter(F.col("df") <= SPAN_DF_CAP), "k", "left_semi"
+    )
+    return (
+        probe.alias("n")
+        .join(corpus.alias("o"), "k")
+        .groupBy(
+            F.col("n.doc_id").alias("batch_doc"),
+            F.col("o.doc_id").alias("corpus_doc"),
+        )
+        .agg(F.count("*").alias("shared_keys"))
+    )
+
+
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_winnow_pairs`` over the documents table with the
+    same deterministic ``incr`` carve as ``dedup_incremental_exact``
+    (docs hashing under INCR_BATCH_BUCKET play today's ingest).
+    Unregistered this round (r10's registry slot went to
+    ``dedup_two_tier_substring``); registration-ready — the oracle is
+    the ``dedup_span_winnow`` CTE chain with the census CTE filtered
+    to the corpus slice and the final join taking batch keys on the
+    left (both halves already grade green)."""
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    keys = winnow_keys(load_table(spark, sf_dir, "documents")).withColumn(
+        "bucket", hash_bucket(F.col("doc_id"), "incr")
+    )
+    return incremental_winnow_pairs(
+        keys.filter(F.col("bucket") < INCR_BATCH_BUCKET).select("doc_id", "k"),
+        keys.filter(F.col("bucket") >= INCR_BATCH_BUCKET).select("doc_id", "k"),
+    )
+
+
 @register(
     "dedup_cluster_report",
     oracle="""

@@ -483,3 +483,143 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang").join(w, "doc_id").select(
         "doc_id", "lang", "dsir_weight", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection: importance resampling via Gumbel top-k
+# ---------------------------------------------------------------------------
+
+DSIR_RESAMPLE_K = 200
+
+
+def _gumbel_uniform(doc_id) -> "F.Column":
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    return (
+        _md5_hash60(F.concat(F.lit("gumbel:"), doc_id.cast("string"))).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+
+
+def dsir_gumbel_topk(weights: DataFrame, k: int = DSIR_RESAMPLE_K) -> DataFrame:
+    """Turn DSIR importance log-weights into an actual SELECTED SUBSET
+    — the second half of Xie et al. 2023 (the paper itself resamples
+    with the Gumbel top-k trick, §2.2): adding independent Gumbel
+    noise G_i = -ln(-ln(U_i)) to each doc's log-weight and keeping the
+    k largest keys draws k docs WITHOUT replacement with probability
+    proportional to exp(log-weight) (Vieira 2014, "Gumbel-max trick
+    and weighted reservoir sampling" — the Efraimidis–Spirakis A-ES
+    scheme in log space). No sequential reservoir state, no rejection
+    loop: selection is a pure per-row key plus one top-k.
+
+    Determinism/portability: U_i is the salted 60-bit md5 integer of
+    doc_id mapped to (0,1) — ``('0x'||SUBSTR(MD5('gumbel:'||id),1,15))
+    ::BIGINT`` in DuckDB — and the Gumbel value is quantized ONCE to
+    DSIR_LOG_SCALE fixed point (the repo's ROUND(LN(..)) precedent),
+    so the sort key is pure int64: ``dsir_weight + gq``, bit-identical
+    across engines and across runs. Changing the salt re-draws the
+    sample; nothing else moves.
+
+    Scale shape: the key is a narrow map over the weights relation
+    (itself one partial-agg groupBy — see ``pipeline_dsir_weights``);
+    top-k by (key DESC, doc_id ASC) with the injective doc_id
+    tie-break compiles to TakeOrderedAndProject — per-partition heaps
+    plus a k-row driver merge, never a global sort. At 100 TB the
+    selected set is usually a FRACTION, not a count: for that, swap
+    the limit for a threshold on the same key against a quantile from
+    ``agg_quantile_hash_sample`` — the key construction (the part
+    that carries the statistics) is unchanged."""
+    u = _gumbel_uniform(F.col("doc_id"))
+    keyed = weights.withColumn(
+        "gumbel_key",
+        F.col("dsir_weight")
+        + F.round(F.lit(DSIR_LOG_SCALE) * -F.ln(-F.ln(u))).cast("long"),
+    )
+    return keyed.orderBy(
+        F.desc("gumbel_key"), F.asc("doc_id")
+    ).limit(k)
+
+
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dsir_gumbel_topk`` over ``pipeline_dsir_weights`` — the full
+    DSIR pipeline as one plan: hashed-unigram importance weights, then
+    a k-doc importance resample. Unregistered this round (r10's
+    registry slot went to ``dedup_two_tier_substring``);
+    registration-ready — the oracle is the registered DSIR CTE chain
+    plus the one-line key expression above, ordered by (gumbel_key
+    DESC, doc_id) LIMIT k."""
+    return dsir_gumbel_topk(pipeline_dsir_weights(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture: the multilingual/multi-domain alpha knob
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # the standard multilingual sampling temperature
+MIX_POW_SCALE = 1_000_000  # n^alpha quantized to 1e-6 fixed point
+
+
+def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Temperature-scaled mixture shares: p_i ∝ n_i^alpha over the
+    per-source token counts — the exponent knob from the multilingual
+    pre-training literature (mBERT/XLM-R's exponential smoothing,
+    alpha = 0.3; UniMax is the same family with an epoch cap, which
+    this repo already implements as ``pipeline_epoch_plan``). alpha = 1
+    reproduces the natural (token-proportional) mix; alpha → 0
+    approaches uniform-by-source; in between, small domains are
+    up-weighted smoothly without the cliff of a hand-set target table
+    (``pipeline_domain_mix``'s input).
+
+    Determinism: n_i^alpha is computed per SOURCE (a handful of rows,
+    not per doc) and quantized once to MIX_POW_SCALE fixed point —
+    ``ROUND(1e6 * EXP(alpha * LN(n)))`` — so the normalizing sum is
+    pure int64 and the shares are exact integer ratios cast at the
+    end; bit-identical across engines and partitionings (registry
+    determinism rule 2).
+
+    Scale shape: one map-side-combined groupBy(source) over the
+    corpus, then all arithmetic happens on the sources relation
+    (hundreds of rows at most) with the 1-row grand total joined back
+    as a broadcast. Nothing downstream of the first aggregate ever
+    touches data again. Expects columns (source, source_tokens);
+    returns shares plus the boost factor vs the natural mix."""
+    powed = per_source.withColumn(
+        "pow_q",
+        F.round(
+            F.lit(MIX_POW_SCALE)
+            * F.exp(F.lit(alpha) * F.ln(F.col("source_tokens").cast("double")))
+        ).cast("long"),
+    )
+    tot = powed.agg(
+        F.sum("pow_q").alias("pow_tot"),
+        F.sum("source_tokens").alias("tok_tot"),
+    )
+    nat = F.col("source_tokens").cast("double") / F.col("tok_tot")
+    tmp = F.col("pow_q").cast("double") / F.col("pow_tot")
+    return (
+        powed.join(F.broadcast(tot))
+        .select(
+            "source",
+            "source_tokens",
+            nat.alias("natural_share"),
+            tmp.alias("temp_share"),
+            (tmp / nat).alias("boost"),
+        )
+    )
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``temperature_mix_rates`` over the documents table's per-source
+    token counts. Unregistered this round (r10's registry slot went to
+    ``dedup_two_tier_substring``); registration-ready — the oracle is
+    the ``pipeline_domain_mix`` per-source CTE with the fixed-point
+    POW/SUM spelled in ANSI SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    return temperature_mix_rates(per_source)

@@ -1980,3 +1980,167 @@ def test_bpe_word_counts_plan_is_bounded_topk(bpe_docs):
 
     plan = bpe_word_counts(bpe_docs, vocab_cap=16)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnow (batch-vs-corpus span dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_winnow_probe_semantics(spark):
+    """On the planted corpus (P1 shared by docs 2/7, P2 by 4/9, both at
+    strided-sampler-hostile alignments): a batch containing one side of
+    each plant reports exactly the batch->corpus pairs; putting BOTH
+    sides of a plant in the batch (or leaving both in the corpus)
+    reports nothing — batch<->batch and corpus<->corpus pairs are
+    structurally never formed. The result must also equal the full
+    ``span_winnow_pairs`` set restricted to cross-slice pairs (the
+    census here is corpus-side-only, but every planted key has
+    corpus-df 1, far under the cap, so the two bounds coincide)."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_winnow_pairs,
+        span_winnow_pairs,
+        winnow_keys,
+    )
+
+    docs = _planted_substring_corpus(spark)
+    keys = winnow_keys(docs)
+    batch_ids = {7, 9, 5}
+
+    out = {
+        (r["batch_doc"], r["corpus_doc"]): r["shared_keys"]
+        for r in incremental_winnow_pairs(
+            keys.filter(F.col("doc_id").isin(*batch_ids)),
+            keys.filter(~F.col("doc_id").isin(*batch_ids)),
+        ).collect()
+    }
+    assert set(out) == {(7, 2), (9, 4)}
+    assert all(v >= 1 for v in out.values())
+
+    full_cross = {}
+    for r in span_winnow_pairs(docs).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in batch_ids) != (b in batch_ids):
+            key = (a, b) if a in batch_ids else (b, a)
+            full_cross[key] = r["shared_keys"]
+    assert out == full_cross
+
+    # both sides of P1 in the batch: batch<->batch excluded, and the
+    # corpus-side plant (4/9) is corpus<->corpus — nothing to report
+    assert (
+        incremental_winnow_pairs(
+            keys.filter(F.col("doc_id").isin(2, 7)),
+            keys.filter(~F.col("doc_id").isin(2, 7)),
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR Gumbel top-k resample
+# ---------------------------------------------------------------------------
+
+
+def _gumbel_key_ref(doc_id: int, dsir_weight: int) -> int:
+    """Pure-Python twin of dsir_gumbel_topk's key, Spark ROUND
+    (HALF_UP) semantics included."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    h = int(hashlib.md5(f"gumbel:{doc_id}".encode()).hexdigest()[:15], 16)
+    u = (h + 0.5) / float(1 << 60)
+    g = 1_000_000 * -math.log(-math.log(u))
+    return dsir_weight + int(
+        Decimal(repr(g)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_dsir_gumbel_topk_matches_reference(spark, sf_dir):
+    """The selected set (and every key) must equal a from-scratch
+    Python recomputation over the collected weights — the whole
+    noise-injection path is deterministic — and must be invariant to
+    the input's partitioning (TakeOrderedAndProject's merge is
+    order-free given the injective tie-break)."""
+    from iceberg_by_example_spark.operators.sampling import (
+        dsir_gumbel_topk,
+        pipeline_dsir_weights,
+    )
+
+    w = pipeline_dsir_weights(spark, sf_dir)
+    got = [
+        (r["gumbel_key"], r["doc_id"])
+        for r in dsir_gumbel_topk(w, k=25).collect()
+    ]
+    ref = sorted(
+        (
+            (_gumbel_key_ref(r["doc_id"], r["dsir_weight"]), r["doc_id"])
+            for r in w.collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert got == ref
+
+    reparted = [
+        (r["gumbel_key"], r["doc_id"])
+        for r in dsir_gumbel_topk(w.repartition(13), k=25).collect()
+    ]
+    assert reparted == ref
+
+
+def test_dsir_gumbel_topk_weight_dominance(spark):
+    """Gumbel noise is bounded on a finite corpus: a doc whose
+    log-weight exceeds every other by more than the observed noise
+    spread is always selected — the importance weights, not the noise,
+    carry the decision."""
+    from iceberg_by_example_spark.operators.sampling import dsir_gumbel_topk
+
+    rows = [(i, 0) for i in range(1, 50)] + [(99, 50_000_000)]
+    w = spark.createDataFrame(rows, "doc_id long, dsir_weight long")
+    top = dsir_gumbel_topk(w, k=1).collect()
+    assert [r["doc_id"] for r in top] == [99]
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_properties(spark):
+    from iceberg_by_example_spark.operators.sampling import (
+        MIX_POW_SCALE,
+        temperature_mix_rates,
+    )
+
+    per_source = spark.createDataFrame(
+        [("big", 1_000_000), ("s1", 1_000), ("s2", 1_000)],
+        "source string, source_tokens long",
+    )
+    rows = {r["source"]: r for r in temperature_mix_rates(per_source).collect()}
+
+    # shares are a distribution; equal sources get identical shares
+    assert abs(sum(r["temp_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows["s1"]["temp_share"] == rows["s2"]["temp_share"]
+    # alpha < 1: small domains boosted, the big one damped — but the
+    # ORDER of shares still follows size
+    assert rows["s1"]["boost"] > 1.0 > rows["big"]["boost"]
+    assert rows["big"]["temp_share"] > rows["s1"]["temp_share"]
+
+    # exact fixed-point twin: pow_q = ROUND(1e6 * n^alpha)
+    import math
+
+    pow_q = {
+        s: round(MIX_POW_SCALE * math.exp(0.3 * math.log(n)))
+        for s, n in (("big", 1_000_000), ("s1", 1_000), ("s2", 1_000))
+    }
+    tot = sum(pow_q.values())
+    for s in rows:
+        assert abs(rows[s]["temp_share"] - pow_q[s] / tot) < 1e-12
+
+    # alpha = 1 reproduces the natural mix (within quantization)
+    nat = {
+        r["source"]: r
+        for r in temperature_mix_rates(per_source, alpha=1.0).collect()
+    }
+    for s in nat:
+        assert abs(nat[s]["temp_share"] - nat[s]["natural_share"]) < 1e-9
