@@ -1586,9 +1586,11 @@ def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     Scale shape: per-ingest cost is O(batch keys + probed index
     rows), independent of corpus text bytes. The corpus side is the
     keys-only winnow index (~tokens/WINNOW_W rows); bucketed on ``k``
-    at write time the probe join needs no corpus-side exchange
-    (``join_bucketed_colocated``'s trick applied to the dedup index,
-    same note as the minhash variant). Returns (batch_doc,
+    at write time (``winnow_index_table``) the probe join needs no
+    corpus-side exchange — pytest materializes the bucketed index and
+    asserts no Exchange node has the index scan in its subtree
+    (``test_incremental_winnow_bucketed_index_exchange_free``), the
+    executable form of this paragraph. Returns (batch_doc,
     corpus_doc, shared_keys)."""
     census = corpus.groupBy("k").agg(F.count("*").alias("df"))
     probe = batch.join(
@@ -1605,6 +1607,50 @@ def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_INDEX_BUCKETS = 8
+
+
+def winnow_index_table(
+    spark: SparkSession, corpus_keys: DataFrame, name: str = "widx"
+) -> DataFrame:
+    """Materialize the standing winnow-key corpus index as a table
+    BUCKETED BY ``k`` and return it — the pay-once-shuffle-never form
+    the incremental ingest keeps between runs. Both consumers of the
+    index then run WITHOUT any corpus-side exchange: the df-cap census
+    (``groupBy(k)``) aggregates directly over co-located buckets, and
+    the probe join's index side is a bucket-local sort over the scan
+    (only today's BATCH keys shuffle, sized O(batch)). Same trick as
+    ``join_bucketed_colocated`` (operators/joins.py) applied to the
+    dedup index; at production scale the daily refresh appends the
+    day's keys with the same bucket spec, so the property persists
+    across ingests.
+
+    The database is pid-scoped scratch (one per process, reclaimed by
+    re-create) — callers hand in the corpus keys relation and get back
+    the bucketed table's DataFrame."""
+    import os
+    import shutil
+    import tempfile
+
+    db = f"winnowidx_{os.getpid()}"
+    loc = os.path.join(tempfile.gettempdir(), db)
+    if not spark.catalog.databaseExists(db):
+        shutil.rmtree(loc, ignore_errors=True)
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    table = f"{db}.{name}"
+    if not spark.catalog.tableExists(table):
+        # location is pid-derived: any leftover dir is this process's
+        # own (a prior Spark session in the same test run) — reclaim
+        # before saveAsTable, which refuses to create over it.
+        shutil.rmtree(os.path.join(loc, name), ignore_errors=True)
+        (
+            corpus_keys.write.bucketBy(WINNOW_INDEX_BUCKETS, "k")
+            .sortBy("k")
+            .saveAsTable(table)
+        )
+    return spark.table(table)
+
+
 def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``incremental_winnow_pairs`` over the documents table with the
     same deterministic ``incr`` carve as ``dedup_incremental_exact``
@@ -1616,8 +1662,18 @@ def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     left (both halves already grade green)."""
     from iceberg_by_example_spark.operators.sampling import hash_bucket
 
-    keys = winnow_keys(load_table(spark, sf_dir, "documents")).withColumn(
-        "bucket", hash_bucket(F.col("doc_id"), "incr")
+    # Persist the keys relation BEFORE slicing (r10 ADVICE #3): both
+    # filtered branches consume it, and without the persist the full
+    # tokenize + span-hash + array_min winnow map would execute twice
+    # per invocation — much heavier than the analogous double-scan in
+    # dedup_incremental_exact, where the fingerprint is a single md5.
+    # In production the corpus slice IS a materialized index on disk
+    # (see incremental_winnow_pairs), so nothing is recomputed at all;
+    # the persist is the in-session stand-in for that materialization.
+    keys = (
+        winnow_keys(load_table(spark, sf_dir, "documents"))
+        .withColumn("bucket", hash_bucket(F.col("doc_id"), "incr"))
+        .persist()
     )
     return incremental_winnow_pairs(
         keys.filter(F.col("bucket") < INCR_BATCH_BUCKET).select("doc_id", "k"),
@@ -1710,6 +1766,7 @@ def keep_first_min_struct(
     ords: list[str],
     strategy: str | None = "window",
     hot_max: int = KEEP_FIRST_HOT_MAX,
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate every row of ``inst`` with ``_first`` = the per-``keys``
     struct-MIN of ``ords`` — the keep-first winner — choosing between
@@ -1727,21 +1784,28 @@ def keep_first_min_struct(
       pattern: one map-side-combinable census pass computes the max
       per-key multiplicity (the same number ``diag_key_skew`` reports
       for join keys), and the fallback fires iff it exceeds
-      ``hot_max``. The census costs an extra pass over ``inst``; the
-      registered bench queries keep the static window default, a
-      production ingest that can't rule out boilerplate floods runs
-      with ``strategy=None``.
+      ``hot_max``. Measuring costs an extra pass over ``inst`` UNLESS
+      the caller hands in the census it already computed: every
+      df-capped stage in this module builds ``groupBy(key).count``
+      anyway (the span/winnow paths at their SPAN_DF_CAP filters), and
+      a production ingest keeps that census materialized with its
+      index between runs. Pass it as ``census`` — any DataFrame whose
+      FIRST column after ``keys`` is the per-key multiplicity — and
+      the dispatch reads max(count) from it instead of re-scanning
+      ``inst`` (r10 "What's wrong" #2). The registered bench queries
+      keep the static window default; a production ingest that can't
+      rule out boilerplate floods runs with ``strategy=None``.
 
     Winner identity is a lexicographic struct-MIN — injective for any
     ords tuple, so both forms (and any partitioning) pick the same
     winner; pytest pins result equality and that the fallback plan
     actually drops the Window operator on a planted hot key."""
     if strategy is None:
+        if census is None:
+            census = inst.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        count_col = [c for c in census.columns if c not in keys][0]
         hot = (
-            inst.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("mx"))
-            .collect()[0]["mx"]
+            census.agg(F.max(count_col).alias("mx")).collect()[0]["mx"]
         )
         strategy = "combined" if (hot or 0) > hot_max else "window"
     if strategy == "window":

@@ -492,15 +492,31 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_RESAMPLE_K = 200
 
 
+# Largest double strictly below 1.0: the clamp ceiling for the
+# uniform. A 60-bit hash within ~64 of 2^60 rounds UP to exactly 2^60
+# when cast to double, making u == 1.0; then -ln(-ln(u)) is +Infinity,
+# round(inf).cast('long') saturates to Long.MaxValue, and the
+# 'dsir_weight + gq' key overflows int64 (wraps non-ANSI, errors ANSI).
+# Probability ~2^-54 per doc — but at trillion-doc corpora that is a
+# real row, and the repo's standard is closing exactly these cliffs.
+# DuckDB twin literal: 0.9999999999999999 (= 1 - 2^-53 exactly).
+_GUMBEL_U_MAX = 1.0 - 2.0**-53
+
+
+def _gumbel_uniform_from_hash(h60) -> "F.Column":
+    """(0,1) uniform from a 60-bit integer hash column, clamped below
+    1.0 — split out from ``_gumbel_uniform`` so the headroom test can
+    drive the 2^60-edge hash values directly."""
+    u = (h60.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return F.least(u, F.lit(_GUMBEL_U_MAX))
+
+
 def _gumbel_uniform(doc_id) -> "F.Column":
     from iceberg_by_example_spark.operators.dedup import _md5_hash60
 
-    return (
-        _md5_hash60(F.concat(F.lit("gumbel:"), doc_id.cast("string"))).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 60))
+    return _gumbel_uniform_from_hash(
+        _md5_hash60(F.concat(F.lit("gumbel:"), doc_id.cast("string")))
+    )
 
 
 def dsir_gumbel_topk(weights: DataFrame, k: int = DSIR_RESAMPLE_K) -> DataFrame:
@@ -542,14 +558,73 @@ def dsir_gumbel_topk(weights: DataFrame, k: int = DSIR_RESAMPLE_K) -> DataFrame:
     ).limit(k)
 
 
+@register(
+    "pipeline_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             (('0x' || SUBSTR(MD5(term), 1, 15))::BIGINT) % {DSIR_BUCKETS}
+               AS b
+      FROM toks WHERE term <> ''),
+    counts AS (
+      SELECT b, COUNT(*) AS rc,
+             COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tc
+      FROM feat GROUP BY b),
+    tots AS (
+      SELECT CAST(SUM(rc) AS BIGINT) AS raw_tot,
+             CAST(SUM(tc) AS BIGINT) AS tgt_tot
+      FROM counts),
+    lr AS (
+      SELECT counts.b,
+             CAST(ROUND({DSIR_LOG_SCALE} * LN(
+                 CAST(counts.tc + 1 AS DOUBLE)
+               * CAST(tots.raw_tot + {DSIR_BUCKETS} AS DOUBLE)
+               / (CAST(counts.rc + 1 AS DOUBLE)
+                  * CAST(tots.tgt_tot + {DSIR_BUCKETS} AS DOUBLE))))
+               AS BIGINT) AS lw
+      FROM counts CROSS JOIN tots),
+    docb AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM feat GROUP BY doc_id, b),
+    w AS (
+      SELECT docb.doc_id,
+             CAST(SUM(docb.c * lr.lw) AS BIGINT) AS dsir_weight,
+             CAST(SUM(docb.c) AS BIGINT) AS n_tokens
+      FROM docb JOIN lr USING (b) GROUP BY docb.doc_id),
+    weights AS (
+      SELECT d.doc_id, d.lang, w.dsir_weight, w.n_tokens
+      FROM documents d JOIN w ON d.doc_id = w.doc_id),
+    keyed AS (
+      SELECT doc_id, lang, dsir_weight, n_tokens,
+             dsir_weight + CAST(ROUND({DSIR_LOG_SCALE} * -LN(-LN(LEAST(
+                 ((('0x' || SUBSTR(MD5('gumbel:'
+                     || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) + 0.5)
+                   / 1152921504606846976.0,
+                 0.9999999999999999)))) AS BIGINT) AS gumbel_key
+      FROM weights)
+    SELECT doc_id, lang, dsir_weight, n_tokens, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {DSIR_RESAMPLE_K}
+    """,
+    category="pipeline",
+    bench=True,
+)
 def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dsir_gumbel_topk`` over ``pipeline_dsir_weights`` — the full
     DSIR pipeline as one plan: hashed-unigram importance weights, then
-    a k-doc importance resample. Unregistered this round (r10's
-    registry slot went to ``dedup_two_tier_substring``);
-    registration-ready — the oracle is the registered DSIR CTE chain
-    plus the one-line key expression above, ordered by (gumbel_key
-    DESC, doc_id) LIMIT k."""
+    a k-doc importance resample without replacement, p ∝ exp(weight).
+    The oracle is compositional: the registered DSIR weights CTE chain
+    plus the one-line Gumbel key (salted 60-bit md5 uniform, clamped
+    at 1 - 2^-53 so -ln(-ln(u)) can never be +Inf, quantized ONCE to
+    DSIR_LOG_SCALE fixed point), ordered by (gumbel_key DESC, doc_id)
+    LIMIT k. The int64 key makes the top-k bit-identical across
+    engines; the injective doc_id tie-break makes the selected SET
+    unique. Spark plan: TakeOrderedAndProject over the one-groupBy
+    weights relation — per-partition heaps plus a k-row driver merge,
+    never a global sort, no new shuffle beyond the weights agg."""
     return dsir_gumbel_topk(pipeline_dsir_weights(spark, sf_dir))
 
 
@@ -584,20 +659,39 @@ def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> Da
     (hundreds of rows at most) with the 1-row grand total joined back
     as a broadcast. Nothing downstream of the first aggregate ever
     touches data again. Expects columns (source, source_tokens);
-    returns shares plus the boost factor vs the natural mix."""
+    returns shares plus the boost factor vs the natural mix.
+
+    Edge contracts (r10 ADVICE #2): a ZERO-token source gets pow_q 0
+    and share 0 explicitly — without the guard, ln(0) is NULL, the
+    NULL pow_q silently vanishes from SUM's normalizing total, and the
+    source disappears from the mix instead of being reported at share
+    0. Overflow envelope: pow_q = round(1e6 * n^alpha) fits int64 iff
+    n^alpha < ~9.2e12, i.e. n < (9.2e12)^(1/alpha) — at the default
+    alpha 0.3 that is ~10^43 tokens (unreachable); alpha >= ~0.72 can
+    cross the cliff on a >=10-quadrillion-token source, so past the
+    guard below the quantized power is computed in DECIMAL(38,0),
+    whose 38 digits hold 1e6 * n^alpha for every alpha <= 1 at any
+    int64-countable n (n <= 2^63 → 1e6 * n < 10^26). The sum of
+    hundreds of DECIMAL(38,0) rows stays exact; shares divide as
+    double at the end as before."""
     powed = per_source.withColumn(
         "pow_q",
-        F.round(
-            F.lit(MIX_POW_SCALE)
-            * F.exp(F.lit(alpha) * F.ln(F.col("source_tokens").cast("double")))
-        ).cast("long"),
+        F.when(
+            F.col("source_tokens") > 0,
+            F.round(
+                F.lit(MIX_POW_SCALE)
+                * F.exp(
+                    F.lit(alpha) * F.ln(F.col("source_tokens").cast("double"))
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)")),
     )
     tot = powed.agg(
         F.sum("pow_q").alias("pow_tot"),
         F.sum("source_tokens").alias("tok_tot"),
     )
     nat = F.col("source_tokens").cast("double") / F.col("tok_tot")
-    tmp = F.col("pow_q").cast("double") / F.col("pow_tot")
+    tmp = F.col("pow_q").cast("double") / F.col("pow_tot").cast("double")
     return (
         powed.join(F.broadcast(tot))
         .select(
@@ -605,7 +699,9 @@ def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> Da
             "source_tokens",
             nat.alias("natural_share"),
             tmp.alias("temp_share"),
-            (tmp / nat).alias("boost"),
+            # 0-token sources have no natural share; boost is NULL (not
+            # 0/0 = NaN, which would poison downstream comparisons).
+            F.when(F.col("source_tokens") > 0, tmp / nat).alias("boost"),
         )
     )
 

