@@ -74,8 +74,57 @@ SCALING_PROBE_QUERIES = [
     "sim_hybrid_rrf_topk",
     "pipeline_dsir_weights",
     "dedup_span_winnow",
+    # r10 operator (VERDICT r10 task #3): the BPE OOV pandas-UDF stage
+    # is the repo's one new Python-cost surface — its probe entries
+    # also carry the measured distinct-OOV-word counts at both scales,
+    # because the claim under test is "Python cost scales with
+    # vocabulary breadth, not corpus tokens". Measured corpus fact:
+    # the testdata draws from a ~31-word pool and the replica tags are
+    # digit-bearing (stripped by the [a-z]+ word regex), so vocabulary
+    # is ~CONSTANT across 10x tokens. At the default cap (4096) every
+    # word is in-vocab and the UDF stage is a structural no-op (probed
+    # anyway: it times the corpus-sized explode/groupBy stages); the
+    # _oov variant caps the head at 16 so ~half the vocabulary — and
+    # the bulk of all token instances — flows through the pandas-UDF
+    # encode, whose input rows (distinct OOV words) stay ~flat at 10x.
+    # ratio ≈ the shuffle growth with a FLAT Python stage = the claim.
+    "text_bpe_tokenize",
+    "text_bpe_tokenize_oov",
 ]
 SF1_REPLICAS = 10
+
+# Bench-only callables not (yet) in the query registry: timed in the
+# headline set and probeable, but NOT exported through queries() — the
+# registry slot budget is the driver's 50-query grading window, and a
+# bench row should not cost one.
+EXTRA_BENCH_FNS: dict = {}
+
+
+def _bench_fn(name: str):
+    if name in EXTRA_BENCH_FNS:
+        return EXTRA_BENCH_FNS[name]
+    return QUERY_REGISTRY[name].fn
+
+
+# Head cap for the forced-OOV probe variant: small enough that most
+# distinct words (and most token instances) miss the broadcast head
+# and flow through the pandas-UDF encode.
+BPE_OOV_PROBE_CAP = 16
+
+
+def _load_extra_bench() -> None:
+    from iceberg_by_example_spark.operators.tokenizer import (
+        bpe_tokenize_stats,
+        text_bpe_tokenize,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    def text_bpe_tokenize_oov(spark, sf_dir: str):
+        docs = load_table(spark, sf_dir, "documents")
+        return bpe_tokenize_stats(docs, vocab_cap=BPE_OOV_PROBE_CAP)
+
+    EXTRA_BENCH_FNS["text_bpe_tokenize"] = text_bpe_tokenize
+    EXTRA_BENCH_FNS["text_bpe_tokenize_oov"] = text_bpe_tokenize_oov
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)
@@ -231,7 +280,7 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     sf1_dir = _ensure_sf1(spark, sf_dir)
     queries = {}
     for name in SCALING_PROBE_QUERIES:
-        spec = QUERY_REGISTRY[name]
+        fn = _bench_fn(name)
         # min of 2 passes, +1 adaptive retry when the ratio looks
         # implausible: this box is a microVM whose host steal time can
         # inflate any single pass several-fold, which would report a
@@ -241,12 +290,12 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, sf1_dir))
+            run_query(fn(spark, sf1_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
         if base and min(ts) / base > 12:
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, sf1_dir))
+            run_query(fn(spark, sf1_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
         dt = min(ts)
@@ -255,7 +304,51 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
             "sf1_sec": round(dt, 3),
             "ratio": round(dt / base, 2) if base else None,
         }
+    for name, cap in (
+        ("text_bpe_tokenize", None),
+        ("text_bpe_tokenize_oov", BPE_OOV_PROBE_CAP),
+    ):
+        if name in queries:
+            queries[name].update(
+                _bpe_vocab_growth(spark, sf_dir, sf1_dir, cap)
+            )
     return {"replicas": SF1_REPLICAS, "queries": queries}
+
+
+def _bpe_vocab_growth(spark, sf_dir, sf1_dir, cap=None) -> dict:
+    """Measured denominator for a text_bpe probe ratio: the distinct
+    OOV word count (words outside the trained head of size ``cap`` —
+    the exact input of the pandas-UDF encode stage) at both scales.
+    The Heaps-law claim is 'Python cost ∝ vocabulary breadth'; the
+    pass criterion is a ~FLAT oov count at 10x tokens with the probe
+    ratio explained by the corpus-sized explode/groupBy stages, NOT by
+    the Python stage."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.tokenizer import (
+        BPE_VOCAB_CAP,
+        _words_col,
+        bpe_word_counts,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    cap = cap or BPE_VOCAB_CAP
+
+    def oov_count(d: str) -> int:
+        docs = load_table(spark, d, "documents")
+        head = bpe_word_counts(docs, cap).select("w")
+        distinct = docs.select(
+            F.explode(_words_col()).alias("w")
+        ).distinct()
+        return distinct.join(head, "w", "left_anti").count()
+
+    a, b = oov_count(sf_dir), oov_count(sf1_dir)
+    return {
+        "vocab_cap": cap,
+        "oov_words_sf01": a,
+        "oov_words_sf1": b,
+        "oov_growth": round(b / a, 2) if a else None,
+    }
 
 
 def _ensure_docs30(spark, base_dir: str) -> str:
@@ -317,6 +410,8 @@ def _scaling_probe_30x(spark, sf_dir: str, floors: dict[str, float]) -> dict:
                 sf3_sec=round(dt, 3),
                 ratio=round(dt / base, 2) if base else None,
                 probe_canary_ratio=r["canary_ratio"],
+                # per-pass stamp of the pass that set the floor (r11)
+                floor_canary_ratio=r.get("floor_canary_ratio"),
                 raw_sec=r["passes"],
             )
         except Exception as exc:
@@ -411,7 +506,9 @@ def main() -> None:
 
     spark = get_spark("bench")
     _load_all()
-    headline = {n: s for n, s in QUERY_REGISTRY.items() if s.bench}
+    _load_extra_bench()
+    headline = {n: s.fn for n, s in QUERY_REGISTRY.items() if s.bench}
+    headline.update(EXTRA_BENCH_FNS)
 
     # Steady-state measurement: one untimed warmup pass (JIT, codegen
     # cache, file-footer cache), then THREE timed passes per query and
@@ -421,8 +518,8 @@ def main() -> None:
     # is stable to <15% across whole-bench reruns. The headline value
     # is the sum of medians; per-query minima are emitted alongside as
     # the contention-free floor.
-    for name, spec in sorted(headline.items()):
-        run_query(spec.fn(spark, sf_dir))
+    for name, fn in sorted(headline.items()):
+        run_query(fn(spark, sf_dir))
         drop_pinned_blocks(spark)
 
     passes: dict[str, list[float]] = {n: [] for n in headline}
@@ -434,9 +531,9 @@ def main() -> None:
         run_query(spec.fn(spark, sf_dir))
         canary.append(time.perf_counter() - t0)
         drop_pinned_blocks(spark)
-        for name, spec in sorted(headline.items()):
+        for name, fn in sorted(headline.items()):
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, sf_dir))
+            run_query(fn(spark, sf_dir))
             passes[name].append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
 

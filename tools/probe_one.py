@@ -66,12 +66,25 @@ def main() -> None:
 
     gc_quiesce()
     passes = []
+    pass_canaries = []
     for _ in range(n_passes):
+        # Per-PASS canary (r11): on a shared microVM the host window
+        # can change mid-run — the r10 cluster probe showed a 27.3s /
+        # 13.6s spread inside ONE invocation, so a single run-start
+        # stamp can't say which pass was the quiet one. Each pass now
+        # carries its own immediately-preceding canary, and the floor
+        # is reported with the stamp of the pass that SET it.
+        t0 = time.perf_counter()
+        run(canary_spec.fn(spark, canary_dir))
+        pass_canaries.append(
+            round((time.perf_counter() - t0) / CANARY_R1_FLOOR, 2)
+        )
         t0 = time.perf_counter()
         run(spec.fn(spark, data_dir))
         passes.append(round(time.perf_counter() - t0, 3))
         gc_quiesce()
 
+    floor_i = min(range(len(passes)), key=passes.__getitem__)
     print(
         json.dumps(
             {
@@ -80,7 +93,9 @@ def main() -> None:
                 "canary_sec": round(canary_sec, 3),
                 "canary_ratio": round(canary_sec / CANARY_R1_FLOOR, 2),
                 "passes": passes,
-                "floor_sec": min(passes),
+                "pass_canaries": pass_canaries,
+                "floor_sec": passes[floor_i],
+                "floor_canary_ratio": pass_canaries[floor_i],
             },
             separators=(",", ":"),
         )
