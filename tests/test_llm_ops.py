@@ -2253,3 +2253,109 @@ def test_temperature_mix_properties(spark):
     }
     for s in nat:
         assert abs(nat[s]["temp_share"] - nat[s]["natural_share"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Cross-source KMV overlap sketches
+# ---------------------------------------------------------------------------
+
+
+def test_source_kmv_sketch_is_true_bottom_k(spark, sf_dir):
+    """The threshold prefilter is a pure optimization: the filtered
+    bottom-k must equal the bottom-k of the UNFILTERED distinct
+    shingle-hash relation for every source (the Chernoff margin makes
+    a miss astronomically unlikely; this pins it on the real corpus)."""
+    from iceberg_by_example_spark.operators.dedup import (
+        KMV_K,
+        _md5_hash60,
+        _shingle_sets,
+        source_kmv_sketches,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {}
+    for r in source_kmv_sketches(docs).collect():
+        got.setdefault(r["source"], []).append(r["h"])
+    full = {}
+    rows = (
+        _shingle_sets(docs, drop_short=True, carry=("source",))
+        .select("source", F.explode("sh").alias("s"))
+        .select("source", _md5_hash60(F.col("s")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        full.setdefault(r["source"], []).append(r["h"])
+    assert set(got) == set(full)
+    for s in full:
+        assert sorted(got[s]) == sorted(full[s])[:KMV_K], s
+
+
+def test_source_overlap_matches_duckdb_twin_and_exact_jaccard(
+    spark, sf_dir
+):
+    """Two independent checks on the pairwise estimates: (a) the
+    DuckDB twin (_SOURCE_OVERLAP_ORACLE — the future registration
+    oracle) produces the IDENTICAL rows, integer-for-integer; (b) each
+    estimate is within the KMV error envelope of the exact shingle
+    Jaccard (std-err 1/sqrt(k); 4 sigma bound)."""
+    import math
+
+    import duckdb
+
+    from iceberg_by_example_spark.operators.dedup import (
+        KMV_K,
+        _SOURCE_OVERLAP_ORACLE,
+        dedup_source_overlap,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["k_used"],
+            r["inter_k"],
+            r["jaccard_est"],
+        )
+        for r in dedup_source_overlap(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (sa, sb): (k, i, j)
+        for sa, sb, k, i, j in con.execute(
+            _SOURCE_OVERLAP_ORACLE
+        ).fetchall()
+    }
+    assert got == want
+    exact = {
+        (sa, sb): j
+        for sa, sb, j in con.execute("""
+            WITH toks AS (
+              SELECT source, STRING_SPLIT(text, ' ') AS t FROM documents
+              WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+            sh AS (
+              SELECT DISTINCT source, s FROM toks,
+              LATERAL (SELECT UNNEST(
+                [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in generate_series(1, LEN(t) - 2)]) AS s)),
+            n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+            inter AS (
+              SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT inter.sa, inter.sb,
+                   CAST(i AS DOUBLE) / (na.n + nb.n - i)
+            FROM inter JOIN n na ON na.source = inter.sa
+                       JOIN n nb ON nb.source = inter.sb
+        """).fetchall()
+    }
+    bound = 4.0 / math.sqrt(KMV_K)
+    for pair, (_, _, est) in got.items():
+        assert abs(est - exact.get(pair, 0.0)) <= bound, (
+            pair,
+            est,
+            exact.get(pair),
+        )
