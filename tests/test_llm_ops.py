@@ -2359,3 +2359,61 @@ def test_source_overlap_matches_duckdb_twin_and_exact_jaccard(
             est,
             exact.get(pair),
         )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_is_exact_keyed_order_and_balanced(spark, sf_dir):
+    """(shard, pos) lexicographic must equal the brute-force global
+    order by (key, doc_id) EXACTLY (the power-of-two range split is a
+    prefix split of the key, so shard boundaries never reorder), the
+    assignment must be invariant to input partitioning, the DuckDB
+    twin must produce identical rows, and shards must be usably
+    balanced (hash-uniform keys)."""
+    import hashlib
+
+    import duckdb
+
+    from iceberg_by_example_spark.operators.sampling import (
+        _GLOBAL_SHUFFLE_ORACLE,
+        SHUFFLE_SHARDS,
+        pipeline_global_shuffle,
+    )
+
+    rows = pipeline_global_shuffle(spark, sf_dir).collect()
+    got = sorted((r["shard"], r["pos"], r["doc_id"]) for r in rows)
+
+    def key(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"shuf:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    brute = sorted((key(r["doc_id"]), r["doc_id"]) for r in rows)
+    assert [d for _, _, d in got] == [d for _, d in brute]
+    # shard is the key's top bits; pos restarts at 1 per shard
+    seen_pos = {}
+    for s, p, d in got:
+        assert s == key(d) // ((1 << 60) // SHUFFLE_SHARDS)
+        assert p == seen_pos.get(s, 0) + 1
+        seen_pos[s] = p
+    # balance: no shard holds more than ~6x the mean (n=100 docs over
+    # 64 shards is a rough Poisson; this catches a broken split, not
+    # statistical noise)
+    mean = len(rows) / SHUFFLE_SHARDS
+    assert max(seen_pos.values()) <= max(6 * mean, 8)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (d, s): (sh, p)
+        for d, s, sh, p in con.execute(_GLOBAL_SHUFFLE_ORACLE).fetchall()
+    }
+    assert {
+        (r["doc_id"], r["source"]): (r["shard"], r["pos"]) for r in rows
+    } == want
