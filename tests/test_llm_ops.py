@@ -2417,3 +2417,51 @@ def test_global_shuffle_is_exact_keyed_order_and_balanced(spark, sf_dir):
     assert {
         (r["doc_id"], r["source"]): (r["shard"], r["pos"]) for r in rows
     } == want
+
+
+def test_dsir_resample_plan_is_take_ordered(spark, sf_dir):
+    """The registered resample's docstring claims the top-k compiles
+    to TakeOrderedAndProject (per-partition heaps + k-row merge), not
+    a global Sort — pin it in the physical plan."""
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_dsir_resample,
+    )
+
+    plan = (
+        pipeline_dsir_resample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # no global sort: every Sort in the plan (if any) is join-local,
+    # never a Sort directly over the keyed weights with global=true
+    assert "Sort [gumbel_key" not in plan
+
+
+def test_source_kmv_sketches_merge_associatively(spark, sf_dir):
+    """The sketch-union property the 100 TB story rests on: the
+    bottom-k of a source computed over the WHOLE corpus equals the
+    bottom-k of the union of per-shard bottom-k sketches — so shards
+    (days, files, partitions) can sketch independently and merge."""
+    from iceberg_by_example_spark.operators.dedup import (
+        KMV_K,
+        source_kmv_sketches,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    whole = {}
+    for r in source_kmv_sketches(docs).collect():
+        whole.setdefault(r["source"], set()).add(r["h"])
+
+    shard_a = docs.filter(F.col("doc_id") % 2 == 0)
+    shard_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {}
+    for shard in (shard_a, shard_b):
+        for r in source_kmv_sketches(shard).collect():
+            merged.setdefault(r["source"], []).append(r["h"])
+    remerged = {
+        s: set(sorted(set(hs))[:KMV_K]) for s, hs in merged.items()
+    }
+    assert remerged == whole

@@ -278,6 +278,10 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "events_user_sessions": 1,
     "pipeline_dsir_weights": 4,  # bucket counts, doc-bucket counts,
     # per-doc weight agg, final doc join; the 256-row model broadcasts
+    "pipeline_dsir_resample": 4,  # exactly the weights plan — the
+    # Gumbel key is a narrow map and the top-k is
+    # TakeOrderedAndProject, no additional exchange (plan-asserted in
+    # test_llm_ops.test_dsir_resample_plan_is_take_ordered)
     "sim_hybrid_rrf_topk": 6,  # two candidate generators (BM25
     # postings tf/dl/df aggs + dense doc join) + two 50-row rank pools
     "text_bm25_topk": 6,  # postings build (tf, dl) + query-sliced df
@@ -425,6 +429,11 @@ def test_bench_probe_sets_are_bench_queries(registry):
     import bench
 
     benchset = {n for n, s in registry.items() if s.bench}
+    # bench-only callables (r11: the text_bpe pair) are timed in the
+    # headline set without a registry slot — they count as bench
+    # queries for probe-baseline purposes
+    bench._load_extra_bench()
+    benchset |= set(bench.EXTRA_BENCH_FNS)
     assert set(bench.SCALING_PROBE_QUERIES) <= benchset
     assert set(bench.SCALING_30X_QUERIES) <= benchset
     assert set(bench.PARALLEL_QUERIES) <= benchset
