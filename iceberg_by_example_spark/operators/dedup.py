@@ -1651,15 +1651,52 @@ def winnow_index_table(
     return spark.table(table)
 
 
+# Registration-ready compositional oracle (queued first for the next
+# registry slot per the r10 verdict): the dedup_span_winnow CTE chain
+# with the deterministic 'incr' carve, the census computed on the
+# CORPUS slice only, and the final join batch-on-left. Both halves
+# (winnow selection, df-capped pairing) already grade green in their
+# corpus-wide forms.
+_INCREMENTAL_WINNOW_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+                        SUBSTR(MD5('incr:' || CAST(doc_id AS VARCHAR)),
+                               1, 2) AS bucket
+                 FROM documents
+                 WHERE LEN(STRING_SPLIT(text, ' ')) >= {SPAN_TOKENS}),
+    hs AS (
+      SELECT doc_id, bucket,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {SPAN_TOKENS - 1}),
+               i -> MD5(ARRAY_TO_STRING(t[i:i+{SPAN_TOKENS - 1}], ' ')))
+               AS H
+      FROM tok),
+    sel AS (
+      SELECT DISTINCT doc_id, bucket, k FROM (
+        SELECT doc_id, bucket,
+               UNNEST(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, GREATEST(LEN(H) - {WINNOW_W - 1}, 1)),
+                 j -> LIST_MIN(H[j:j+{WINNOW_W - 1}]))) AS k
+        FROM hs)),
+    batch AS (SELECT doc_id, k FROM sel
+              WHERE bucket < '{INCR_BATCH_BUCKET}'),
+    corpus AS (SELECT doc_id, k FROM sel
+               WHERE bucket >= '{INCR_BATCH_BUCKET}'),
+    census AS (SELECT k, COUNT(*) AS df FROM corpus GROUP BY k)
+    SELECT n.doc_id AS batch_doc, o.doc_id AS corpus_doc,
+           COUNT(*) AS shared_keys
+    FROM batch n
+    JOIN census c ON n.k = c.k AND c.df <= {SPAN_DF_CAP}
+    JOIN corpus o ON n.k = o.k
+    GROUP BY 1, 2
+"""
+
+
 def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``incremental_winnow_pairs`` over the documents table with the
     same deterministic ``incr`` carve as ``dedup_incremental_exact``
     (docs hashing under INCR_BATCH_BUCKET play today's ingest).
-    Unregistered this round (r10's registry slot went to
-    ``dedup_two_tier_substring``); registration-ready — the oracle is
-    the ``dedup_span_winnow`` CTE chain with the census CTE filtered
-    to the corpus slice and the final join taking batch keys on the
-    left (both halves already grade green)."""
+    Unregistered (queued FIRST for the next registry slot per the r10
+    verdict); registration-ready — ``_INCREMENTAL_WINNOW_ORACLE``
+    above is the DuckDB twin, pytest pins row-identical output."""
     from iceberg_by_example_spark.operators.sampling import hash_bucket
 
     # Persist the keys relation BEFORE slicing (r10 ADVICE #3): both

@@ -706,12 +706,46 @@ def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> Da
     )
 
 
+# Registration-ready DuckDB twin, mirroring the r11 semantics exactly:
+# pow_q in DECIMAL(38,0) (the alpha<=1 overflow-free envelope), zero-
+# token sources at pow_q 0 / share 0 / boost NULL, shares as double
+# divisions of exact integers (bit-identical across engines).
+_TEMPERATURE_MIX_ORACLE = f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS source_tokens
+      FROM documents GROUP BY source),
+    powed AS (
+      SELECT source, source_tokens,
+             CASE WHEN source_tokens > 0
+                  THEN CAST(ROUND({MIX_POW_SCALE} * EXP(
+                         {MIX_ALPHA} * LN(CAST(source_tokens AS DOUBLE))))
+                       AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END AS pow_q
+      FROM per_source),
+    tot AS (
+      SELECT SUM(pow_q) AS pow_tot,
+             CAST(SUM(source_tokens) AS BIGINT) AS tok_tot
+      FROM powed)
+    SELECT source, source_tokens,
+           CAST(source_tokens AS DOUBLE) / tok_tot AS natural_share,
+           CAST(pow_q AS DOUBLE) / CAST(pow_tot AS DOUBLE) AS temp_share,
+           CASE WHEN source_tokens > 0
+                THEN (CAST(pow_q AS DOUBLE) / CAST(pow_tot AS DOUBLE))
+                     / (CAST(source_tokens AS DOUBLE) / tok_tot)
+                END AS boost
+    FROM powed CROSS JOIN tot
+"""
+
+
 def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``temperature_mix_rates`` over the documents table's per-source
-    token counts. Unregistered this round (r10's registry slot went to
-    ``dedup_two_tier_substring``); registration-ready — the oracle is
-    the ``pipeline_domain_mix`` per-source CTE with the fixed-point
-    POW/SUM spelled in ANSI SQL."""
+    token counts. Unregistered (r11's registry slot went to
+    ``pipeline_dsir_resample``; queued behind
+    ``dedup_incremental_winnow``); registration-ready —
+    ``_TEMPERATURE_MIX_ORACLE`` above is the DuckDB twin, pytest pins
+    row-identical output."""
     d = load_table(spark, sf_dir, "documents")
     per_source = (
         d.select("source", token_count("text").alias("n_tokens"))

@@ -2465,3 +2465,64 @@ def test_source_kmv_sketches_merge_associatively(spark, sf_dir):
         s: set(sorted(set(hs))[:KMV_K]) for s, hs in merged.items()
     }
     assert remerged == whole
+
+
+def test_temperature_mix_matches_duckdb_twin(spark, sf_dir):
+    """_TEMPERATURE_MIX_ORACLE (the future registration oracle) must
+    produce row-identical output — including bit-identical double
+    shares, which divide exact integers in both engines."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.sampling import (
+        _TEMPERATURE_MIX_ORACLE,
+        pipeline_temperature_mix,
+    )
+
+    got = {
+        r["source"]: (
+            r["source_tokens"],
+            r["natural_share"],
+            r["temp_share"],
+            r["boost"],
+        )
+        for r in pipeline_temperature_mix(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        s: (int(n), ns, ts, b)
+        for s, n, ns, ts, b in con.execute(
+            _TEMPERATURE_MIX_ORACLE
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_incremental_winnow_matches_duckdb_twin(spark, sf_dir):
+    """_INCREMENTAL_WINNOW_ORACLE (the queued registration oracle)
+    must produce row-identical (batch_doc, corpus_doc, shared_keys)
+    output on the real corpus."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.dedup import (
+        _INCREMENTAL_WINNOW_ORACLE,
+        dedup_incremental_winnow,
+    )
+
+    got = {
+        (r["batch_doc"], r["corpus_doc"]): r["shared_keys"]
+        for r in dedup_incremental_winnow(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (b, c): int(k)
+        for b, c, k in con.execute(_INCREMENTAL_WINNOW_ORACLE).fetchall()
+    }
+    assert got == want
