@@ -944,3 +944,128 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality normalization via an exact quantized-score CDF —
+# absolute quality heuristics are not comparable across languages (a
+# stopword-ratio term is English-tuned; every language has its own
+# score distribution), so curation thresholds must be percentile-based
+# PER LANGUAGE. The scale problem: exact per-doc percent_rank windows
+# one task per language over the whole stratum. The fix here: quantize
+# the score once (it is already cross-engine bit-identical), build the
+# exact per-language CDF over DISTINCT QUANTIZED VALUES (bounded by the
+# quantization width — ~1e6 rows per language at any corpus size), and
+# broadcast-join each doc its own value's cumulative count. Exact
+# percentiles, no per-doc window anywhere.
+# ---------------------------------------------------------------------------
+
+QCDF_SCALE = 1_000_000  # quality quantized to 1e-6 (score is in [0,1])
+
+_QUALITY_CDF_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> LIST_CONTAINS(['the','a','of','and','is','to','in'],
+                                    t))) AS stop_hits
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(ROUND({QCDF_SCALE} * (
+               0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (stop_hits / CAST(n_tokens AS DOUBLE))
+             + 0.3 * LEAST(n_tokens / 256.0, 1.0))) AS BIGINT) AS q_milli
+      FROM m),
+    hist AS (
+      SELECT lang, q_milli, COUNT(*) AS c FROM q GROUP BY lang, q_milli),
+    cdf AS (
+      SELECT lang, q_milli, c,
+             COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY q_milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(c) OVER (PARTITION BY lang) AS n_lang
+      FROM hist)
+    SELECT q.doc_id, q.lang, q.q_milli,
+           CAST((cdf.below * {QCDF_SCALE})
+                // GREATEST(cdf.n_lang - 1, 1) AS BIGINT) AS pct_milli,
+           CAST(LEAST((cdf.below * 10) // GREATEST(cdf.n_lang, 1), 9)
+                AS BIGINT) AS decile
+    FROM q JOIN cdf ON q.lang = cdf.lang AND q.q_milli = cdf.q_milli
+"""
+
+
+def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact percentile normalization of the quality
+    score: each doc's ``pct_milli`` is (docs of its language with
+    strictly lower quantized score) / (n_lang - 1) in 1e-6 fixed point
+    — the percent_rank a per-doc window would give, with ties sharing
+    a percentile, computed WITHOUT any per-doc window:
+
+    1. quantize the (already bit-identical) quality double once to
+       QCDF_SCALE — ROUND is the repo's cross-engine precedent;
+    2. exact histogram: groupBy(lang, q_milli).count — map-side
+       combinable, output bounded by languages × quantization width
+       (≤ ~1e6 rows per language NO MATTER the corpus size);
+    3. cumulative window over the HISTOGRAM (per-language, ordered by
+       value) — a window whose input is the bounded histogram, never
+       the corpus;
+    4. join each doc its value's below-count — the histogram side is
+       broadcast-size by construction.
+
+    This is how exact distribution normalization survives 100 TB: the
+    only corpus-sized stages are a narrow map and one partial-agg
+    groupBy; contrast ``pipeline_stratified_sample``'s per-stratum
+    row_number, which is exact but funnels each stratum through one
+    window task (fine for sampling ranks, wrong for corpus-wide score
+    normalization). Integer outputs end-to-end (pct and decile are
+    integer div of exact counts). Unregistered (r11's slot is spent;
+    queue: incremental winnow, temperature mix, source overlap, global
+    shuffle, then this); ``_QUALITY_CDF_ORACLE`` is the tested DuckDB
+    twin."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_distinct = F.size(F.array_distinct(tokens("text")))
+    stop = stopword_hits("text", "en")
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        stop.alias("stop_hits"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    swr = F.col("stop_hits") / F.col("n_tokens").cast("double")
+    length_score = F.least(F.col("n_tokens") / 256.0, F.lit(1.0))
+    q = m.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.lit(QCDF_SCALE)
+            * (0.5 * ttr + 0.2 * swr + 0.3 * length_score)
+        )
+        .cast("long")
+        .alias("q_milli"),
+    )
+    hist = q.groupBy("lang", "q_milli").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("q_milli"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = hist.select(
+        "lang",
+        "q_milli",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("below"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    pct = F.expr(f"(below * {QCDF_SCALE}) div greatest(n_lang - 1, 1)")
+    decile = F.expr("least((below * 10) div greatest(n_lang, 1), 9)")
+    return q.join(F.broadcast(cdf), ["lang", "q_milli"]).select(
+        "doc_id",
+        "lang",
+        "q_milli",
+        pct.alias("pct_milli"),
+        decile.alias("decile"),
+    )

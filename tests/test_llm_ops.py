@@ -2526,3 +2526,47 @@ def test_incremental_winnow_matches_duckdb_twin(spark, sf_dir):
         for b, c, k in con.execute(_INCREMENTAL_WINNOW_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_quality_cdf_matches_duckdb_twin_and_window_form(spark, sf_dir):
+    """Two pins on the histogram-CDF normalization: (a) the DuckDB
+    twin (_QUALITY_CDF_ORACLE, the future registration oracle) is
+    row-identical; (b) pct_milli equals the per-doc percent_rank a
+    window would compute — (strictly-below count) div (n-1) with ties
+    sharing a value — recomputed brute-force in Python."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.text import (
+        _QUALITY_CDF_ORACLE,
+        QCDF_SCALE,
+        text_quality_cdf,
+    )
+
+    rows = text_quality_cdf(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["lang"], r["q_milli"], r["pct_milli"], r["decile"])
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        d: (lang, int(q), int(p), int(dec))
+        for d, lang, q, p, dec in con.execute(
+            _QUALITY_CDF_ORACLE
+        ).fetchall()
+    }
+    assert got == want
+
+    by_lang = {}
+    for d, (lang, q, _, _) in got.items():
+        by_lang.setdefault(lang, []).append((d, q))
+    for lang, pairs in by_lang.items():
+        qs = sorted(q for _, q in pairs)
+        n = len(qs)
+        for d, q in pairs:
+            below = sum(1 for x in qs if x < q)
+            assert got[d][2] == (below * QCDF_SCALE) // max(n - 1, 1), d
+            assert got[d][3] == min((below * 10) // max(n, 1), 9), d
