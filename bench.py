@@ -167,6 +167,27 @@ CANARY_QUERY = "scan_projection_filter"
 CANARY_R1_FLOOR = 0.18  # committed BENCH_r01 floor for the canary, sec
 CANARY_HOT_RATIO = 1.5
 
+# Multi-core contention canary (r11): the scan canary is a SINGLE-task
+# query, so a neighbor VM stealing cores is invisible to it — the r11
+# bench sessions read canary 0.94 while every 32-core stage ran a
+# uniform ~1.2x over the r10 floors (medians ≈ minima: sustained core
+# starvation, not spikes). This second canary is a fixed CPU-bound
+# 32-task aggregation (bit_xor of xxhash64 over 2^26 rows) timed once
+# per pass; its ratio against the quiet floor stamps what the PARALLEL
+# stages actually experienced. Floor established 2026-08-15 on a
+# measured-quiet window (6 passes, 0.233-0.28s spread).
+MC_CANARY_FLOOR = 0.23
+
+
+def run_mc_canary(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 1 << 26, 1, 32).select(
+        F.expr("bit_xor(xxhash64(id))").alias("s")
+    ).collect()
+    return time.perf_counter() - t0
+
 
 def _replica_signs(r: int, dim: int = 64) -> list[int]:
     """±1 diagonal per replica (identity for replica 0). Applying one
@@ -524,12 +545,15 @@ def main() -> None:
 
     passes: dict[str, list[float]] = {n: [] for n in headline}
     canary: list[float] = []
+    canary_mc: list[float] = []
+    run_mc_canary(spark)  # warm the mc canary's codegen once
 
     def timed_pass() -> None:
         spec = QUERY_REGISTRY[CANARY_QUERY]
         t0 = time.perf_counter()
         run_query(spec.fn(spark, sf_dir))
         canary.append(time.perf_counter() - t0)
+        canary_mc.append(run_mc_canary(spark))
         drop_pinned_blocks(spark)
         for name, fn in sorted(headline.items()):
             t0 = time.perf_counter()
@@ -572,6 +596,11 @@ def main() -> None:
         "canary_ratio": canary_ratio,
         "canary_query": CANARY_QUERY,
         "canary_passes": [round(t, 3) for t in canary],
+        # multi-core stamp: what the 32-task stages experienced
+        "canary_mc_ratio": round(min(canary_mc) / MC_CANARY_FLOOR, 2)
+        if canary_mc
+        else None,
+        "canary_mc_passes": [round(t, 3) for t in canary_mc],
     }
     detail_file = _write_detail(timings, minima, total, sf, probes, contention)
 
@@ -594,6 +623,7 @@ def main() -> None:
         "min_total": round(sum(minima.values()), 3),
         "contended": hot,
         "canary_ratio": canary_ratio,
+        "canary_mc_ratio": contention["canary_mc_ratio"],
         "scaling_probe": _ratios(probes["scaling_probe"]),
         "scaling_probe_30x": _ratios(probes["scaling_probe_30x"]),
         "parallel_corpus": _ratios(probes["parallel_corpus"]),
