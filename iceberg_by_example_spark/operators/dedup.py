@@ -2599,3 +2599,93 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-sensitivity sweep: the "what do I lose at θ" curve a
+# curation run publishes before committing to a dedup threshold
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (10, 30, 50, 70, 90)  # jaccard percent
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, LEN(t) - 2)]) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle, LEN(shingles) AS n_sh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    j AS (
+      SELECT doc_a, doc_b,
+             common / CAST(na + nb - common AS DOUBLE) AS jaccard
+      FROM pairs
+      WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.08),
+    fan AS (
+      SELECT doc_a, doc_b, jaccard, th AS threshold_pct
+      FROM j, LATERAL (SELECT UNNEST({list(SWEEP_THRESHOLDS)}) AS th)
+      WHERE jaccard * 100 >= th),
+    docs AS (
+      SELECT DISTINCT threshold_pct, d FROM fan,
+      LATERAL (SELECT UNNEST([doc_a, doc_b]) AS d))
+    SELECT f.threshold_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM docs
+                 WHERE docs.threshold_pct = f.threshold_pct) AS BIGINT)
+             AS n_docs
+    FROM fan f GROUP BY f.threshold_pct
+"""
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report over the exact-Jaccard pair
+    relation: for each candidate dedup threshold θ, how many near-dup
+    PAIRS survive (jaccard ≥ θ) and how many distinct DOCUMENTS sit in
+    at least one such pair — the curve that turns "pick 0.8" from folk
+    wisdom into a measured tradeoff (a cliff between two thresholds
+    means a big boilerplate family sits exactly there; flat segments
+    are free to move over).
+
+    Scale shape: everything heavy is the already-bounded candidate +
+    verify pipeline this composes (``ngram_jaccard_pairs``, df-capped
+    inverted index); the sweep itself fans each PAIR row out to the
+    |thresholds| buckets it clears and runs two map-side-combinable
+    counts — cost O(pairs × thresholds), pairs already being tiny
+    next to the corpus. Jaccard doubles are exact integer divisions,
+    bit-identical cross-engine (the registered ``dedup_ngram_jaccard``
+    grades green on them), so the θ comparisons agree everywhere.
+    Unregistered (r11's slot is spent; see the registration queue);
+    ``_THRESHOLD_SWEEP_ORACLE`` is the tested DuckDB twin."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP)
+    fan = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold_pct"),
+    ).filter(F.col("jaccard") * 100 >= F.col("threshold_pct"))
+    n_pairs = fan.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        fan.select(
+            "threshold_pct",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .distinct()
+        .groupBy("threshold_pct")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold_pct").select(
+        "threshold_pct", "n_pairs", "n_docs"
+    )

@@ -2570,3 +2570,46 @@ def test_quality_cdf_matches_duckdb_twin_and_window_form(spark, sf_dir):
             below = sum(1 for x in qs if x < q)
             assert got[d][2] == (below * QCDF_SCALE) // max(n - 1, 1), d
             assert got[d][3] == min((below * 10) // max(n, 1), 9), d
+
+
+def test_threshold_sweep_matches_duckdb_twin_and_monotone(spark, sf_dir):
+    """_THRESHOLD_SWEEP_ORACLE must be row-identical, and the curve
+    must be monotone non-increasing in θ (pairs and docs both) with
+    every count consistent with a brute-force filter of the pair
+    relation."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.dedup import (
+        _THRESHOLD_SWEEP_ORACLE,
+        SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+        dedup_ngram_jaccard,
+    )
+
+    got = {
+        r["threshold_pct"]: (r["n_pairs"], r["n_docs"])
+        for r in dedup_threshold_sweep(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        int(t): (int(p), int(d))
+        for t, p, d in con.execute(_THRESHOLD_SWEEP_ORACLE).fetchall()
+    }
+    assert got == want
+    present = [t for t in SWEEP_THRESHOLDS if t in got]
+    assert present, "sweep produced no thresholds at all"
+    for lo, hi in zip(present, present[1:]):
+        assert got[lo][0] >= got[hi][0]
+        assert got[lo][1] >= got[hi][1]
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    for t in present:
+        surv = [(a, b) for a, b, j in pairs if j * 100 >= t]
+        assert got[t][0] == len(surv)
+        assert got[t][1] == len({d for p in surv for d in p})
