@@ -1012,7 +1012,10 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
        value) — a window whose input is the bounded histogram, never
        the corpus;
     4. join each doc its value's below-count — the histogram side is
-       broadcast-size by construction.
+       small by construction, but carries NO broadcast hint (its
+       bound, languages × quantization width, can reach millions of
+       rows; AQE dispatches on the measured size, the repo's
+       no-unconditional-broadcast policy).
 
     This is how exact distribution normalization survives 100 TB: the
     only corpus-sized stages are a narrow map and one partial-agg
@@ -1062,7 +1065,11 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pct = F.expr(f"(below * {QCDF_SCALE}) div greatest(n_lang - 1, 1)")
     decile = F.expr("least((below * 10) div greatest(n_lang, 1), 9)")
-    return q.join(F.broadcast(cdf), ["lang", "q_milli"]).select(
+    # no broadcast hint: the CDF is corpus-size-INDEPENDENT but its
+    # bound (languages x quantization width) can reach millions of
+    # rows — AQE dispatches on the measured size, the same policy the
+    # two-tier flagged-set join follows (r9 fix precedent)
+    return q.join(cdf, ["lang", "q_milli"]).select(
         "doc_id",
         "lang",
         "q_milli",
