@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from iceberg_by_example_spark.functions.text import (
     fingerprint,
@@ -1611,7 +1612,10 @@ WINNOW_INDEX_BUCKETS = 8
 
 
 def winnow_index_table(
-    spark: SparkSession, corpus_keys: DataFrame, name: str = "widx"
+    spark: SparkSession,
+    corpus_keys: DataFrame,
+    name: str = "widx",
+    refresh: bool = False,
 ) -> DataFrame:
     """Materialize the standing winnow-key corpus index as a table
     BUCKETED BY ``k`` and return it — the pay-once-shuffle-never form
@@ -1627,7 +1631,19 @@ def winnow_index_table(
 
     The database is pid-scoped scratch (one per process, reclaimed by
     re-create) — callers hand in the corpus keys relation and get back
-    the bucketed table's DataFrame."""
+    the bucketed table's DataFrame.
+
+    Contract: a given (process, ``name``) is SINGLE-CORPUS. The
+    pay-once property means a second call with the same name returns
+    the already-materialized index and deliberately does NOT re-read
+    ``corpus_keys`` — exactly how the production ingest treats its
+    standing index between runs. A caller that swapped corpora must
+    say so with ``refresh=True`` (drop + rewrite) or use a different
+    ``name``; as a cheap guard against the silent-staleness footgun
+    the reuse path asserts the existing table's schema matches
+    ``corpus_keys`` and raises otherwise (a content-level check would
+    recompute the corpus keys — the very pass this table exists to
+    avoid)."""
     import os
     import shutil
     import tempfile
@@ -1638,6 +1654,8 @@ def winnow_index_table(
         shutil.rmtree(loc, ignore_errors=True)
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     table = f"{db}.{name}"
+    if refresh and spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
     if not spark.catalog.tableExists(table):
         # location is pid-derived: any leftover dir is this process's
         # own (a prior Spark session in the same test run) — reclaim
@@ -1648,7 +1666,17 @@ def winnow_index_table(
             .sortBy("k")
             .saveAsTable(table)
         )
-    return spark.table(table)
+    out = spark.table(table)
+    existing = [(f.name, f.dataType) for f in out.schema.fields]
+    wanted = [(f.name, f.dataType) for f in corpus_keys.schema.fields]
+    if existing != wanted:
+        raise ValueError(
+            f"winnow index {table} exists with schema "
+            f"{out.schema.simpleString()} but corpus_keys has "
+            f"{corpus_keys.schema.simpleString()}; pass refresh=True "
+            "(or a new name) to rebuild it for a different corpus"
+        )
+    return out
 
 
 # Registration-ready compositional oracle (queued first for the next
@@ -1707,15 +1735,30 @@ def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # In production the corpus slice IS a materialized index on disk
     # (see incremental_winnow_pairs), so nothing is recomputed at all;
     # the persist is the in-session stand-in for that materialization.
+    # The pin is SCOPED (r11 ADVICE): the pair result — tiny next to
+    # the key relation — is materialized eagerly (detach), then the
+    # keys blocks are released, so repeated library calls don't
+    # accumulate corpus-sized cached blocks on the executors. The
+    # detached result itself follows the repo-wide localCheckpoint
+    # contract (bench clears it via drop_pinned_blocks).
     keys = (
         winnow_keys(load_table(spark, sf_dir, "documents"))
         .withColumn("bucket", hash_bucket(F.col("doc_id"), "incr"))
         .persist()
     )
-    return incremental_winnow_pairs(
-        keys.filter(F.col("bucket") < INCR_BATCH_BUCKET).select("doc_id", "k"),
-        keys.filter(F.col("bucket") >= INCR_BATCH_BUCKET).select("doc_id", "k"),
-    )
+    try:
+        return detach(
+            incremental_winnow_pairs(
+                keys.filter(F.col("bucket") < INCR_BATCH_BUCKET).select(
+                    "doc_id", "k"
+                ),
+                keys.filter(F.col("bucket") >= INCR_BATCH_BUCKET).select(
+                    "doc_id", "k"
+                ),
+            )
+        )
+    finally:
+        keys.unpersist()
 
 
 @register(
@@ -1804,6 +1847,7 @@ def keep_first_min_struct(
     strategy: str | None = "window",
     hot_max: int = KEEP_FIRST_HOT_MAX,
     census: DataFrame | None = None,
+    census_count_col: str | None = None,
 ) -> DataFrame:
     """Annotate every row of ``inst`` with ``_first`` = the per-``keys``
     struct-MIN of ``ords`` — the keep-first winner — choosing between
@@ -1826,9 +1870,12 @@ def keep_first_min_struct(
       df-capped stage in this module builds ``groupBy(key).count``
       anyway (the span/winnow paths at their SPAN_DF_CAP filters), and
       a production ingest keeps that census materialized with its
-      index between runs. Pass it as ``census`` — any DataFrame whose
-      FIRST column after ``keys`` is the per-key multiplicity — and
-      the dispatch reads max(count) from it instead of re-scanning
+      index between runs. Pass it as ``census`` (the per-key
+      multiplicity column named by ``census_count_col``, defaulting
+      to the first non-key column, which must be integral — a census
+      whose leading extra column is a ratio or flag raises instead of
+      silently driving the dispatch off the wrong values) and the
+      dispatch reads max(count) from it instead of re-scanning
       ``inst`` (r10 "What's wrong" #2). The registered bench queries
       keep the static window default; a production ingest that can't
       rule out boilerplate floods runs with ``strategy=None``.
@@ -1840,9 +1887,24 @@ def keep_first_min_struct(
     if strategy is None:
         if census is None:
             census = inst.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-        count_col = [c for c in census.columns if c not in keys][0]
+        if census_count_col is None:
+            census_count_col = [
+                c for c in census.columns if c not in keys
+            ][0]
+        field = census.schema[census_count_col]
+        if not isinstance(
+            field.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            raise TypeError(
+                "census count column "
+                f"{census_count_col!r} must be integral, got "
+                f"{field.dataType.simpleString()}; pass "
+                "census_count_col to name the multiplicity column"
+            )
         hot = (
-            census.agg(F.max(count_col).alias("mx")).collect()[0]["mx"]
+            census.agg(F.max(census_count_col).alias("mx"))
+            .collect()[0]["mx"]
         )
         strategy = "combined" if (hot or 0) > hot_max else "window"
     if strategy == "window":

@@ -21,6 +21,7 @@ from iceberg_by_example_spark.functions.text import (
 )
 from iceberg_by_example_spark.plans.registry import register
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import detach
 
 
 def _sql_stop_hits(lang: str) -> str:
@@ -1018,8 +1019,12 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
        no-unconditional-broadcast policy).
 
     This is how exact distribution normalization survives 100 TB: the
-    only corpus-sized stages are a narrow map and one partial-agg
-    groupBy; contrast ``pipeline_stratified_sample``'s per-stratum
+    corpus-sized work is ONE narrow tokenize+score map (the quantized
+    projection is persisted before fanning into its two consumers —
+    histogram and final join — so the tokenize never runs twice; the
+    pin is released once the result is materialized, r11 ADVICE) and
+    one partial-agg groupBy; contrast ``pipeline_stratified_sample``'s
+    per-stratum
     row_number, which is exact but funnels each stratum through one
     window task (fine for sampling ranks, wrong for corpus-wide score
     normalization). Integer outputs end-to-end (pct and decile are
@@ -1050,7 +1055,7 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("q_milli"),
-    )
+    ).persist()
     hist = q.groupBy("lang", "q_milli").agg(F.count(F.lit(1)).alias("c"))
     wv = (
         Window.partitionBy("lang")
@@ -1069,10 +1074,15 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound (languages x quantization width) can reach millions of
     # rows — AQE dispatches on the measured size, the same policy the
     # two-tier flagged-set join follows (r9 fix precedent)
-    return q.join(cdf, ["lang", "q_milli"]).select(
-        "doc_id",
-        "lang",
-        "q_milli",
-        pct.alias("pct_milli"),
-        decile.alias("decile"),
-    )
+    try:
+        return detach(
+            q.join(cdf, ["lang", "q_milli"]).select(
+                "doc_id",
+                "lang",
+                "q_milli",
+                pct.alias("pct_milli"),
+                decile.alias("decile"),
+            )
+        )
+    finally:
+        q.unpersist()

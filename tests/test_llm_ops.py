@@ -2143,6 +2143,105 @@ def test_incremental_winnow_bucketed_index_exchange_free(spark):
     assert got == want == {(7, 2): got[(7, 2)], (9, 4): got[(9, 4)]}
 
 
+def test_winnow_index_table_refresh_and_schema_guard(spark):
+    """r11 ADVICE #1: the pay-once index is SINGLE-CORPUS per (pid,
+    name) — a second caller that swapped corpora must say refresh=True
+    (drop + rewrite honoring the new corpus_keys) or pick a new name;
+    the reuse path's cheap guard raises on schema drift instead of
+    silently serving the first corpus under the new schema."""
+    from iceberg_by_example_spark.operators.dedup import (
+        winnow_index_table,
+        winnow_keys,
+    )
+
+    keys = winnow_keys(_planted_substring_corpus(spark))
+    a = keys.filter(F.col("doc_id") < 5)
+    b = keys.filter(F.col("doc_id") >= 5)
+
+    def rows(df):
+        return {(r["doc_id"], r["k"]) for r in df.collect()}
+
+    idx_a = winnow_index_table(spark, a, name="widx_adv1")
+    rows_a = rows(idx_a)
+    assert rows_a == rows(a)
+    # documented contract: same (pid, name), same schema -> the
+    # standing index comes back (corpus_keys deliberately unread)
+    assert rows(winnow_index_table(spark, b, name="widx_adv1")) == rows_a
+    # refresh=True rebuilds for the new corpus
+    assert rows(
+        winnow_index_table(spark, b, name="widx_adv1", refresh=True)
+    ) == rows(b)
+    # schema drift on the reuse path raises, never returns stale rows
+    with pytest.raises(ValueError, match="refresh=True"):
+        winnow_index_table(
+            spark, b.withColumnRenamed("doc_id", "docid"), name="widx_adv1"
+        )
+
+
+def test_keep_first_census_count_col_guard(spark):
+    """r11 ADVICE #4: the measured dispatch must not read the hot-key
+    multiplicity from whatever column happens to lead a caller's
+    census — a leading non-integral column raises, and an explicit
+    census_count_col drives the dispatch off the named column."""
+    from iceberg_by_example_spark.operators.dedup import (
+        keep_first_min_struct,
+    )
+
+    inst = spark.createDataFrame(
+        [(0, 0, "x"), (1, 0, "x"), (2, 0, "y")],
+        "doc_id long, idx long, block string",
+    ).select("doc_id", "idx", F.md5("block").alias("h"))
+    # census whose FIRST non-key column is a ratio (the footgun)
+    census = inst.groupBy("h").agg(
+        (F.count(F.lit(1)) / 3.0).alias("share"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    with pytest.raises(TypeError, match="integral"):
+        keep_first_min_struct(
+            inst, ["h"], ["doc_id", "idx"], strategy=None, census=census
+        )
+    # naming the count column restores the dispatch: df("x")=2 > 1
+    # fires the combined fallback (no Window operator)
+    named = keep_first_min_struct(
+        inst,
+        ["h"],
+        ["doc_id", "idx"],
+        strategy=None,
+        hot_max=1,
+        census=census,
+        census_count_col="df",
+    )
+    plan = named._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert {
+        (r["doc_id"], r["_first"]["doc_id"]) for r in named.collect()
+    } == {(0, 0), (1, 0), (2, 2)}
+
+
+def test_corpus_pins_released_after_materialization(spark, sf_dir):
+    """r11 ADVICE #2/#3: the operators that persist a corpus-sized
+    intermediate for double consumption (incremental winnow's key
+    relation, quality CDF's quantized projection) must release that
+    pin once the result is materialized — library callers must not
+    accumulate corpus-sized cached blocks per invocation. Only the
+    detached (localCheckpoint) RESULT may stay pinned, per the
+    repo-wide detach contract."""
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_incremental_winnow,
+    )
+    from iceberg_by_example_spark.operators.text import text_quality_cdf
+
+    jsc = spark.sparkContext._jsc
+    for fn in (dedup_incremental_winnow, text_quality_cdf):
+        before = jsc.getPersistentRDDs().size()
+        fn(spark, sf_dir).collect()
+        delta = jsc.getPersistentRDDs().size() - before
+        assert delta == 1, (
+            f"{fn.__name__} left {delta} pinned RDDs (want 1: the "
+            "detached result only — the input persist must be released)"
+        )
+
+
 # ---------------------------------------------------------------------------
 # DSIR Gumbel top-k resample
 # ---------------------------------------------------------------------------
