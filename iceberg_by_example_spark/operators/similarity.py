@@ -608,6 +608,44 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_encoded(e: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = absmax/127,
+    q = clamp(FLOOR(x/scale + 0.5))) carrying the original embedding
+    alongside — the shared encode behind the registered
+    ``embed_quantize_int8`` stats AND the ``sim_sq8_topk`` coded
+    search (cosine is invariant to the per-vector scalar, so code
+    cosine approximates true cosine directly).
+
+    Rounding is ``FLOOR(x/scale + 0.5)`` — identical in every engine,
+    unlike ROUND whose half-even/half-away convention differs. An
+    all-zero embedding has scale 0; x/0 is NaN and floor(NaN) renders
+    differently across engines, so it quantizes to the all-zero int
+    vector explicitly (matching the oracle CASE)."""
+    scale = (
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )
+        / 127
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.when(
+            F.col("scale") == 0, F.lit(0).cast("long")
+        ).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") / F.col("scale") + 0.5),
+                ),
+            )
+        ),
+    )
+    return e.select(
+        "vec_id", "label", "embedding", scale.alias("scale")
+    ).select("vec_id", "label", "embedding", "scale", qv.alias("qv"))
+
+
 @register(
     "embed_quantize_int8",
     oracle="""
@@ -649,45 +687,148 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure integers, so the oracle match is exact; ``scale`` is a single
     max-reduce (order-independent double). One narrow map stage, no
     shuffle, no UDF."""
-    e = load_table(spark, sf_dir, "embeddings")
-    scale = (
-        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-        / 127
-    )
-    # Zero-vector guard: an all-zero embedding has scale 0; x/0 is NaN
-    # and floor(NaN) renders differently across engines, so quantize it
-    # to the all-zero int vector explicitly (matching the oracle CASE).
-    qv = F.transform(
-        "embedding",
-        lambda x: F.when(
-            F.col("scale") == 0, F.lit(0).cast("long")
-        ).otherwise(
-            F.greatest(
-                F.lit(-127).cast("long"),
-                F.least(
-                    F.lit(127).cast("long"),
-                    F.floor(x.cast("double") / F.col("scale") + 0.5),
-                ),
-            )
+    return _sq8_encoded(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        "scale",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias(
+            "n_saturated"
         ),
     )
-    return (
-        e.select("vec_id", "label", "embedding", scale.alias("scale"))
-        .select("vec_id", "label", "scale", qv.alias("qv"))
+
+
+# --- SQ8 coded search: coarse int8 scan + exact refine ----------------
+
+SQ8_SHORTLIST = 50  # code-space candidates the exact re-rank touches
+SQ8_K = 10
+
+_CDOT_SQL = (
+    "CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "z -> z[1] * z[2])) AS BIGINT)"
+)
+
+_SQ8_ENC_SQL = """
+    scaled AS (
+      SELECT vec_id, label, embedding,
+             LIST_MAX(LIST_TRANSFORM(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings),
+    enc AS (
+      SELECT vec_id, label, embedding,
+             LIST_TRANSFORM(embedding,
+               x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                    ELSE GREATEST(-127, LEAST(127,
+                      CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5)
+                           AS BIGINT))) END)
+               AS qv
+      FROM scaled)
+"""
+
+_SQ8_ORACLE = f"""
+    WITH {_SQ8_ENC_SQL},
+    q AS (SELECT qv AS qc, embedding AS qe FROM enc WHERE vec_id = 0),
+    coarse AS (
+      SELECT e.vec_id, e.label, e.embedding, q.qe,
+             CAST({_CDOT_SQL.format(a='e.qv', b='q.qc')} AS DOUBLE)
+               / (SQRT(CAST({_CDOT_SQL.format(a='e.qv', b='e.qv')}
+                            AS DOUBLE))
+                  * SQRT(CAST({_CDOT_SQL.format(a='q.qc', b='q.qc')}
+                              AS DOUBLE))) AS code_cos
+      FROM enc e, q
+      WHERE e.vec_id != 0
+        AND {_CDOT_SQL.format(a='e.qv', b='e.qv')} > 0
+      ORDER BY code_cos DESC, e.vec_id LIMIT {SQ8_SHORTLIST}),
+    refined AS (
+      SELECT vec_id, label, code_cos,
+             CAST({_DOT_SQL.format(a='embedding', b='qe')} AS DOUBLE)
+               / (SQRT(CAST({_DOT_SQL.format(a='embedding', b='embedding')}
+                            AS DOUBLE))
+                  * SQRT(CAST({_DOT_SQL.format(a='qe', b='qe')}
+                              AS DOUBLE))) AS cosine
+      FROM coarse)
+    SELECT vec_id, label, code_cos, cosine FROM refined
+    ORDER BY cosine DESC, vec_id LIMIT {SQ8_K}
+"""
+
+
+def _cdot(a, b) -> Column:
+    """Exact int64 dot product of two int8-code arrays (already
+    BIGINT elements — no quantization step). Twin: ``_CDOT_SQL``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN — the FAISS ``SQ8`` flat-scan shape,
+    completing the family (brute / LSH / IVF / IVF-PQ / SQ8): the
+    coarse pass scores EVERY vector but reads only its int8 codes
+    (4× fewer bytes than float32; integer dot products), then an
+    exact re-rank of the SQ8_SHORTLIST best code-space candidates
+    removes the quantization error from the final top-10. Because the
+    registered ``embed_quantize_int8`` codes are per-vector absmax
+    scaled and cosine is invariant to a positive per-vector scalar,
+    code cosine approximates true cosine with no correction term —
+    the encode IS the index.
+
+    At 100 TB: the coarse scan is embarrassingly parallel over the
+    code column (a 1-row broadcast query, TakeOrderedAndProject keeps
+    SQ8_SHORTLIST rows per partition — no corpus shuffle), and full
+    float vectors are read for exactly SQ8_SHORTLIST rows. Where
+    IVF bounds WHICH vectors a query touches, SQ8 bounds the BYTES
+    per touch; production engines stack them (IVF-SQ), which this
+    pipeline composes naturally (swap the coarse scan's input for an
+    IVF cell semi-join). Unregistered (r12 budget is 0);
+    ``_SQ8_ORACLE`` is the tested DuckDB twin covering codes,
+    shortlist boundary, and re-rank bit-for-bit."""
+    from iceberg_by_example_spark.util import detach
+
+    # Pin the encoded relation: the 1-row query branch and the corpus
+    # branch both read it (production materializes codes in the index,
+    # never re-encodes per query). Bench clears the pin afterwards.
+    enc = detach(_sq8_encoded(load_table(spark, sf_dir, "embeddings")))
+    q = enc.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qc"), F.col("embedding").alias("qe")
+    )
+    coarse = (
+        enc.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(_cdot(F.col("qv"), F.col("qv")) > 0)
         .select(
             "vec_id",
             "label",
-            "scale",
-            F.aggregate(
-                "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
-            ).alias("q_sum"),
-            F.aggregate(
-                "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
-            ).alias("q_l1"),
-            F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias(
-                "n_saturated"
-            ),
+            "embedding",
+            "qe",
+            _cosine(
+                _cdot(F.col("qv"), F.col("qc")),
+                _cdot(F.col("qv"), F.col("qv")),
+                _cdot(F.col("qc"), F.col("qc")),
+            ).alias("code_cos"),
         )
+        .orderBy(F.desc("code_cos"), F.asc("vec_id"))
+        .limit(SQ8_SHORTLIST)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            "label",
+            "code_cos",
+            _cosine(
+                _qdot(F.col("embedding"), F.col("qe")),
+                _qnorm2(F.col("embedding")),
+                _qnorm2(F.col("qe")),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(SQ8_K)
     )
 
 

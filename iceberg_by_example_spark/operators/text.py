@@ -713,6 +713,135 @@ def text_lm_rare_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# True log-space trigram perplexity (the other half of the KenLM
+# filter): text_lm_rare_mass keeps the integer-exact OOV/rare proxy;
+# this operator computes the actual add-one-smoothed conditional
+# log-probabilities a CCNet-style perplexity filter thresholds on.
+# Fixed-point discipline: each trigram's -ln P(w|c) is quantized ONCE
+# (ROUND to 1e-6, the Gumbel-key / temperature-mix precedent — the ln
+# input is a single IEEE division of exact integer counts, identical
+# in both engines), then all aggregation is exact int64. A doc's
+# average negative log-likelihood is an integer division of exact
+# sums — perplexity itself (exp of it) is a monotone transform a
+# filter never needs to materialize.
+LM_NLL_SCALE = 1_000_000
+
+_LM_PERPLEXITY_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             SUBSTR(MD5('lm:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '{_TRAIN_BUCKET}' AS is_train
+      FROM documents),
+    tri AS (
+      SELECT doc_id, is_train,
+             ARRAY_TO_STRING(t[i:i+{TRI_N - 2}], ' ') AS c,
+             t[i+{TRI_N - 1}] AS w
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, LEN(t) - {TRI_N - 1}, 1)) AS i)
+      WHERE LEN(t) >= {TRI_N}),
+    model AS (
+      SELECT c, w, COUNT(*) AS cnt3 FROM tri WHERE is_train GROUP BY c, w),
+    ctx AS (
+      SELECT c, CAST(SUM(cnt3) AS BIGINT) AS cnt2 FROM model GROUP BY c),
+    voc AS (SELECT COUNT(DISTINCT w) AS v FROM tri WHERE is_train),
+    scored AS (
+      SELECT tri.doc_id,
+             CAST(ROUND(-LN(
+               CAST(COALESCE(model.cnt3, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(ctx.cnt2, 0) + voc.v AS DOUBLE))
+               * {LM_NLL_SCALE}, 0) AS BIGINT) AS nll_micro
+      FROM tri
+      LEFT JOIN model ON tri.c = model.c AND tri.w = model.w
+      LEFT JOIN ctx ON tri.c = ctx.c
+      CROSS JOIN voc)
+    SELECT doc_id, COUNT(*) AS n_tri,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_sum_micro,
+           CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram negative log-likelihood under an
+    add-one-smoothed conditional model trained on the deterministic
+    ~80% split — the actual CCNet/KenLM perplexity-filter computation
+    (Wenzek 2020), sharing its train split with ``text_lm_rare_mass``
+    so the two scores describe one model family.  P(w | c) =
+    (C3(c,w) + 1) / (C2(c) + V): C3 = train trigram count, C2 = train
+    count of the 2-token context (Σ_w C3, so probabilities sum to 1),
+    V = train third-word vocabulary. An unseen context degrades to
+    the uniform 1/V backstop. Emits integer-exact ``nll_sum_micro``
+    and ``avg_nll_micro`` (ppl = exp(avg/1e6), monotone — thresholds
+    compare the integer directly).
+
+    Scale shape: trigram extraction is a map-side transform; the
+    model is a hash groupBy bounded by trigram TYPES (Zipf, not
+    corpus size) and shards like any dimension; ctx and voc hang off
+    it (voc is a 1-row broadcast). Scoring is two hash joins on
+    (c, w) / c and one per-doc aggregate. Fixed-point headroom: a
+    trigram's nll_micro tops out near ln(C2+V)·1e6 ≈ 3.4e7 at
+    trillion-token scale, so a billion-token document sums to ~3e16,
+    2^63-safe (pinned by ``test_fixed_point_headroom``-family).
+    Unregistered (r12 budget is 0); ``_LM_PERPLEXITY_ORACLE`` is the
+    tested DuckDB twin, so registration is one decorator away."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        tokens("text").alias("t"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                2,
+            )
+            < _TRAIN_BUCKET
+        ).alias("is_train"),
+    ).filter(F.size("t") >= TRI_N)
+    tri = tok.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {TRI_N - 1}), i -> "
+                f"struct(array_join(slice(t, i, {TRI_N - 1}), ' ') AS c, "
+                f"element_at(t, i + {TRI_N - 1}) AS w))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "is_train", "s.c", "s.w")
+    model = (
+        tri.filter(F.col("is_train"))
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt3"))
+    )
+    ctx = model.groupBy("c").agg(F.sum("cnt3").alias("cnt2"))
+    voc = (
+        tri.filter(F.col("is_train"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p = (
+        (F.coalesce(F.col("cnt3"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("cnt2"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    scored = (
+        tri.join(model, ["c", "w"], "left")
+        .join(ctx, "c", "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * LM_NLL_SCALE)
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum("nll_micro").alias("nll_sum_micro"),
+        F.expr("sum(nll_micro) div count(1)").alias("avg_nll_micro"),
+    )
+
+
 # Count-min-sketch heavy hitters: the fixed-memory frequency sketch
 # (Cormode-Muthukrishnan) behind vocabulary induction and hot-token
 # monitoring at corpus scale. D independent hash rows × W buckets of

@@ -969,6 +969,62 @@ def test_ivf_pq_rerank_consistent_with_bruteforce(spark):
     assert len(overlap) >= 3, f"PQ recall@10 too low: {sorted(overlap)}"
 
 
+def test_sim_sq8_matches_duckdb_twin(spark, sf_dir):
+    """_SQ8_ORACLE (the queued registration oracle) must reproduce
+    the full approximate path bit-for-bit — int8 codes, the coarse
+    code-cosine shortlist boundary, and the exact re-rank."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.similarity import (
+        _SQ8_ORACLE,
+        sim_sq8_topk,
+    )
+
+    got = [
+        (r["vec_id"], r["label"], r["code_cos"], r["cosine"])
+        for r in sim_sq8_topk(spark, sf_dir).collect()
+    ]
+    assert len(got) == 10
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (v, lbl, cc, c)
+        for v, lbl, cc, c in con.execute(_SQ8_ORACLE).fetchall()
+    ]
+    assert got == want
+
+
+def test_sim_sq8_refine_exact_and_recall(spark):
+    """The SQ8 re-rank must return TRUE cosines (quantization changes
+    the shortlist, never the re-ranked scores), and the coded path
+    must recover essentially the whole exact top-10 — per-vector
+    absmax int8 perturbs each component by <= scale/2 ≈ 0.4% of
+    absmax, far below this corpus's neighbor gaps (measured
+    recall@10 = 10 at sf0.001; floor at 8 so a real quantization
+    regression fails while an unlucky boundary pair or two cannot)."""
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_sq8_topk,
+        sim_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in sim_topk_cosine(spark, sf).collect()
+    }
+    sq8 = sim_sq8_topk(spark, sf).collect()
+    assert len(sq8) == 10
+    for r in sq8:
+        assert -1.0 <= r["code_cos"] <= 1.0
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
+    overlap = {r["vec_id"] for r in sq8} & set(brute)
+    assert len(overlap) >= 8, f"SQ8 recall@10 too low: {sorted(overlap)}"
+
+
 def test_pq_codes_are_4bit(spark):
     """Every PQ code must fit the 4-bit budget the compression story
     claims (0 ≤ code < PQ_CODES in each of the PQ_M subspaces)."""
@@ -1098,6 +1154,100 @@ def test_lm_rare_mass_flags_novel_text(spark, tmp_path):
     # the common phrase trains on >= 3 docs => its trigrams are not rare
     for i in in_train:
         assert rows[i]["rare_ratio"] == 0.0
+
+
+def _nll_micro_ref(cnt3: int, cnt2: int, v: int) -> int:
+    """Pure-Python twin of the per-trigram quantized NLL, Spark ROUND
+    (HALF_UP) semantics included."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nll = -math.log((cnt3 + 1) / float(cnt2 + v)) * 1_000_000
+    return int(Decimal(nll).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_lm_perplexity_math_planted(spark, tmp_path):
+    """Independent from-scratch recompute of the add-one-smoothed
+    conditional NLL on a planted corpus: train counts, context sums,
+    vocabulary, the 1/V unseen-context backstop, and the exact int64
+    aggregation must all match a pure-Python model."""
+    import hashlib
+    import math
+
+    from iceberg_by_example_spark.operators.text import text_lm_perplexity
+
+    bucket = lambda i: hashlib.md5(f"lm:{i}".encode()).hexdigest()[:2]
+    novel_id = next(i for i in range(1000, 2000) if bucket(i) >= "cd")
+    common = "a b c a b d"
+    docs = [(i, common) for i in range(20)] + [(novel_id, "x y z x y")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_tri"], r["nll_sum_micro"], r["avg_nll_micro"])
+        for r in text_lm_perplexity(spark, str(tmp_path)).collect()
+    }
+
+    # pure-Python model
+    from collections import Counter
+
+    def tris(text):
+        t = text.split(" ")
+        return [(" ".join(t[i : i + 2]), t[i + 2]) for i in range(len(t) - 2)]
+
+    train_docs = [txt for i, txt in docs if bucket(i) < "cd"]
+    assert train_docs, "split emptied the train set"
+    c3 = Counter(g for txt in train_docs for g in tris(txt))
+    c2 = Counter()
+    for (c, _w), n in c3.items():
+        c2[c] += n
+    v = len({w for txt in train_docs for _, w in tris(txt)})
+    want = {}
+    for i, txt in docs:
+        if i in want:
+            continue
+        nlls = [
+            _nll_micro_ref(c3.get(g, 0), c2.get(g[0], 0), v)
+            for g in tris(txt)
+        ]
+        want[i] = (len(nlls), sum(nlls), sum(nlls) // len(nlls))
+    assert got == want
+    # the novel doc's every context is unseen -> uniform 1/V backstop,
+    # so its avg NLL is exactly round(ln(V)*1e6) and strictly worse
+    # than any train doc's
+    assert got[novel_id][2] == _nll_micro_ref(0, 0, v)
+    assert got[novel_id][2] == int(round(math.log(v) * 1e6))
+    assert got[novel_id][2] > max(
+        a for i, (_, _, a) in got.items() if i != novel_id
+    )
+
+
+def test_lm_perplexity_matches_duckdb_twin(spark, sf_dir):
+    """_LM_PERPLEXITY_ORACLE (the queued registration oracle) must be
+    row-identical on the real corpus — every doc, all three integer
+    outputs."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.text import (
+        _LM_PERPLEXITY_ORACLE,
+        text_lm_perplexity,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tri"], r["nll_sum_micro"], r["avg_nll_micro"])
+        for r in text_lm_perplexity(spark, sf_dir).collect()
+    }
+    assert got, "no scored docs"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        d: (int(n), int(s), int(a))
+        for d, n, s, a in con.execute(_LM_PERPLEXITY_ORACLE).fetchall()
+    }
+    assert got == want
 
 
 def test_cms_overcounts_never_undercounts(spark):
