@@ -90,6 +90,23 @@ SCALING_PROBE_QUERIES = [
     # ratio ≈ the shuffle growth with a FLAT Python stage = the claim.
     "text_bpe_tokenize",
     "text_bpe_tokenize_oov",
+    # r11/r12 unregistered operators with scale surface (the r10
+    # verdict's rule: every new operator gets a bench row and a 10×
+    # probe BEFORE registration). global_shuffle is the one true
+    # global sort in the repo (range partitioner at 10× keys);
+    # incremental_winnow adds the index census + probe join;
+    # quality_cdf is tokenize + histogram; source_overlap's KMV
+    # sketches stay K-bounded while the scan grows; threshold_sweep
+    # reruns the winnow pair count at 5 thresholds; lm_perplexity is
+    # a corpus-sized trigram explode against a Zipf-bounded model
+    # join; sq8's coarse scan is linear in codes.
+    "dedup_incremental_winnow",
+    "dedup_source_overlap",
+    "dedup_threshold_sweep",
+    "pipeline_global_shuffle",
+    "text_quality_cdf",
+    "text_lm_perplexity",
+    "sim_sq8_topk",
 ]
 SF1_REPLICAS = 10
 
@@ -113,6 +130,20 @@ BPE_OOV_PROBE_CAP = 16
 
 
 def _load_extra_bench() -> None:
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_incremental_winnow,
+        dedup_source_overlap,
+        dedup_threshold_sweep,
+    )
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_global_shuffle,
+        pipeline_temperature_mix,
+    )
+    from iceberg_by_example_spark.operators.similarity import sim_sq8_topk
+    from iceberg_by_example_spark.operators.text import (
+        text_lm_perplexity,
+        text_quality_cdf,
+    )
     from iceberg_by_example_spark.operators.tokenizer import (
         bpe_tokenize_stats,
         text_bpe_tokenize,
@@ -125,6 +156,17 @@ def _load_extra_bench() -> None:
 
     EXTRA_BENCH_FNS["text_bpe_tokenize"] = text_bpe_tokenize
     EXTRA_BENCH_FNS["text_bpe_tokenize_oov"] = text_bpe_tokenize_oov
+    # Every oracle-ready unregistered operator gets a bench row (the
+    # registration queue should never hold a query without a perf
+    # record — r10 verdict rule).
+    EXTRA_BENCH_FNS["dedup_incremental_winnow"] = dedup_incremental_winnow
+    EXTRA_BENCH_FNS["dedup_source_overlap"] = dedup_source_overlap
+    EXTRA_BENCH_FNS["dedup_threshold_sweep"] = dedup_threshold_sweep
+    EXTRA_BENCH_FNS["pipeline_global_shuffle"] = pipeline_global_shuffle
+    EXTRA_BENCH_FNS["pipeline_temperature_mix"] = pipeline_temperature_mix
+    EXTRA_BENCH_FNS["text_quality_cdf"] = text_quality_cdf
+    EXTRA_BENCH_FNS["text_lm_perplexity"] = text_lm_perplexity
+    EXTRA_BENCH_FNS["sim_sq8_topk"] = sim_sq8_topk
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

@@ -761,6 +761,24 @@ _LM_PERPLEXITY_ORACLE = f"""
 """
 
 
+def _nll_micro(cnt3, cnt2, v):
+    """Quantized per-trigram NLL: ROUND(-ln((cnt3+1)/(cnt2+v)) · 1e6)
+    as int64. The ln input is ONE IEEE division of exact integers —
+    identical in both engines — and the quantization happens exactly
+    once (the Gumbel-key precedent). Twin: ``CAST(ROUND(-LN(CAST(c3+1
+    AS DOUBLE)/CAST(c2+v AS DOUBLE)) * 1e6, 0) AS BIGINT)``.
+
+    Headroom (pinned by ``test_lm_nll_trillion_scale_doc_sum``): the
+    value tops out near ln(cnt2+v)·1e6 ≈ 2.8e7 at trillion-token
+    context counts, so even a billion-trigram document's sum stays
+    ~3e16, far inside int64."""
+    p = (
+        (F.coalesce(cnt3, F.lit(0)) + 1).cast("double")
+        / (F.coalesce(cnt2, F.lit(0)) + v).cast("double")
+    )
+    return F.round(-F.log(p) * LM_NLL_SCALE).cast("long")
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram negative log-likelihood under an
     add-one-smoothed conditional model trained on the deterministic
@@ -820,19 +838,15 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.filter(F.col("is_train"))
         .agg(F.countDistinct("w").alias("v"))
     )
-    p = (
-        (F.coalesce(F.col("cnt3"), F.lit(0)) + 1).cast("double")
-        / (F.coalesce(F.col("cnt2"), F.lit(0)) + F.col("v")).cast("double")
-    )
     scored = (
         tri.join(model, ["c", "w"], "left")
         .join(ctx, "c", "left")
         .crossJoin(F.broadcast(voc))
         .select(
             "doc_id",
-            F.round(-F.log(p) * LM_NLL_SCALE)
-            .cast("long")
-            .alias("nll_micro"),
+            _nll_micro(
+                F.col("cnt3"), F.col("cnt2"), F.col("v")
+            ).alias("nll_micro"),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -23,6 +23,8 @@ Covered surfaces (one test per arithmetic path):
 - Portable-HLL register sum at the all-buckets-max worst case (the
   2^61 invariant: sum <= 2^(61-p) * 2^p regardless of p)
 - CMS cell-wise shard merge near the int64 edge
+- LM-perplexity per-trigram NLL at trillion-count contexts and the
+  billion-trigram document sum (r12)
 """
 
 from __future__ import annotations
@@ -217,6 +219,42 @@ def test_hll_register_sum_all_max(ansi):
     r = _one(portable_hll_estimate(regs, ["g"]))
     assert r["approx"] > 0 and math.isfinite(r["approx"])
     assert HLL_M * (1 << (_HLL_RHO0 - 1)) == 1 << 60
+
+
+def test_lm_nll_trillion_scale_doc_sum(ansi):
+    """The LM-perplexity fixed point at production-corpus statistics:
+    an unseen (context, word) inside a context seen 1e12 times against
+    a 1e9-word vocabulary is the WORST per-trigram NLL — about
+    ln(1e12 + 1e9)·1e6 ≈ 2.77e7 — and a billion-trigram document's
+    exact int64 sum of it stays ~2.8e16, three decimal orders inside
+    the cliff. Drives the operator's own expression under ANSI."""
+    from iceberg_by_example_spark.operators.text import (
+        LM_NLL_SCALE,
+        _nll_micro,
+    )
+
+    df = ansi.createDataFrame(
+        [(0, 10**12, 10**9)], "cnt3 long, cnt2 long, v long"
+    )
+    r = _one(
+        df.select(
+            _nll_micro(F.col("cnt3"), F.col("cnt2"), F.col("v")).alias(
+                "nll"
+            )
+        )
+    )
+    want = -math.log(1.0 / (10**12 + 10**9)) * LM_NLL_SCALE
+    assert abs(r["nll"] - want) <= 1
+    assert r["nll"] < 28_000_000
+    s = _one(
+        ansi.range(1).select(
+            (
+                F.lit(r["nll"]).cast("long")
+                * F.lit(1_000_000_000).cast("long")
+            ).alias("s")
+        )
+    )
+    assert s["s"] == r["nll"] * 1_000_000_000  # exact, no ANSI error
 
 
 def test_cms_shard_merge_near_edge(ansi):
