@@ -798,15 +798,20 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = enc.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("qc"), F.col("embedding").alias("qe")
     )
+    # Coarse pass projects CODES ONLY — the full float vector never
+    # enters the scan's sort buffer, so the bytes-per-vector claim is
+    # a plan property, not prose. The 50-row shortlist then joins
+    # back for exactly the vectors the exact re-rank touches (AQE
+    # broadcasts the 50-row side; the corpus side streams the pinned
+    # blocks with no shuffle).
     coarse = (
         enc.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "qv")
+        .crossJoin(F.broadcast(q.select("qc")))
         .filter(_cdot(F.col("qv"), F.col("qv")) > 0)
         .select(
             "vec_id",
             "label",
-            "embedding",
-            "qe",
             _cosine(
                 _cdot(F.col("qv"), F.col("qc")),
                 _cdot(F.col("qv"), F.col("qv")),
@@ -817,7 +822,9 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SQ8_SHORTLIST)
     )
     return (
-        coarse.select(
+        coarse.join(enc.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q.select("qe")))
+        .select(
             "vec_id",
             "label",
             "code_cos",

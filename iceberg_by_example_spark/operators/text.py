@@ -828,16 +828,22 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "is_train", "s.c", "s.w")
-    model = (
+    # The model table is detached (eager, vocab-bounded — trigram
+    # TYPES, not instances) so ctx and voc derive from the pinned
+    # blocks instead of re-running the corpus explode per consumer:
+    # without the pin the train subtree executes three more times
+    # (model join, ctx, voc), the quality-CDF double-compute pattern
+    # at 3x. Production materializes the model between runs; the
+    # detach is the in-session stand-in (bench clears the pin). V =
+    # distinct third words across model keys — identical to distinct
+    # w over train trigrams, now read from the small table.
+    model = detach(
         tri.filter(F.col("is_train"))
         .groupBy("c", "w")
         .agg(F.count(F.lit(1)).alias("cnt3"))
     )
     ctx = model.groupBy("c").agg(F.sum("cnt3").alias("cnt2"))
-    voc = (
-        tri.filter(F.col("is_train"))
-        .agg(F.countDistinct("w").alias("v"))
-    )
+    voc = model.agg(F.countDistinct("w").alias("v"))
     scored = (
         tri.join(model, ["c", "w"], "left")
         .join(ctx, "c", "left")
