@@ -139,7 +139,10 @@ def _load_extra_bench() -> None:
         pipeline_global_shuffle,
         pipeline_temperature_mix,
     )
-    from iceberg_by_example_spark.operators.similarity import sim_sq8_topk
+    from iceberg_by_example_spark.operators.similarity import (
+        sim_ivf_sq8_topk,
+        sim_sq8_topk,
+    )
     from iceberg_by_example_spark.operators.text import (
         text_lm_perplexity,
         text_quality_cdf,
@@ -167,6 +170,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["text_quality_cdf"] = text_quality_cdf
     EXTRA_BENCH_FNS["text_lm_perplexity"] = text_lm_perplexity
     EXTRA_BENCH_FNS["sim_sq8_topk"] = sim_sq8_topk
+    EXTRA_BENCH_FNS["sim_ivf_sq8_topk"] = sim_ivf_sq8_topk
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)
@@ -186,6 +190,7 @@ SF3_REPLICAS = 30
 PARALLEL_QUERIES = [
     "dedup_containment",
     "dedup_cluster_canonical",
+    "text_lm_perplexity",
     "pipeline_decontaminate",
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",

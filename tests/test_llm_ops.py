@@ -1025,6 +1025,46 @@ def test_sim_sq8_refine_exact_and_recall(spark):
     assert len(overlap) >= 8, f"SQ8 recall@10 too low: {sorted(overlap)}"
 
 
+def test_sim_ivf_sq8_matches_duckdb_twin_and_cell_bound(spark, sf_dir):
+    """The stacked IVF-SQ8 index: (a) the DuckDB twin reproduces the
+    whole path — cell assignment, probe selection, codes-only coarse
+    scan, exact re-rank — bit-for-bit; (b) every returned row's cell
+    is one of the query's NPROBE probe cells (the WHICH bound is a
+    result property, not prose); (c) re-ranked cosines are TRUE
+    cosines (equal to the IVF full-vector path for shared ids)."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.similarity import (
+        IVF_NPROBE,
+        _ivf_sq8_oracle,
+        sim_ivf_sq8_topk,
+        sim_ivf_topk,
+    )
+
+    rows = sim_ivf_sq8_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    got = [
+        (r["vec_id"], r["label"], r["cell"], r["code_cos"], r["cosine"])
+        for r in rows
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_ivf_sq8_oracle()).fetchall()]
+    assert got == want
+    assert len({r["cell"] for r in rows}) <= IVF_NPROBE
+    ivf = {
+        r["vec_id"]: r["cosine"]
+        for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    shared = [r for r in rows if r["vec_id"] in ivf]
+    assert shared, "no overlap with the full-vector IVF path"
+    for r in shared:
+        assert r["cosine"] == ivf[r["vec_id"]]
+
+
 def test_pq_codes_are_4bit(spark):
     """Every PQ code must fit the 4-bit budget the compression story
     claims (0 ≤ code < PQ_CODES in each of the PQ_M subspaces)."""

@@ -38,7 +38,15 @@ def main() -> None:
 
     spark = get_spark(f"probe-{name}")
     _load_all()
-    spec = QUERY_REGISTRY[name]
+    if name in QUERY_REGISTRY:
+        fn = QUERY_REGISTRY[name].fn
+    else:
+        # bench-only operators (the registration queue) live in
+        # bench.EXTRA_BENCH_FNS — probe them the same way
+        import bench
+
+        bench._load_extra_bench()
+        fn = bench.EXTRA_BENCH_FNS[name]
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -80,7 +88,7 @@ def main() -> None:
             round((time.perf_counter() - t0) / CANARY_R1_FLOOR, 2)
         )
         t0 = time.perf_counter()
-        run(spec.fn(spark, data_dir))
+        run(fn(spark, data_dir))
         passes.append(round(time.perf_counter() - t0, 3))
         gc_quiesce()
 
