@@ -528,12 +528,12 @@ def _parallel_corpus_pass(
     multi_dir = _ensure_multifile(spark, sf_dir)
     queries = {}
     for name in PARALLEL_QUERIES:
-        spec = QUERY_REGISTRY[name]
+        fn = _bench_fn(name)
         base = floors.get(name)
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, multi_dir))
+            run_query(fn(spark, multi_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
         # multi-file should never be slower than single-file — the
@@ -546,7 +546,7 @@ def _parallel_corpus_pass(
         retries = 0
         while base and min(ts) / base > 1.2 and retries < 2:
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, multi_dir))
+            run_query(fn(spark, multi_dir))
             ts.append(time.perf_counter() - t0)
             drop_pinned_blocks(spark)
             retries += 1

@@ -2576,10 +2576,28 @@ def source_kmv_sketches(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     the same trick as the BM25 term (SCALING.md headroom section)."""
     mk = KMV_MARGIN * k
     sh = _shingle_sets(docs, drop_short=True, carry=("source",))
+    # Pin the distinct hash index for its two consumers (census +
+    # threshold filter), and return the sketch DETACHED (sources × k
+    # rows — broadcast-trivial): the overlap query fans the sketch
+    # into three branches (source list, A-side, B-side), and without
+    # the eager pin each branch re-executed the whole explode +
+    # distinct pipeline — measured 6.5s -> ~1.5s at sf0.1. The
+    # corpus-sized pin is released once the sketch is materialized
+    # (r11 ADVICE discipline); in production the sketch IS the
+    # persisted state between runs.
+    # explode_OUTER, not explode: plain explode makes Spark infer a
+    # `size(sh) > 0 AND isnotnull(sh)` filter from the generator and
+    # push it below _shingle_sets' repartition exchange — where it
+    # re-evaluates the ENTIRE tokenize+shingle expression (twice) in
+    # the single-task scan stage. Measured 3.4s -> 0.6s at sf0.1 on
+    # this explode alone. drop_short already guarantees non-empty
+    # arrays; the null guard on the exploded element is free.
     hs = (
-        sh.select("source", F.explode("sh").alias("s"))
+        sh.select("source", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
         .select("source", _md5_hash60(F.col("s")).alias("h"))
         .distinct()
+        .persist()
     )
     census = hs.groupBy("source").agg(F.count("*").alias("n_sh"))
     thr = F.expr(
@@ -2590,11 +2608,14 @@ def source_kmv_sketches(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(F.asc("h"))
     )
-    return (
-        surv.select("source", "h", rk.alias("rk"))
-        .filter(F.col("rk") <= k)
-        .select("source", "h")
-    )
+    try:
+        return detach(
+            surv.select("source", "h", rk.alias("rk"))
+            .filter(F.col("rk") <= k)
+            .select("source", "h")
+        )
+    finally:
+        hs.unpersist()
 
 
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2726,8 +2747,14 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine (the registered ``dedup_ngram_jaccard``
     grades green on them), so the θ comparisons agree everywhere.
     Unregistered (r11's slot is spent; see the registration queue);
-    ``_THRESHOLD_SWEEP_ORACLE`` is the tested DuckDB twin."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP)
+    ``_THRESHOLD_SWEEP_ORACLE`` is the tested DuckDB twin.
+
+    The pair relation is detached (eager, pair-sized — tiny next to
+    the corpus) before the fan-out: both report branches (pair counts,
+    distinct-doc counts) read it, and without the pin each would
+    re-run the full candidate + verify pipeline (r11 ADVICE
+    double-compute discipline; measured ~2x at sf0.1)."""
+    pairs = detach(ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP))
     fan = pairs.select(
         "doc_a",
         "doc_b",
