@@ -107,6 +107,8 @@ SCALING_PROBE_QUERIES = [
     "text_quality_cdf",
     "text_lm_perplexity",
     "sim_sq8_topk",
+    # r12: two corpus passes (gradient per step), DIM-bounded shuffle
+    "pipeline_quality_lr_step",
 ]
 SF1_REPLICAS = 10
 
@@ -134,6 +136,9 @@ def _load_extra_bench() -> None:
         dedup_incremental_winnow,
         dedup_source_overlap,
         dedup_threshold_sweep,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_quality_lr_step,
     )
     from iceberg_by_example_spark.operators.sampling import (
         pipeline_global_shuffle,
@@ -171,6 +176,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["text_lm_perplexity"] = text_lm_perplexity
     EXTRA_BENCH_FNS["sim_sq8_topk"] = sim_sq8_topk
     EXTRA_BENCH_FNS["sim_ivf_sq8_topk"] = sim_ivf_sq8_topk
+    EXTRA_BENCH_FNS["pipeline_quality_lr_step"] = pipeline_quality_lr_step
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)
