@@ -109,6 +109,9 @@ SCALING_PROBE_QUERIES = [
     "sim_sq8_topk",
     # r12: two corpus passes (gradient per step), DIM-bounded shuffle
     "pipeline_quality_lr_step",
+    # r12: same claim as text_bpe_tokenize — the corpus pass grows,
+    # the driver EM and the distinct-OOV Viterbi tail do not
+    "text_unigram_tokenize",
 ]
 SF1_REPLICAS = 10
 
@@ -155,6 +158,7 @@ def _load_extra_bench() -> None:
     from iceberg_by_example_spark.operators.tokenizer import (
         bpe_tokenize_stats,
         text_bpe_tokenize,
+        text_unigram_tokenize,
     )
     from iceberg_by_example_spark.sources.tpch import load_table
 
@@ -177,6 +181,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["sim_sq8_topk"] = sim_sq8_topk
     EXTRA_BENCH_FNS["sim_ivf_sq8_topk"] = sim_ivf_sq8_topk
     EXTRA_BENCH_FNS["pipeline_quality_lr_step"] = pipeline_quality_lr_step
+    EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

@@ -254,3 +254,279 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table, with demo-scaled training parameters."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_tokenize_stats(docs, n_merges=BPE_MERGES, vocab_cap=BPE_VOCAB_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model; public algorithm), completing the pair
+# of industrial tokenizer families next to the BPE trainer above.
+# Distributed shape is IDENTICAL to BPE's by design: ONE corpus pass
+# builds the capped word-frequency table; seeding, EM, pruning and
+# the final piece scores all run driver-side on that bounded table
+# (cost O(vocab_cap · word_len² · iters), corpus-independent);
+# application is the same broadcast head join + distinct-OOV pandas
+# UDF tail (Heaps-law Python cost, never corpus-token cost).
+#
+# Simplifications vs full SentencePiece, stated honestly:
+# - seeding takes the top UNI_SEED_CAP substrings by corpus frequency
+#   (SentencePiece seeds from the suffix-array ESA counts — same
+#   quantity computed differently at this scale);
+# - pruning keeps the UNI_PIECE_CAP most probable pieces after EM
+#   (SentencePiece prunes by likelihood LOSS per piece over several
+#   rounds); single characters are always retained, so every word
+#   stays segmentable (Kudo's character-coverage guarantee).
+# - segmentation is Viterbi (alpha = 0 / hard-EM decode) — the
+#   inference mode production tokenizers run.
+#
+# Determinism: EM runs in plain driver floats over deterministic
+# iteration orders; the FINAL scores are quantized ONCE to 1e-6
+# ln-prob fixed point, and Viterbi decoding maximizes the exact
+# integer sum with a total tie-break (higher score, then FEWER
+# pieces, then the lexicographically smallest piece sequence), so
+# encoding is bit-deterministic everywhere — the same
+# quantize-once-then-exact discipline as the Gumbel/NLL operators.
+UNI_MAX_PIECE = 6
+UNI_SEED_CAP = 2000
+UNI_PIECE_CAP = 512
+UNI_EM_ITERS = 3
+UNI_SCORE_SCALE = 1_000_000
+# unknown character fallback: far below any learned piece, so it is
+# used only when no learned piece covers a character
+UNI_UNK_SCORE = -30_000_000
+
+
+def unigram_train(
+    word_freqs: Iterable[tuple[str, int]],
+    seed_cap: int = UNI_SEED_CAP,
+    piece_cap: int = UNI_PIECE_CAP,
+    em_iters: int = UNI_EM_ITERS,
+    max_piece: int = UNI_MAX_PIECE,
+) -> tuple[dict[str, int], list[float]]:
+    """EM-train a unigram piece model on a (word, freq) table.
+
+    Returns (piece -> quantized ln-prob score, per-iteration corpus
+    log-likelihoods). The LL trace exists so the EM's monotone
+    improvement is testable — each iteration must not decrease it
+    (the textbook EM guarantee, pinned in pytest).
+    """
+    import math
+
+    words = [(w, f) for w, f in word_freqs if w]
+    # --- seed: substring corpus frequencies on the bounded table ---
+    seed: dict[str, int] = {}
+    for w, f in words:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece, n) + 1):
+                p = w[i:j]
+                seed[p] = seed.get(p, 0) + f
+    chars = sorted({c for w, _ in words for c in w})
+    multi = sorted(
+        (p for p in seed if len(p) > 1),
+        key=lambda p: (-seed[p], p),
+    )[: max(seed_cap - len(chars), 0)]
+    pieces = sorted(set(chars) | set(multi))
+    total = float(sum(seed[p] for p in pieces))
+    probs = {p: seed[p] / total for p in pieces}
+
+    def forward(w: str) -> list[float]:
+        a = [0.0] * (len(w) + 1)
+        a[0] = 1.0
+        for j in range(1, len(w) + 1):
+            s = 0.0
+            for i in range(max(0, j - max_piece), j):
+                pr = probs.get(w[i:j])
+                if pr:
+                    s += a[i] * pr
+            a[j] = s
+        return a
+
+    lls: list[float] = []
+    for _ in range(em_iters):
+        exp: dict[str, float] = {}
+        ll = 0.0
+        for w, f in words:
+            n = len(w)
+            a = forward(w)
+            if a[n] <= 0.0:
+                continue  # unreachable with char coverage
+            b = [0.0] * (n + 1)
+            b[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for j in range(i + 1, min(i + max_piece, n) + 1):
+                    pr = probs.get(w[i:j])
+                    if pr:
+                        s += pr * b[j]
+                b[i] = s
+            ll += f * math.log(a[n])
+            inv = f / a[n]
+            for i in range(n):
+                for j in range(i + 1, min(i + max_piece, n) + 1):
+                    pr = probs.get(w[i:j])
+                    if pr:
+                        c = a[i] * pr * b[j] * inv
+                        if c:
+                            p = w[i:j]
+                            exp[p] = exp.get(p, 0.0) + c
+        lls.append(ll)
+        # M-step; characters keep an epsilon floor so coverage never
+        # collapses to zero probability mid-training
+        for c in chars:
+            exp[c] = exp.get(c, 0.0) + 1e-9
+        tot = sum(exp.get(p, 0.0) for p in pieces)
+        probs = {
+            p: exp.get(p, 0.0) / tot for p in pieces if exp.get(p, 0.0) > 0
+        }
+
+    # --- prune to piece_cap: all chars + most probable multi-char ---
+    kept_multi = sorted(
+        (p for p in probs if len(p) > 1),
+        key=lambda p: (-probs[p], p),
+    )[: max(piece_cap - len(chars), 0)]
+    kept = sorted(set(chars) | set(kept_multi))
+    tot = sum(probs.get(p, 0.0) for p in kept)
+    scores = {
+        p: int(
+            _round_half_up(
+                math.log(probs.get(p, 1e-12) / tot) * UNI_SCORE_SCALE
+            )
+        )
+        for p in kept
+    }
+    return scores, lls
+
+
+def _round_half_up(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def unigram_encode(word: str, scores: dict[str, int]) -> list[str]:
+    """Integer Viterbi decode: maximize the exact sum of quantized
+    piece scores; ties prefer FEWER pieces, then the lexicographically
+    smallest piece sequence. Characters outside the model fall back to
+    UNI_UNK_SCORE singletons, so every word decodes."""
+    n = len(word)
+    max_piece = max((len(p) for p in scores), default=1)
+    # dp[j] = (score, -n_pieces, seg tuple) — maximize lexicographically,
+    # with seg compared INVERTED so "smallest sequence" wins ties.
+    dp: list[tuple | None] = [None] * (n + 1)
+    dp[0] = (0, 0, ())
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(0, j - max_piece), j):
+            if dp[i] is None:
+                continue
+            piece = word[i:j]
+            s = scores.get(piece)
+            if s is None:
+                if j - i > 1:
+                    continue
+                s = UNI_UNK_SCORE
+            cand = (
+                dp[i][0] + s,
+                dp[i][1] - 1,
+                dp[i][2] + (piece,),
+            )
+            if best is None:
+                best = cand
+            else:
+                # higher score, then fewer pieces, then lex-smallest seg
+                if (cand[0], cand[1]) > (best[0], best[1]) or (
+                    (cand[0], cand[1]) == (best[0], best[1])
+                    and cand[2] < best[2]
+                ):
+                    best = cand
+        dp[j] = best
+    assert dp[n] is not None
+    return list(dp[n][2])
+
+
+def unigram_learn_from_corpus(
+    docs: DataFrame,
+    vocab_cap: int = BPE_VOCAB_CAP,
+    **kw,
+) -> tuple[dict[str, int], list[float], list[tuple[str, int]]]:
+    """Corpus pass + driver-side EM. The collect is the capped vocab
+    table (≤ vocab_cap rows by construction), not data."""
+    head = [
+        (r["w"], r["freq"])
+        for r in bpe_word_counts(docs, vocab_cap).collect()
+    ]
+    scores, lls = unigram_train(head, **kw)
+    return scores, lls, head
+
+
+def unigram_tokenize_stats(
+    docs: DataFrame,
+    vocab_cap: int = BPE_VOCAB_CAP,
+    **kw,
+) -> DataFrame:
+    """Exact learned-unigram accounting per document — same output
+    schema and same head/tail split as ``bpe_tokenize_stats``:
+    (doc_id, n_words, n_pieces, n_oov_words, n_oov_pieces). In-vocab
+    words (the frequency mass) hit the broadcast word→n_pieces table;
+    OOV words decode ONCE per distinct word in an Arrow-batched
+    pandas UDF running the same integer Viterbi."""
+    spark = docs.sparkSession
+    scores, _lls, head = unigram_learn_from_corpus(docs, vocab_cap, **kw)
+
+    enc_rows = [(w, len(unigram_encode(w, scores))) for w, _ in head]
+    enc = spark.createDataFrame(enc_rows, "w string, n_pieces bigint")
+
+    wc = (
+        docs.select("doc_id", F.explode(_words_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    joined = wc.join(F.broadcast(enc), "w", "left")
+    inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
+        "oov", F.lit(False)
+    )
+
+    @F.pandas_udf("bigint")
+    def _oov_pieces(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(unigram_encode(w, scores)))
+
+    oov_words = (
+        joined.filter(F.col("n_pieces").isNull()).select("w").distinct()
+    )
+    oov_enc = oov_words.select("w", _oov_pieces("w").alias("n_pieces"))
+    oov = (
+        joined.filter(F.col("n_pieces").isNull())
+        .drop("n_pieces")
+        .join(oov_enc, "w")
+        .withColumn("oov", F.lit(True))
+    )
+
+    per_word = inv.unionByName(oov)
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(
+                F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))
+            ).alias("n_oov_words"),
+            F.sum(
+                F.when(F.col("oov"), F.col("c") * F.col("n_pieces"))
+                .otherwise(F.lit(0))
+            ).alias("n_oov_pieces"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            F.col("n_oov_words").cast("long").alias("n_oov_words"),
+            F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
+        )
+    )
+
+
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registration-ready entry shape (spark, sf_dir) over the
+    documents table, with demo-scaled training parameters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_tokenize_stats(docs)

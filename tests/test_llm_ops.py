@@ -3027,3 +3027,215 @@ def test_quality_lr_step_matches_python_and_duckdb(spark, sf_dir):
     n = len(docs)
     # strict descent: w0=0 scores 0.5 everywhere; each step improves
     assert t2 / n < t1 / n < 0.5
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece family)
+# ---------------------------------------------------------------------------
+
+
+def _ref_uni_viterbi(word, scores, unk):
+    """Independent reference Viterbi: recursive memo over suffixes,
+    explicit tie-break (max score, then fewest pieces, then the
+    lexicographically smallest sequence). Integer arithmetic — must
+    agree with unigram_encode EXACTLY."""
+    from functools import lru_cache
+
+    max_len = max((len(p) for p in scores), default=1)
+
+    @lru_cache(maxsize=None)
+    def best_from(i):
+        if i == len(word):
+            return (0, 0, ())
+        cands = []
+        for j in range(i + 1, min(i + max_len, len(word)) + 1):
+            piece = word[i:j]
+            s = scores.get(piece)
+            if s is None:
+                if j - i > 1:
+                    continue
+                s = unk
+            tail = best_from(j)
+            cands.append(
+                (tail[0] + s, tail[1] - 1, (piece,) + tail[2])
+            )
+        # max by (score, -n_pieces); ties -> lexicographically smallest
+        best = cands[0]
+        for c in cands[1:]:
+            if (c[0], c[1]) > (best[0], best[1]) or (
+                (c[0], c[1]) == (best[0], best[1]) and c[2] < best[2]
+            ):
+                best = c
+        return best
+
+    return list(best_from(0)[2])
+
+
+def test_unigram_trainer_and_viterbi_reference(spark):
+    """The unigram trainer against an independent from-scratch EM
+    (forward-backward expected counts, same summation order spec) and
+    the integer Viterbi against an independent recursive decoder:
+    scores agree within 2 micro, segmentations agree EXACTLY, and the
+    EM log-likelihood trace is monotone non-decreasing (the textbook
+    EM guarantee)."""
+    import math
+
+    from iceberg_by_example_spark.operators.tokenizer import (
+        UNI_UNK_SCORE,
+        bpe_word_counts,
+        unigram_encode,
+        unigram_train,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    head = [
+        (r["w"], r["freq"]) for r in bpe_word_counts(docs, 4096).collect()
+    ]
+    scores, lls = unigram_train(head)
+    assert len(lls) == 3
+    for prev, cur in zip(lls, lls[1:]):
+        assert cur >= prev - abs(prev) * 1e-12, (prev, cur)
+
+    # --- independent EM (different structure: explicit edge lists) ---
+    from collections import Counter
+
+    MAXP, SEEDC, PIECEC, SCALE = 6, 2000, 512, 1_000_000
+    seed = Counter()
+    for w, f in head:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + MAXP, len(w)) + 1):
+                seed[w[i:j]] += f
+    chars = sorted({c for w, _ in head for c in w})
+    multi = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[: SEEDC - len(chars)]
+    pieces = sorted(set(chars) | set(multi))
+    total = float(sum(seed[p] for p in pieces))
+    probs = {p: seed[p] / total for p in pieces}
+    for _ in range(3):
+        exp = {}
+        for w, f in head:
+            n = len(w)
+            a = [0.0] * (n + 1)
+            a[0] = 1.0
+            for j in range(1, n + 1):
+                s = 0.0
+                for i in range(max(0, j - MAXP), j):
+                    pr = probs.get(w[i:j])
+                    if pr:
+                        s += a[i] * pr
+                a[j] = s
+            if a[n] <= 0:
+                continue
+            b = [0.0] * (n + 1)
+            b[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for j in range(i + 1, min(i + MAXP, n) + 1):
+                    pr = probs.get(w[i:j])
+                    if pr:
+                        s += pr * b[j]
+                b[i] = s
+            inv = f / a[n]
+            for i in range(n):
+                for j in range(i + 1, min(i + MAXP, n) + 1):
+                    pr = probs.get(w[i:j])
+                    if pr:
+                        c = a[i] * pr * b[j] * inv
+                        if c:
+                            exp[w[i:j]] = exp.get(w[i:j], 0.0) + c
+        for c0 in chars:
+            exp[c0] = exp.get(c0, 0.0) + 1e-9
+        tot = sum(exp.get(p, 0.0) for p in pieces)
+        probs = {
+            p: exp.get(p, 0.0) / tot
+            for p in pieces
+            if exp.get(p, 0.0) > 0
+        }
+    kept_multi = sorted(
+        (p for p in probs if len(p) > 1), key=lambda p: (-probs[p], p)
+    )[: PIECEC - len(chars)]
+    kept = sorted(set(chars) | set(kept_multi))
+    tot = sum(probs.get(p, 0.0) for p in kept)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = {
+        p: int(
+            Decimal(
+                math.log(probs.get(p, 1e-12) / tot) * SCALE
+            ).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        for p in kept
+    }
+    assert set(scores) == set(want)
+    for p in scores:
+        assert abs(scores[p] - want[p]) <= 2, (p, scores[p], want[p])
+
+    # --- Viterbi agreement, in-vocab and crafted OOV words ---
+    probe = [w for w, _ in head[:200]] + [
+        "zzzqqq",
+        "the9fox",  # digit never appears: UNK fallback path
+        "a",
+        "tablescan" * 3,
+    ]
+    for w in probe:
+        assert unigram_encode(w, scores) == _ref_uni_viterbi(
+            w, scores, UNI_UNK_SCORE
+        ), w
+    # the most frequent word must compress below its char count
+    top_word = head[0][0]
+    if len(top_word) > 1:
+        assert len(unigram_encode(top_word, scores)) < len(top_word)
+
+
+def test_unigram_stats_spark_plumbing_exact(spark, sf_dir):
+    """The Spark accounting (head broadcast join + distinct-OOV pandas
+    UDF) must reproduce a pure-Python corpus accounting computed with
+    the library's own scores — every doc, all four counters."""
+    import re
+
+    import duckdb
+
+    from iceberg_by_example_spark.operators.tokenizer import (
+        text_unigram_tokenize,
+        unigram_encode,
+        unigram_learn_from_corpus,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores, _lls, head = unigram_learn_from_corpus(docs)
+    vocab = {w for w, _ in head}
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_pieces"],
+            r["n_oov_words"],
+            r["n_oov_pieces"],
+        )
+        for r in text_unigram_tokenize(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    n_cache = {}
+    want = {}
+    for doc_id, text in rows:
+        words = re.findall("[a-z]+", text.lower())
+        if not words:
+            continue
+        nw = np_ = now = nop = 0
+        for w in words:
+            if w not in n_cache:
+                n_cache[w] = len(unigram_encode(w, scores))
+            k = n_cache[w]
+            nw += 1
+            np_ += k
+            if w not in vocab:
+                now += 1
+                nop += k
+        want[doc_id] = (nw, np_, now, nop)
+    assert got == want
