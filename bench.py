@@ -109,6 +109,10 @@ SCALING_PROBE_QUERIES = [
     "sim_sq8_topk",
     # r12: two corpus passes (gradient per step), DIM-bounded shuffle
     "pipeline_quality_lr_step",
+    # r13: trainer's passes + one scoring pass; keep cutoff adds a
+    # SCALE-bounded (<=1e6+1 row) histogram, so the ratio claim is
+    # "three linear passes over persisted features, flat overhead"
+    "pipeline_quality_score",
     # r12: same claim as text_bpe_tokenize — the corpus pass grows,
     # the driver EM and the distinct-OOV Viterbi tail do not
     "text_unigram_tokenize",
@@ -142,6 +146,7 @@ def _load_extra_bench() -> None:
     )
     from iceberg_by_example_spark.operators.pipeline import (
         pipeline_quality_lr_step,
+        pipeline_quality_score,
     )
     from iceberg_by_example_spark.operators.sampling import (
         pipeline_global_shuffle,
@@ -182,6 +187,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["sim_ivf_sq8_topk"] = sim_ivf_sq8_topk
     EXTRA_BENCH_FNS["pipeline_quality_lr_step"] = pipeline_quality_lr_step
     EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
+    EXTRA_BENCH_FNS["pipeline_quality_score"] = pipeline_quality_score
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

@@ -296,7 +296,11 @@ FUNNEL_MIN_STOP_RATIO = 0.05
     category="pipeline",
     bench=True,
 )
-def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_filter_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    lr_scores: DataFrame | None = None,
+) -> DataFrame:
     """Per-stage drop accounting for the quality-filter cascade — the
     observability report every production curation pipeline publishes
     next to its output (how many docs each filter rejected, and what
@@ -305,10 +309,18 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: metrics are pure column expressions over one corpus
     scan; the stage attribution is a CASE chain (no joins between
     stages — first-failure semantics means ONE pass decides every
-    doc); counts are a map-side-combinable groupBy over ≤4 stage keys;
+    doc); counts are a map-side-combinable groupBy over ≤5 stage keys;
     the grand total joins back as a broadcast 1-row aggregate, the
     same shape as ``pipeline_domain_mix``. Nothing here grows with
-    corpus size except the initial scan."""
+    corpus size except the initial scan.
+
+    Pass ``lr_scores`` (the ``pipeline_quality_score`` output —
+    (doc_id, …, keep)) to append the LEARNED filter as the funnel's
+    last gate: docs surviving the heuristic stages but scored
+    ``keep = 0`` are attributed to a new ``lr_rejected`` stage (idx
+    4) and ``kept`` moves to idx 5. The join is a doc_id equi-join
+    (keys-only shuffle); the registered no-argument form is
+    unchanged."""
     from iceberg_by_example_spark.functions.text import (
         stopword_hits,
         token_count,
@@ -327,6 +339,13 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stop_ratio"
         ),
     )
+    if lr_scores is not None:
+        m = m.join(
+            lr_scores.select(
+                "doc_id", F.col("keep").alias("lr_keep")
+            ),
+            "doc_id",
+        )
     stage = (
         F.when(F.col("n_tokens") < FUNNEL_MIN_TOKENS, F.lit("too_short"))
         .when(F.col("ttr") < FUNNEL_MIN_TTR, F.lit("low_diversity"))
@@ -334,14 +353,22 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("stop_ratio") < FUNNEL_MIN_STOP_RATIO,
             F.lit("no_stopwords"),
         )
-        .otherwise(F.lit("kept"))
     )
     stage_idx = (
         F.when(F.col("stage") == "too_short", 1)
         .when(F.col("stage") == "low_diversity", 2)
         .when(F.col("stage") == "no_stopwords", 3)
-        .otherwise(4)
     )
+    if lr_scores is not None:
+        stage = stage.when(
+            F.col("lr_keep") == 0, F.lit("lr_rejected")
+        ).otherwise(F.lit("kept"))
+        stage_idx = stage_idx.when(
+            F.col("stage") == "lr_rejected", 4
+        ).otherwise(5)
+    else:
+        stage = stage.otherwise(F.lit("kept"))
+        stage_idx = stage_idx.otherwise(4)
     counts = (
         m.select(stage.alias("stage"))
         .groupBy("stage")
@@ -501,8 +528,25 @@ LR_LABEL_LANG = "en"  # y = 1 iff lang = 'en' (~39% positive)
 # so the usable step range is set by the feature second moment - the
 # production knob this constant stands in for.
 LR_DEN = 64
+# The learned filter keeps the TOP 1/LR_KEEP_DEN of the corpus by
+# score (ties at the cutoff included) — a RELATIVE operating point,
+# the way production learned filters are actually run (CCNet keeps
+# the better LM-scored percentiles; fasttext/DSIR-style filters
+# threshold at a tuned fraction). Relative, not absolute: two
+# conservative GD steps leave every score below 1/2 and the score
+# location drifts with corpus mix (sf0.001 median 0.401, sf0.01
+# median 0.450 — any absolute micro cutoff is degenerate at one sf
+# or the other), while the top-half gate is non-degenerate by
+# construction at every scale. The cutoff is the exact score
+# quantile computed from the value histogram, so the gate stays a
+# pure integer function of (score multiset) — no float quantile, no
+# row-order term.
+LR_KEEP_DEN = 2
 
-_QUALITY_LR_ORACLE = """
+# Shared training CTE chain (through the final w2 weight table); the
+# trainer and the scorer oracles both append their own final SELECT so
+# the two twins can never drift apart on the training arithmetic.
+_QUALITY_LR_TRAIN_CTES = """
     WITH x AS (
       SELECT doc_id,
              CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS y,
@@ -532,28 +576,60 @@ _QUALITY_LR_ORACLE = """
                        AS BIGINT) AS g1
       FROM step2 s,
            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {dim_m1})) AS b) k
-      GROUP BY k.b)
-    SELECT w1.b AS bucket, w1.w1_micro,
-           CAST(w1.w1_micro - (g1.g1 // (n.n * {den})) AS BIGINT)
-             AS w2_micro
-    FROM w1 JOIN g1 ON w1.b = g1.b, n
-""".format(
-    lang=LR_LABEL_LANG,
-    dim="{dim}",
-    dim_m1="{dim_m1}",
-    scale="{scale}",
-    den="{den}",
-)
+      GROUP BY k.b),
+    w2 AS (
+      SELECT w1.b AS bucket, w1.w1_micro,
+             CAST(w1.w1_micro - (g1.g1 // (n.n * {den})) AS BIGINT)
+               AS w2_micro
+      FROM w1 JOIN g1 ON w1.b = g1.b, n)
+"""
+
+_QUALITY_LR_FINAL = """
+    SELECT bucket, w1_micro, w2_micro FROM w2
+"""
+
+_QUALITY_SCORE_FINAL = """,
+    w2arr AS (SELECT LIST(w2_micro ORDER BY bucket) AS w FROM w2),
+    scored AS (
+      SELECT x.doc_id,
+             CAST(ROUND({scale}.0 / (1.0 + EXP(-(
+               LIST_SUM([w.w[i] * x.f[i]
+                         for i in generate_series(1, {dim})]))
+               / {scale}.0)), 0) AS BIGINT) AS p_micro
+      FROM x, w2arr w),
+    hist AS (SELECT p_micro AS v, COUNT(*) AS c FROM scored GROUP BY 1),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v DESC) AS n_ge FROM hist),
+    cutoff AS (
+      SELECT MAX(v) AS q FROM cum, n
+      WHERE n_ge >= (n.n + {keep_den} - 1) // {keep_den})
+    SELECT s.doc_id, s.p_micro,
+           CAST(CASE WHEN s.p_micro >= c.q THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM scored s, cutoff c
+"""
 
 
-def _quality_lr_oracle() -> str:
+def _lr_oracle_params() -> dict:
     from iceberg_by_example_spark.operators.text import HASHING_DIM
 
-    return _QUALITY_LR_ORACLE.format(
+    return dict(
+        lang=LR_LABEL_LANG,
         dim=HASHING_DIM,
         dim_m1=HASHING_DIM - 1,
         scale=LR_SCALE,
         den=LR_DEN,
+    )
+
+
+def _quality_lr_oracle() -> str:
+    return (_QUALITY_LR_TRAIN_CTES + _QUALITY_LR_FINAL).format(
+        **_lr_oracle_params()
+    )
+
+
+def _quality_score_oracle() -> str:
+    return (_QUALITY_LR_TRAIN_CTES + _QUALITY_SCORE_FINAL).format(
+        keep_den=LR_KEEP_DEN, **_lr_oracle_params()
     )
 
 
@@ -579,83 +655,214 @@ def pipeline_quality_lr_step(
     is the tested DuckDB twin, and pytest pins a from-scratch Python
     trainer plus the learning signal itself (step-2 mean |residual|
     strictly below step-1's on the training corpus)."""
-    from iceberg_by_example_spark.operators.text import (
-        HASHING_DIM,
-        hashing_vectorizer_arrays,
-    )
     from iceberg_by_example_spark.util import detach
 
-    d = load_table(spark, sf_dir, "documents")
-    feats = hashing_vectorizer_arrays(spark, sf_dir)
-    x = (
-        d.select(
-            "doc_id",
-            (F.col("lang") == LR_LABEL_LANG)
-            .cast("long")
-            .alias("y"),
-        )
-        .join(feats, "doc_id")
-        .persist()
-    )
+    x = _lr_feature_frame(spark, sf_dir).persist()
     try:
         n = x.agg(F.count(F.lit(1)).alias("n"))
-        # step 1 from w = 0: sigma(0) = 1/2 exactly, residual is pure
-        # integer — no transcendental anywhere in this pass
-        g0 = (
-            x.select(
-                (F.lit(500_000) - F.lit(1_000_000) * F.col("y")).alias(
-                    "r"
-                ),
-                F.posexplode("features").alias("b", "cnt"),
-            )
-            .groupBy("b")
-            .agg(F.sum(F.col("r") * F.col("cnt")).alias("g0"))
-        )
-        w1 = (
-            g0.crossJoin(F.broadcast(n))
-            .select(
-                "b",
-                F.expr(f"-(g0 div (n * {LR_DEN}))").alias("w1_micro"),
-            )
-        )
-        w1arr = w1.groupBy().agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("b", "w1_micro"))
-                ),
-                lambda s: s["w1_micro"],
-            ).alias("w")
-        )
-        # step 2: broadcast the weight array, one corpus pass computes
-        # z -> sigmoid (quantized ONCE) -> residual -> bucket gradient
-        z = F.aggregate(
-            F.zip_with("features", "w", lambda f, w: f * w),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        p = F.round(
-            F.lit(float(LR_SCALE))
-            / (F.lit(1.0) + F.exp(-(z.cast("double") / LR_SCALE)))
-        ).cast("long")
-        g1 = (
-            x.crossJoin(F.broadcast(w1arr))
-            .select(
-                (p - F.lit(1_000_000) * F.col("y")).alias("r"),
-                F.posexplode("features").alias("b", "cnt"),
-            )
-            .groupBy("b")
-            .agg(F.sum(F.col("r") * F.col("cnt")).alias("g1"))
-        )
         return detach(
-            w1.join(g1, "b")
-            .crossJoin(F.broadcast(n))
-            .select(
-                F.col("b").alias("bucket"),
-                "w1_micro",
-                F.expr(f"w1_micro - (g1 div (n * {LR_DEN}))").alias(
-                    "w2_micro"
-                ),
+            _lr_weights(x, n).select(
+                F.col("b").alias("bucket"), "w1_micro", "w2_micro"
             )
         )
     finally:
+        x.unpersist()
+
+
+def _lr_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, features) — the labeled hashed-feature projection
+    both the trainer and the scorer pass over; callers persist it for
+    the duration of their GD/scoring passes."""
+    from iceberg_by_example_spark.operators.text import (
+        hashing_vectorizer_arrays,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = hashing_vectorizer_arrays(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        (F.col("lang") == LR_LABEL_LANG).cast("long").alias("y"),
+    ).join(feats, "doc_id")
+
+
+def _lr_dot_micro() -> F.Column:
+    """z = w . x over the broadcast weight array column ``w`` and the
+    per-doc ``features`` array, as an exact int64 fold."""
+    return F.aggregate(
+        F.zip_with("features", "w", lambda f, w: f * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lr_sigmoid_micro(z: F.Column) -> F.Column:
+    """1e-6 fixed-point logistic of a micro-scaled logit, quantized
+    ONCE (the single libm surface in the LR family — same ROUND-once
+    discipline as the Gumbel key and the LM NLL)."""
+    return F.round(
+        F.lit(float(LR_SCALE))
+        / (F.lit(1.0) + F.exp(-(z.cast("double") / LR_SCALE)))
+    ).cast("long")
+
+
+def _lr_weights(x: DataFrame, n: DataFrame) -> DataFrame:
+    """Two full-batch GD steps over the persisted feature frame
+    ``x(doc_id, y, features)``; returns the DIM-row weight table
+    (b, w1_micro, w2_micro). ``n`` is the 1-row corpus count."""
+    # step 1 from w = 0: sigma(0) = 1/2 exactly, residual is pure
+    # integer — no transcendental anywhere in this pass
+    g0 = (
+        x.select(
+            (F.lit(500_000) - F.lit(1_000_000) * F.col("y")).alias(
+                "r"
+            ),
+            F.posexplode("features").alias("b", "cnt"),
+        )
+        .groupBy("b")
+        .agg(F.sum(F.col("r") * F.col("cnt")).alias("g0"))
+    )
+    w1 = (
+        g0.crossJoin(F.broadcast(n))
+        .select(
+            "b",
+            F.expr(f"-(g0 div (n * {LR_DEN}))").alias("w1_micro"),
+        )
+    )
+    w1arr = w1.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("b", "w1_micro"))
+            ),
+            lambda s: s["w1_micro"],
+        ).alias("w")
+    )
+    # step 2: broadcast the weight array, one corpus pass computes
+    # z -> sigmoid (quantized ONCE) -> residual -> bucket gradient
+    p = _lr_sigmoid_micro(_lr_dot_micro())
+    g1 = (
+        x.crossJoin(F.broadcast(w1arr))
+        .select(
+            (p - F.lit(1_000_000) * F.col("y")).alias("r"),
+            F.posexplode("features").alias("b", "cnt"),
+        )
+        .groupBy("b")
+        .agg(F.sum(F.col("r") * F.col("cnt")).alias("g1"))
+    )
+    return (
+        w1.join(g1, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b",
+            "w1_micro",
+            F.expr(f"w1_micro - (g1 div (n * {LR_DEN}))").alias(
+                "w2_micro"
+            ),
+        )
+    )
+
+
+def pipeline_quality_score(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the LEARNED quality filter — the missing half of the
+    train→apply loop: train the two-step logistic classifier
+    (``pipeline_quality_lr_step``), broadcast its ``w2_micro`` weight
+    vector back over the corpus, and emit one row per document:
+    ``(doc_id, p_micro, keep)`` where ``p_micro`` is the ROUND-once
+    1e-6 fixed-point sigmoid score and ``keep`` marks the top
+    1/``LR_KEEP_DEN`` of the corpus by score (cutoff = the exact
+    score quantile, ties kept — int64-exact end to end, so the gate
+    is bit-identical across engines and partitionings).
+
+    Scale shape: the labeled feature projection is persisted ONCE and
+    carried through all three corpus passes (two training gradients +
+    the scoring pass) — a production curation run materializes
+    features once, not once per stage. The trained weights collapse
+    to a 1-row array frame broadcast into the scoring map; the
+    scoring pass is a pure per-row expression (int64 dot + one
+    sigmoid). The keep cutoff costs one map-side-combinable
+    groupBy(p_micro) whose output is bounded by the SCALE constant
+    (≤ 1e6 + 1 distinct score values no matter the corpus size — the
+    same bounded-histogram trick as ``text_quality_cdf``), a window
+    over that bounded histogram, and a 1-row broadcast back; the
+    narrow (doc_id, p_micro) projection is persisted across the
+    hist/join fan-out so training never re-runs. Pass ``weights`` (a
+    (b|bucket, …, w2_micro) frame, e.g. a previously materialized
+    training output) to skip retraining and score with stored
+    weights — the composed curation pipeline uses this to share one
+    training run across stages. Unregistered (r13 budget is 0,
+    queued); ``_quality_score_oracle()`` is the tested DuckDB twin
+    extending the trainer oracle's shared CTE chain."""
+    from iceberg_by_example_spark.util import detach
+
+    x = _lr_feature_frame(spark, sf_dir).persist()
+    scored = None
+    try:
+        if weights is None:
+            n = x.agg(F.count(F.lit(1)).alias("n"))
+            w2 = _lr_weights(x, n)
+        else:
+            w2 = weights.select(
+                F.col(
+                    "bucket" if "bucket" in weights.columns else "b"
+                ).alias("b"),
+                "w2_micro",
+            )
+        w2arr = w2.groupBy().agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("b", "w2_micro"))
+                ),
+                lambda s: s["w2_micro"],
+            ).alias("w")
+        )
+        scored = (
+            x.crossJoin(F.broadcast(w2arr))
+            .select(
+                "doc_id",
+                _lr_sigmoid_micro(_lr_dot_micro()).alias("p_micro"),
+            )
+            .persist()
+        )
+        # exact top-1/den cutoff from the bounded value histogram:
+        # q = max{v : |{p >= v}| >= ceil(n / den)}
+        hist = scored.groupBy("p_micro").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        from pyspark.sql import Window
+
+        n_ge = F.sum("c").over(
+            Window.orderBy(F.col("p_micro").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        cutoff = (
+            hist.select("p_micro", n_ge.alias("n_ge"))
+            .crossJoin(
+                F.broadcast(
+                    scored.agg(F.count(F.lit(1)).alias("n_docs"))
+                )
+            )
+            .where(
+                F.col("n_ge")
+                >= F.expr(
+                    f"(n_docs + {LR_KEEP_DEN - 1}) div {LR_KEEP_DEN}"
+                )
+            )
+            .agg(F.max("p_micro").alias("q"))
+        )
+        return detach(
+            scored.crossJoin(F.broadcast(cutoff)).select(
+                "doc_id",
+                "p_micro",
+                (F.col("p_micro") >= F.col("q"))
+                .cast("long")
+                .alias("keep"),
+            )
+        )
+    finally:
+        if scored is not None:
+            scored.unpersist()
         x.unpersist()

@@ -3029,6 +3029,142 @@ def test_quality_lr_step_matches_python_and_duckdb(spark, sf_dir):
     assert t2 / n < t1 / n < 0.5
 
 
+def test_quality_score_matches_duckdb_and_gate_semantics(spark, sf_dir):
+    """The train→apply loop's scoring half: (a) the DuckDB twin
+    (_quality_score_oracle) is row-identical; (b) the keep gate is
+    exactly 'top 1/LR_KEEP_DEN by score, cutoff-ties kept' — kept
+    count >= ceil(n/den), every kept score >= every dropped score,
+    and everything tied with the cutoff is kept; (c) scoring with the
+    trainer's materialized weights (the weights= path the composed
+    pipeline uses) is bit-identical to self-training; (d) the filter
+    actually filters: the kept half is enriched in the training label
+    relative to the dropped half."""
+    import duckdb
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        LR_KEEP_DEN,
+        LR_LABEL_LANG,
+        _quality_score_oracle,
+        pipeline_quality_lr_step,
+        pipeline_quality_score,
+    )
+
+    got = {
+        r["doc_id"]: (r["p_micro"], r["keep"])
+        for r in pipeline_quality_score(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        d: (int(p), int(k))
+        for d, p, k in con.execute(_quality_score_oracle()).fetchall()
+    }
+    assert got == want
+
+    n = len(got)
+    kept = {d: p for d, (p, k) in got.items() if k == 1}
+    dropped = {d: p for d, (p, k) in got.items() if k == 0}
+    assert len(kept) >= (n + LR_KEEP_DEN - 1) // LR_KEEP_DEN
+    assert kept and dropped
+    cutoff = min(kept.values())
+    assert all(p < cutoff for p in dropped.values())
+    # ties at the cutoff are kept, so removing the tie group must
+    # drop the count below the target — cutoff is the MAX such score
+    assert len([p for p in kept.values() if p > cutoff]) < (
+        n + LR_KEEP_DEN - 1
+    ) // LR_KEEP_DEN
+
+    w = pipeline_quality_lr_step(spark, sf_dir)
+    got_w = {
+        r["doc_id"]: (r["p_micro"], r["keep"])
+        for r in pipeline_quality_score(
+            spark, sf_dir, weights=w
+        ).collect()
+    }
+    assert got_w == got
+
+    lang = dict(
+        con.execute("SELECT doc_id, lang FROM documents").fetchall()
+    )
+    rate = lambda ds: sum(  # noqa: E731
+        1 for d in ds if lang[d] == LR_LABEL_LANG
+    ) / len(ds)
+    assert rate(kept) > rate(dropped)
+
+
+def test_filter_funnel_with_lr_scores(spark, sf_dir):
+    """The funnel's optional learned-filter gate: with lr_scores
+    attached, docs surviving the heuristics but scored keep=0 land in
+    a new lr_rejected stage (idx 4, kept moves to 5); heuristic-stage
+    counts are untouched; stage counts still sum to the corpus; and
+    the no-argument registered form is byte-identical to before."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_filter_funnel,
+        pipeline_quality_score,
+    )
+
+    base = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in pipeline_filter_funnel(spark, sf_dir).collect()
+    }
+    scores = pipeline_quality_score(spark, sf_dir)
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in pipeline_filter_funnel(
+            spark, sf_dir, lr_scores=scores
+        ).collect()
+    }
+    # heuristic stages unchanged (first-failure semantics: the LR
+    # gate only sees docs that survived them)
+    for s in ("too_short", "low_diversity", "no_stopwords"):
+        if s in base:
+            assert got[s] == base[s]
+    assert sum(n for _, n in got.values()) == sum(
+        n for _, n in base.values()
+    )
+    assert got["kept"][0] == 5
+    n_dropped_by_lr = base["kept"][1] - got["kept"][1]
+    assert got.get("lr_rejected", (4, 0))[1] == n_dropped_by_lr
+    if "lr_rejected" in got:
+        assert got["lr_rejected"][0] == 4
+        assert n_dropped_by_lr > 0
+    # cross-check against the joined per-doc truth
+    lr_dropped_ids = {
+        r["doc_id"]
+        for r in scores.where(F.col("keep") == 0).collect()
+    }
+    from iceberg_by_example_spark.operators.pipeline import (
+        FUNNEL_MIN_STOP_RATIO,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_MIN_TTR,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+
+    def survives(text):
+        toks = text.split(" ")
+        n = len(toks)
+        if n < FUNNEL_MIN_TOKENS:
+            return False
+        if len(set(toks)) / n < FUNNEL_MIN_TTR:
+            return False
+        from iceberg_by_example_spark.functions.text import STOPWORDS
+
+        sw = sum(1 for t in toks if t in STOPWORDS["en"])
+        return sw / n >= FUNNEL_MIN_STOP_RATIO
+
+    want_lr_rejected = sum(
+        1
+        for r in docs
+        if survives(r["text"]) and r["doc_id"] in lr_dropped_ids
+    )
+    assert n_dropped_by_lr == want_lr_rejected
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (SentencePiece family)
 # ---------------------------------------------------------------------------
