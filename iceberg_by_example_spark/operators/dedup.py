@@ -1639,15 +1639,24 @@ def winnow_index_table(
     ``corpus_keys`` — exactly how the production ingest treats its
     standing index between runs. A caller that swapped corpora must
     say so with ``refresh=True`` (drop + rewrite) or use a different
-    ``name``; as a cheap guard against the silent-staleness footgun
-    the reuse path asserts the existing table's schema matches
-    ``corpus_keys`` and raises otherwise (a content-level check would
-    recompute the corpus keys — the very pass this table exists to
-    avoid)."""
+    ``name``. Guard (content-free — a content check would recompute
+    the corpus keys, the very pass this table exists to avoid): the
+    CANONICALIZED analyzed-plan hash of ``corpus_keys`` is recorded
+    as a table property at write time and compared on reuse, so a
+    same-schema different-derivation corpus (a different filter over
+    the same keys — the likely swap) raises instead of silently
+    serving the first corpus; re-deriving the SAME corpus through the
+    same lineage canonicalizes to the same hash and reuses the
+    standing index free. Schema drift is still checked first (its
+    error names the columns)."""
     import os
     import shutil
     import tempfile
 
+    sig = str(
+        corpus_keys._jdf.queryExecution().analyzed().semanticHash()
+    )
+    sig_key = "winnow.corpus_plan_sig"
     db = f"winnowidx_{os.getpid()}"
     loc = os.path.join(tempfile.gettempdir(), db)
     if not spark.catalog.databaseExists(db):
@@ -1666,6 +1675,10 @@ def winnow_index_table(
             .sortBy("k")
             .saveAsTable(table)
         )
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('{sig_key}' = '{sig}')"
+        )
     out = spark.table(table)
     existing = [(f.name, f.dataType) for f in out.schema.fields]
     wanted = [(f.name, f.dataType) for f in corpus_keys.schema.fields]
@@ -1675,6 +1688,17 @@ def winnow_index_table(
             f"{out.schema.simpleString()} but corpus_keys has "
             f"{corpus_keys.schema.simpleString()}; pass refresh=True "
             "(or a new name) to rebuild it for a different corpus"
+        )
+    stored = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    if stored.get(sig_key, sig) != sig:
+        raise ValueError(
+            f"winnow index {table} was built from a different "
+            "corpus_keys derivation (plan signature "
+            f"{stored[sig_key]} != {sig}); pass refresh=True (or a "
+            "new name) to rebuild it for a different corpus"
         )
     return out
 

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.sources.tpch import load_table
+from iceberg_by_example_spark.util import detach
 
 END_WORD = "</w>"
 BPE_MERGES = 200
@@ -203,7 +204,12 @@ def bpe_tokenize_stats(
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
-    joined = wc.join(F.broadcast(enc), "w", "left")
+    # pin-and-release (r12 ADVICE #3): `joined` is the corpus pass
+    # (explode + groupBy + head join) and fans into THREE consumers
+    # (inv, distinct-OOV, oov join-back) — persist it for the fan-out
+    # and release once the detached result is materialized, the same
+    # discipline as text_quality_cdf and the KMV sketches.
+    joined = wc.join(F.broadcast(enc), "w", "left").persist()
     inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
         "oov", F.lit(False)
     )
@@ -225,28 +231,31 @@ def bpe_tokenize_stats(
     )
 
     per_word = inv.unionByName(oov)
-    return (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
-            F.sum(F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))).alias(
-                "n_oov_words"
-            ),
-            F.sum(
-                F.when(F.col("oov"), F.col("c") * F.col("n_pieces")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("n_oov_pieces"),
+    try:
+        return detach(
+            per_word.groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_words"),
+                F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+                F.sum(
+                    F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))
+                ).alias("n_oov_words"),
+                F.sum(
+                    F.when(
+                        F.col("oov"), F.col("c") * F.col("n_pieces")
+                    ).otherwise(F.lit(0))
+                ).alias("n_oov_pieces"),
+            )
+            .select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.col("n_pieces").cast("long").alias("n_pieces"),
+                F.col("n_oov_words").cast("long").alias("n_oov_words"),
+                F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
+            )
         )
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.col("n_pieces").cast("long").alias("n_pieces"),
-            F.col("n_oov_words").cast("long").alias("n_oov_words"),
-            F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
-        )
-    )
+    finally:
+        joined.unpersist()
 
 
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +490,10 @@ def unigram_tokenize_stats(
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
-    joined = wc.join(F.broadcast(enc), "w", "left")
+    # pin-and-release (r12 ADVICE #3): same three-consumer fan-out as
+    # bpe_tokenize_stats — persist the corpus pass, release after the
+    # detached result materializes.
+    joined = wc.join(F.broadcast(enc), "w", "left").persist()
     inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
         "oov", F.lit(False)
     )
@@ -502,27 +514,30 @@ def unigram_tokenize_stats(
     )
 
     per_word = inv.unionByName(oov)
-    return (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
-            F.sum(
-                F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))
-            ).alias("n_oov_words"),
-            F.sum(
-                F.when(F.col("oov"), F.col("c") * F.col("n_pieces"))
-                .otherwise(F.lit(0))
-            ).alias("n_oov_pieces"),
+    try:
+        return detach(
+            per_word.groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_words"),
+                F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+                F.sum(
+                    F.when(F.col("oov"), F.col("c")).otherwise(F.lit(0))
+                ).alias("n_oov_words"),
+                F.sum(
+                    F.when(F.col("oov"), F.col("c") * F.col("n_pieces"))
+                    .otherwise(F.lit(0))
+                ).alias("n_oov_pieces"),
+            )
+            .select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.col("n_pieces").cast("long").alias("n_pieces"),
+                F.col("n_oov_words").cast("long").alias("n_oov_words"),
+                F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
+            )
         )
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.col("n_pieces").cast("long").alias("n_pieces"),
-            F.col("n_oov_words").cast("long").alias("n_oov_words"),
-            F.col("n_oov_pieces").cast("long").alias("n_oov_pieces"),
-        )
-    )
+    finally:
+        joined.unpersist()
 
 
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

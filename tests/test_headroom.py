@@ -25,6 +25,9 @@ Covered surfaces (one test per arithmetic path):
 - CMS cell-wise shard merge near the int64 edge
 - LM-perplexity per-trigram NLL at trillion-count contexts and the
   billion-trigram document sum (r12)
+- LR gradient accumulator at the one-bucket token cliff, the scoring
+  dot product at max-plausible micro weights × a billion-token doc,
+  and the sigmoid's exact saturation at double-overflow logits (r13)
 """
 
 from __future__ import annotations
@@ -255,6 +258,58 @@ def test_lm_nll_trillion_scale_doc_sum(ansi):
         )
     )
     assert s["s"] == r["nll"] * 1_000_000_000  # exact, no ANSI error
+
+
+def test_lr_gradient_and_sigmoid_envelopes(ansi):
+    """The LR trainer/scorer fixed point at production statistics
+    (r12 VERDICT task: the two newest quantizations join this suite).
+    (a) The per-bucket gradient SUM(r·cnt) — |r| ≤ LR_SCALE after the
+    step-2 sigmoid — holds int64 up to ~9.2e12 corpus tokens landing
+    in ONE bucket (a ~590T-token corpus at HASHING_DIM=64 uniform;
+    past that, widen the SUM to DECIMAL(38,0)): planted rows summing
+    to 9.2e18 evaluate without ANSI error. (b) The scoring dot
+    product at max-plausible micro weights (|w2| ≤ 1.5·LR_SCALE·
+    L_avg/DIM ≈ 2.3e5 at 1e4-token average docs) over a pathological
+    billion-token document stays int64, element products included.
+    (c) The ROUND-once sigmoid saturates gracefully to exactly
+    LR_SCALE / 0 at double-overflow logits — never NaN, never an
+    ANSI error."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        LR_SCALE,
+        _lr_dot_micro,
+        _lr_sigmoid_micro,
+    )
+    from iceberg_by_example_spark.operators.text import HASHING_DIM
+
+    # (a) gradient accumulator at the documented one-bucket cliff
+    rows = [(LR_SCALE, 920_000_000_000)] * 10  # r·cnt sums to 9.2e18
+    g = _one(
+        ansi.createDataFrame(rows, "r long, cnt long").agg(
+            F.sum(F.col("r") * F.col("cnt")).alias("g")
+        )
+    )
+    assert g["g"] == 9_200_000_000_000_000_000  # < 2^63-1, exact
+
+    # (b)+(c) scoring dot at max-plausible weights over a 1e9-token
+    # doc concentrated evenly across buckets, both signs
+    w_max = int(1.5 * LR_SCALE * 10_000) // HASHING_DIM  # ≈ 2.3e5
+    f_each = 10**9 // HASHING_DIM
+    for sign in (1, -1):
+        df = ansi.createDataFrame(
+            [([sign * w_max] * HASHING_DIM, [f_each] * HASHING_DIM)],
+            "w array<long>, features array<long>",
+        )
+        r = _one(
+            df.select(
+                _lr_dot_micro().alias("z"),
+                _lr_sigmoid_micro(_lr_dot_micro()).alias("p"),
+            )
+        )
+        assert r["z"] == sign * w_max * f_each * HASHING_DIM
+        assert abs(r["z"]) < 2**62  # documented envelope, headroom 2x
+        # |z|/LR_SCALE ≈ 2.3e11 >> 709: exp over/underflows the
+        # double, and the quantized sigmoid must saturate exactly
+        assert r["p"] == (LR_SCALE if sign > 0 else 0)
 
 
 def test_cms_shard_merge_near_edge(ansi):

@@ -1065,6 +1065,61 @@ def test_sim_ivf_sq8_matches_duckdb_twin_and_cell_bound(spark, sf_dir):
         assert r["cosine"] == ivf[r["vec_id"]]
 
 
+def test_sq8_encode_batches_matches_expressions(spark, sf_dir):
+    """Pin the numpy batch encoder to the expression forms DIRECTLY,
+    per-row over the whole corpus — the twin tests compare only the
+    final top-10, so a drift in codes/cells of non-shortlisted
+    vectors would pass them silently: scale and qv must equal
+    ``_sq8_encoded``'s, cell must equal ``_ivf_key``'s injective
+    argmin, and the query row's probe_cells must equal the
+    expression-form NPROBE selection."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        SQ8_ENCODE_SCHEMA,
+        _ivf_key,
+        _sq8_encoded,
+        sq8_encode_batches,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: r
+        for r in e.select("vec_id", "label", "embedding")
+        .mapInPandas(sq8_encode_batches, SQ8_ENCODE_SCHEMA)
+        .collect()
+    }
+    keys = F.array(
+        *[_ivf_key(F.col("embedding"), k) for k in range(IVF_K)]
+    )
+    want = {
+        r["vec_id"]: r
+        for r in _sq8_encoded(e)
+        .select(
+            "vec_id",
+            "scale",
+            "qv",
+            (F.array_min(keys) % IVF_K).alias("cell"),
+            F.transform(
+                F.slice(F.array_sort(keys), 1, IVF_NPROBE),
+                lambda x: x % IVF_K,
+            ).alias("probe_cells"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) > 100
+    for vid, g in got.items():
+        w = want[vid]
+        assert g["scale"] == w["scale"], vid
+        assert g["qv"] == w["qv"], vid
+        assert g["cell"] == w["cell"], vid
+        expect_probe = w["probe_cells"] if vid == 0 else []
+        assert list(g["probe_cells"]) == list(expect_probe), vid
+
+
 def test_pq_codes_are_4bit(spark):
     """Every PQ code must fit the 4-bit budget the compression story
     claims (0 ≤ code < PQ_CODES in each of the PQ_M subspaces)."""
@@ -2334,11 +2389,14 @@ def test_incremental_winnow_bucketed_index_exchange_free(spark):
 
 
 def test_winnow_index_table_refresh_and_schema_guard(spark):
-    """r11 ADVICE #1: the pay-once index is SINGLE-CORPUS per (pid,
-    name) — a second caller that swapped corpora must say refresh=True
-    (drop + rewrite honoring the new corpus_keys) or pick a new name;
-    the reuse path's cheap guard raises on schema drift instead of
-    silently serving the first corpus under the new schema."""
+    """r11 ADVICE #1 + r12 ADVICE #2: the pay-once index is
+    SINGLE-CORPUS per (pid, name) — a second caller that swapped
+    corpora must say refresh=True (drop + rewrite honoring the new
+    corpus_keys) or pick a new name. The reuse guard catches BOTH
+    failure modes without re-reading the corpus: schema drift, and —
+    via the canonicalized plan signature stored as a table property —
+    a same-schema different-derivation corpus (the common swap).
+    Re-deriving the SAME corpus reuses the standing index free."""
     from iceberg_by_example_spark.operators.dedup import (
         winnow_index_table,
         winnow_keys,
@@ -2354,9 +2412,14 @@ def test_winnow_index_table_refresh_and_schema_guard(spark):
     idx_a = winnow_index_table(spark, a, name="widx_adv1")
     rows_a = rows(idx_a)
     assert rows_a == rows(a)
-    # documented contract: same (pid, name), same schema -> the
-    # standing index comes back (corpus_keys deliberately unread)
-    assert rows(winnow_index_table(spark, b, name="widx_adv1")) == rows_a
+    # same corpus re-derived through the same lineage: the standing
+    # index comes back (corpus_keys deliberately unread)
+    a2 = keys.filter(F.col("doc_id") < 5)
+    assert rows(winnow_index_table(spark, a2, name="widx_adv1")) == rows_a
+    # same schema, DIFFERENT corpus derivation: the plan-signature
+    # guard raises instead of silently serving corpus a
+    with pytest.raises(ValueError, match="plan signature"):
+        winnow_index_table(spark, b, name="widx_adv1")
     # refresh=True rebuilds for the new corpus
     assert rows(
         winnow_index_table(spark, b, name="widx_adv1", refresh=True)
