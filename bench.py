@@ -145,6 +145,7 @@ def _load_extra_bench() -> None:
         dedup_threshold_sweep,
     )
     from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_corpus,
         pipeline_quality_lr_step,
         pipeline_quality_score,
     )
@@ -188,6 +189,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["pipeline_quality_lr_step"] = pipeline_quality_lr_step
     EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
     EXTRA_BENCH_FNS["pipeline_quality_score"] = pipeline_quality_score
+    EXTRA_BENCH_FNS["pipeline_curate_corpus"] = pipeline_curate_corpus
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

@@ -267,6 +267,39 @@ FUNNEL_MIN_TTR = 0.35
 FUNNEL_MIN_STOP_RATIO = 0.05
 
 
+def _funnel_metrics(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr, stop_ratio) — the per-doc heuristic
+    metrics behind the funnel's stages, shared with the curation
+    pipeline's heuristic gate so the two can never drift."""
+    from iceberg_by_example_spark.functions.text import (
+        stopword_hits,
+        token_count,
+        tokens,
+    )
+
+    n_tok = token_count("text")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            F.size(F.array_distinct(tokens("text"))) / n_tok.cast("double")
+        ).alias("ttr"),
+        (stopword_hits("text", "en") / n_tok.cast("double")).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+def _funnel_pass() -> "F.Column":
+    """True iff a (n_tokens, ttr, stop_ratio) row survives every
+    heuristic stage — the funnel's 'kept' predicate as a column."""
+    return (
+        (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+        & (F.col("ttr") >= FUNNEL_MIN_TTR)
+        & (F.col("stop_ratio") >= FUNNEL_MIN_STOP_RATIO)
+    )
+
+
 @register(
     "pipeline_filter_funnel",
     oracle=f"""
@@ -321,24 +354,8 @@ def pipeline_filter_funnel(
     4) and ``kept`` moves to idx 5. The join is a doc_id equi-join
     (keys-only shuffle); the registered no-argument form is
     unchanged."""
-    from iceberg_by_example_spark.functions.text import (
-        stopword_hits,
-        token_count,
-        tokens,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    n_tok = token_count("text")
-    m = d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        (
-            F.size(F.array_distinct(tokens("text"))) / n_tok.cast("double")
-        ).alias("ttr"),
-        (stopword_hits("text", "en") / n_tok.cast("double")).alias(
-            "stop_ratio"
-        ),
-    )
+    m = _funnel_metrics(d)
     if lr_scores is not None:
         m = m.join(
             lr_scores.select(
@@ -866,3 +883,170 @@ def pipeline_quality_score(
         if scored is not None:
             scored.unpersist()
         x.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed curation pipeline: the one job a 100 TB operator
+# actually runs
+# ---------------------------------------------------------------------------
+
+# Curate to ceil(|survivors| / MIX_DOC_BUDGET_DEN) documents, allocated
+# across sources by the temperature shares (exact integer quotas from
+# the shared pow_q fixed point; floor allocation, so the selected count
+# is within #sources of the target — production adds largest-remainder
+# seats, which would cost one more bounded sort over the sources
+# relation).
+MIX_DOC_BUDGET_DEN = 2
+
+
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, end to end in ONE job: heuristic
+    funnel -> exact dedup -> near-dup cluster canonicals ->
+    decontamination (benchmark slice and contaminated docs out) ->
+    LEARNED quality filter (train + apply, ``pipeline_quality_score``)
+    -> temperature-mix per-source quotas -> deterministic global
+    shuffle -> per-shard sequence packing. Returns the pack manifest
+    ``(shard, pack_id, n_docs, pack_tokens, first_doc, last_doc)`` —
+    the artifact a training run consumes.
+
+    Every filter stage is the standalone operator itself (the
+    ``pipeline_training_set`` precedent), composed as doc_id
+    semi/anti-joins — keys-only exchanges at every boundary. The mix
+    is APPLIED, not just reported: per-source doc quotas are exact
+    integer shares of the temperature fixed point (``_mix_pow``), and
+    the quota picks each source's first ``q_i`` docs in the global
+    shuffle-key order (``shuffle_key``), so the subsample is the same
+    'random half' every engine and every rerun selects. Packing runs
+    per shard in (shard, pos) order — the shuffled-but-reproducible
+    sequence stream ``pipeline_global_shuffle``'s docstring promises.
+
+    Scan sharing (the SHUFFLE_BYTES.md composition row measures this):
+    the documents relation is persisted ONCE up front — every
+    stage's internal ``load_table`` canonicalizes to the same plan,
+    so Spark's CacheManager substitutes the cached relation instead
+    of re-reading parquet per stage (measured: the composed job reads
+    the corpus bytes once vs seven times for the stage-by-stage
+    chain). The survivor manifest (doc_id, source, n_tokens — keys
+    and counts, never text) is persisted across its quota/selection
+    fan-out. At 100 TB the same structure holds with the cache
+    backed by disk (or the filtered manifest written to a table
+    between macro-stages); no stage shuffles document text.
+
+    Unregistered (r13 registration budget is 0); pytest pins the
+    composed result row-identical to materializing the chain stage by
+    stage plus an independent Python recomputation of quota,
+    selection, and packing."""
+    from iceberg_by_example_spark.functions.text import token_count
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").persist()
+    surv = None
+    try:
+        heur = (
+            _funnel_metrics(d).filter(_funnel_pass()).select("doc_id")
+        )
+        exact = dedup_exact(spark, sf_dir).select("doc_id")
+        losers = (
+            dedup_cluster_canonical(spark, sf_dir)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select("doc_id")
+        )
+        bench_slice = d.select("doc_id").filter(
+            hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET
+        )
+        contaminated = (
+            pipeline_decontaminate(spark, sf_dir)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        lr_keep = (
+            pipeline_quality_score(spark, sf_dir)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        surv = (
+            d.select(
+                "doc_id", "source", token_count("text").alias("n_tokens")
+            )
+            .join(heur, "doc_id", "left_semi")
+            .join(exact, "doc_id", "left_semi")
+            .join(losers, "doc_id", "left_anti")
+            .join(bench_slice, "doc_id", "left_anti")
+            .join(contaminated, "doc_id", "left_anti")
+            .join(lr_keep, "doc_id", "left_semi")
+            .persist()
+        )
+        return _curate_select_pack(surv)
+    finally:
+        if surv is not None:
+            surv.unpersist()
+        d.unpersist()
+
+
+def _curate_select_pack(surv: DataFrame) -> DataFrame:
+    """Quota, selection, shuffle, and packing over a survivor manifest
+    ``(doc_id, source, n_tokens)`` — the tail of the curation pipeline,
+    shared with the stage-by-stage chain the composition report and
+    the equality pytest run. Everything here operates on the narrow
+    manifest: no corpus text is read or shuffled."""
+    from iceberg_by_example_spark.operators.sampling import (
+        SHUFFLE_SHARD_WIDTH,
+        _mix_pow,
+        pack_stats,
+        shuffle_key,
+    )
+    from iceberg_by_example_spark.util import detach
+    from pyspark.sql import Window
+
+    per_source = surv.groupBy("source").agg(
+        F.sum("n_tokens").alias("source_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    powed = _mix_pow(per_source)
+    tot = powed.agg(
+        F.sum("pow_q").alias("pow_tot"),
+        F.sum("n_docs").alias("n_surv"),
+    )
+    target = (
+        f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
+        f" div {MIX_DOC_BUDGET_DEN})"
+    )
+    quota = (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.col("n_docs"),
+                F.expr(
+                    f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
+                ),
+            ).alias("quota"),
+        )
+    )
+    keyed = surv.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        shuffle_key(F.col("doc_id")).alias("k"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.asc("k"), F.asc("doc_id")
+        )
+    )
+    sel = (
+        keyed.withColumn("rk", rk)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+    shard = F.expr(f"k div {SHUFFLE_SHARD_WIDTH}")
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(F.asc("k"), F.asc("doc_id"))
+    )
+    ordered = sel.select(
+        "doc_id",
+        "n_tokens",
+        shard.alias("shard"),
+        pos.alias("pos"),
+    )
+    return detach(pack_stats(ordered, ["shard"], ["pos"]))

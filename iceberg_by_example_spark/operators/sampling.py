@@ -160,9 +160,22 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select(
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
+    return pack_stats(sized, ["source"], ["doc_id"])
+
+
+def pack_stats(
+    sized: DataFrame, part_cols: list, order_cols: list
+) -> DataFrame:
+    """Streaming-concatenation pack accounting over an already-sized
+    relation ``(doc_id, <part_cols>, n_tokens, <order_cols>)``: each
+    doc lands in the pack where its EXCLUSIVE per-partition prefix
+    sum of tokens falls — the shared core behind the registered
+    per-source/doc_id-ordered ``pipeline_pack_sequences`` and the
+    curation pipeline's per-shard/shuffle-ordered packing. One window
+    per partition stream, no re-sorting, no driver state."""
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     placed = sized.withColumn(
@@ -170,7 +183,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         placed.groupBy(
-            "source",
+            *part_cols,
             F.floor(F.col("cum_before") / F.lit(2048.0))
             .cast("long")
             .alias("pack_id"),
@@ -636,6 +649,26 @@ MIX_ALPHA = 0.3  # the standard multilingual sampling temperature
 MIX_POW_SCALE = 1_000_000  # n^alpha quantized to 1e-6 fixed point
 
 
+def _mix_pow(per_source: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """``per_source`` plus the quantized temperature power ``pow_q =
+    ROUND(1e6 · n^alpha)`` in DECIMAL(38,0) (zero-token sources at
+    exactly 0) — the shared exact-integer core behind
+    ``temperature_mix_rates``'s shares and the curation pipeline's
+    per-source quotas."""
+    return per_source.withColumn(
+        "pow_q",
+        F.when(
+            F.col("source_tokens") > 0,
+            F.round(
+                F.lit(MIX_POW_SCALE)
+                * F.exp(
+                    F.lit(alpha) * F.ln(F.col("source_tokens").cast("double"))
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)")),
+    )
+
+
 def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
     """Temperature-scaled mixture shares: p_i ∝ n_i^alpha over the
     per-source token counts — the exponent knob from the multilingual
@@ -674,18 +707,7 @@ def temperature_mix_rates(per_source: DataFrame, alpha: float = MIX_ALPHA) -> Da
     int64-countable n (n <= 2^63 → 1e6 * n < 10^26). The sum of
     hundreds of DECIMAL(38,0) rows stays exact; shares divide as
     double at the end as before."""
-    powed = per_source.withColumn(
-        "pow_q",
-        F.when(
-            F.col("source_tokens") > 0,
-            F.round(
-                F.lit(MIX_POW_SCALE)
-                * F.exp(
-                    F.lit(alpha) * F.ln(F.col("source_tokens").cast("double"))
-                )
-            ).cast("decimal(38,0)"),
-        ).otherwise(F.lit(0).cast("decimal(38,0)")),
-    )
+    powed = _mix_pow(per_source, alpha)
     tot = powed.agg(
         F.sum("pow_q").alias("pow_tot"),
         F.sum("source_tokens").alias("tok_tot"),
@@ -761,6 +783,20 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SHUFFLE_SHARDS = 64  # 2^6 shards; production sizes this to the cluster
+# exact power-of-two split of the 60-bit keyspace: shard = k div WIDTH
+SHUFFLE_SHARD_WIDTH = (1 << 60) // SHUFFLE_SHARDS
+
+
+def shuffle_key(doc_id) -> "F.Column":
+    """The deterministic global-shuffle key: salted 60-bit md5 of the
+    doc id — shared by ``pipeline_global_shuffle`` and the curation
+    pipeline's temperature-quota selection, so 'random order' means
+    the SAME order everywhere it is consumed."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    return _md5_hash60(
+        F.concat(F.lit("shuf:"), doc_id.cast("string"))
+    )
 
 # Registration-ready DuckDB twin (a future registry slot is one
 # decorator away): identical salted 60-bit key, identical power-of-two
@@ -808,14 +844,13 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin, and pytest pins shard balance, the exact equality of
     (shard, pos) order with the brute-force global key order, and
     partitioning invariance."""
-    from iceberg_by_example_spark.operators.dedup import _md5_hash60
-
     d = load_table(spark, sf_dir, "documents")
-    k = _md5_hash60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
-    keyed = d.select("doc_id", "source", k.alias("k"))
+    keyed = d.select(
+        "doc_id", "source", shuffle_key(F.col("doc_id")).alias("k")
+    )
     # `div`, not cast-after-/: float division then cast would round
     # the quotient; div is the exact integral quotient in both engines
-    shard = F.expr(f"k div {(1 << 60) // SHUFFLE_SHARDS}")
+    shard = F.expr(f"k div {SHUFFLE_SHARD_WIDTH}")
     pos = F.row_number().over(
         Window.partitionBy(shard).orderBy(F.asc("k"), F.asc("doc_id"))
     )

@@ -2486,12 +2486,19 @@ def test_corpus_pins_released_after_materialization(spark, sf_dir):
 
     jsc = spark.sparkContext._jsc
     for fn in (dedup_incremental_winnow, text_quality_cdf):
-        before = jsc.getPersistentRDDs().size()
+        # track ADDED pin ids, not a size delta: the ContextCleaner
+        # may asynchronously drop an older test's garbage-collected
+        # localCheckpoint block mid-call, and a size delta would
+        # misread that removal as this operator releasing its input
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
         fn(spark, sf_dir).collect()
-        delta = jsc.getPersistentRDDs().size() - before
-        assert delta == 1, (
-            f"{fn.__name__} left {delta} pinned RDDs (want 1: the "
-            "detached result only — the input persist must be released)"
+        added = (
+            set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        )
+        assert len(added) == 1, (
+            f"{fn.__name__} left {sorted(added)} pinned RDDs (want 1: "
+            "the detached result only — the input persist must be "
+            "released)"
         )
 
 
@@ -3437,4 +3444,154 @@ def test_unigram_stats_spark_plumbing_exact(spark, sf_dir):
                 now += 1
                 nop += k
         want[doc_id] = (nw, np_, now, nop)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
+    """The composed one-job curation pipeline must equal materializing
+    the chain stage by stage: survivors = heuristic pass ∩ exact-dedup
+    winners minus cluster losers minus bench slice minus contaminated
+    ∩ LR keeps (each from the STANDALONE operator), then quota /
+    selection / shuffle / packing recomputed INDEPENDENTLY in Python
+    (hashlib keys, integer quota arithmetic, dict-based prefix-sum
+    packing). Any scan-sharing or persist in the composition that
+    changed a row would fail the set equality."""
+    import hashlib
+
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_cluster_canonical,
+        dedup_exact,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        DECON_BENCH_BUCKET,
+        MIX_DOC_BUDGET_DEN,
+        _funnel_metrics,
+        _funnel_pass,
+        pipeline_curate_corpus,
+        pipeline_decontaminate,
+        pipeline_quality_score,
+    )
+    from iceberg_by_example_spark.operators.sampling import (
+        SHUFFLE_SHARD_WIDTH,
+        _mix_pow,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    got = {
+        (
+            r["shard"],
+            r["pack_id"],
+            r["n_docs"],
+            r["pack_tokens"],
+            r["first_doc"],
+            r["last_doc"],
+        )
+        for r in pipeline_curate_corpus(spark, sf_dir).collect()
+    }
+
+    # --- stage-by-stage chain, each stage materialized separately ---
+    d = load_table(spark, sf_dir, "documents")
+    heur = {
+        r["doc_id"]
+        for r in _funnel_metrics(d).filter(_funnel_pass()).collect()
+    }
+    exact = {r["doc_id"] for r in dedup_exact(spark, sf_dir).collect()}
+    losers = {
+        r["doc_id"]
+        for r in dedup_cluster_canonical(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in pipeline_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .collect()
+    }
+    lr_keep = {
+        r["doc_id"]
+        for r in pipeline_quality_score(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .collect()
+    }
+
+    def bench_bucket(doc_id):
+        return hashlib.md5(f"bench:{doc_id}".encode()).hexdigest()[:2]
+
+    docs = {
+        r["doc_id"]: (r["source"], len(r["text"].split(" ")))
+        for r in d.collect()
+    }
+    surv = [
+        doc_id
+        for doc_id in docs
+        if doc_id in heur
+        and doc_id in exact
+        and doc_id not in losers
+        and bench_bucket(doc_id) >= DECON_BENCH_BUCKET
+        and doc_id not in contaminated
+        and doc_id in lr_keep
+    ]
+    assert surv, "chain produced no survivors — test corpus too small"
+
+    # --- quota: exact integer shares of the Spark-computed pow_q ---
+    per_source: dict = {}
+    for doc_id in surv:
+        s, n = docs[doc_id]
+        tok, cnt = per_source.get(s, (0, 0))
+        per_source[s] = (tok + n, cnt + 1)
+    ps_df = spark.createDataFrame(
+        [(s, t) for s, (t, _) in per_source.items()],
+        "source string, source_tokens long",
+    )
+    pow_q = {
+        r["source"]: int(r["pow_q"]) for r in _mix_pow(ps_df).collect()
+    }
+    pow_tot = sum(pow_q.values())
+    n_surv = len(surv)
+    target = (n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
+    quota = {
+        s: min(per_source[s][1], pow_q[s] * target // pow_tot)
+        for s in per_source
+    }
+
+    # --- selection: first quota docs per source in shuffle-key order ---
+    def k60(doc_id):
+        return int(
+            hashlib.md5(f"shuf:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    by_source: dict = {}
+    for doc_id in surv:
+        by_source.setdefault(docs[doc_id][0], []).append(doc_id)
+    selected = []
+    for s, ids in by_source.items():
+        ids.sort(key=lambda i: (k60(i), i))
+        selected.extend(ids[: quota[s]])
+    assert 0 < len(selected) < n_surv
+
+    # --- shuffle + pack, dict-based ---
+    by_shard: dict = {}
+    for doc_id in selected:
+        by_shard.setdefault(k60(doc_id) // SHUFFLE_SHARD_WIDTH, []).append(
+            doc_id
+        )
+    want = set()
+    for shard, ids in by_shard.items():
+        ids.sort(key=lambda i: (k60(i), i))
+        packs: dict = {}
+        cum = 0
+        for doc_id in ids:
+            pid = cum // 2048
+            n = docs[doc_id][1]
+            nd, pt, fd, ld = packs.get(pid, (0, 0, doc_id, doc_id))
+            packs[pid] = (nd + 1, pt + n, min(fd, doc_id), max(ld, doc_id))
+            cum += n
+        for pid, (nd, pt, fd, ld) in packs.items():
+            want.add((shard, pid, nd, pt, fd, ld))
     assert got == want
