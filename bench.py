@@ -365,6 +365,7 @@ def _ensure_sf1(spark, base_dir: str) -> str:
 
 def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     sf1_dir = _ensure_sf1(spark, sf_dir)
+    canary_fn = _bench_fn(CANARY_QUERY)
     queries = {}
     for name in SCALING_PROBE_QUERIES:
         fn = _bench_fn(name)
@@ -373,23 +374,39 @@ def _scaling_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         # inflate any single pass several-fold, which would report a
         # fake quadratic. A real quadratic reproduces on every pass;
         # a steal-time artifact doesn't survive the retry.
+        # Each pass carries its own immediately-preceding contention
+        # canary (r12 VERDICT task #4): the 30×/standalone probes
+        # already stamp per-pass, and the two r12 10× outliers
+        # (embedding_lsh 3.62, dsir_weights 2.72 on unchanged source)
+        # could not prove they were host noise precisely because the
+        # 10× loop lacked the stamp.
         base = timings.get(name)
-        ts = []
+        ts: list[float] = []
+        cs: list[float] = []
+
+        def one_pass() -> None:
+            t0 = time.perf_counter()
+            run_query(canary_fn(spark, sf_dir))
+            cs.append(
+                round((time.perf_counter() - t0) / CANARY_R1_FLOOR, 2)
+            )
+            t0 = time.perf_counter()
+            run_query(fn(spark, sf1_dir))
+            ts.append(time.perf_counter() - t0)
+            drop_pinned_blocks(spark)
+
         for _ in range(2):
-            t0 = time.perf_counter()
-            run_query(fn(spark, sf1_dir))
-            ts.append(time.perf_counter() - t0)
-            drop_pinned_blocks(spark)
+            one_pass()
         if base and min(ts) / base > 12:
-            t0 = time.perf_counter()
-            run_query(fn(spark, sf1_dir))
-            ts.append(time.perf_counter() - t0)
-            drop_pinned_blocks(spark)
-        dt = min(ts)
+            one_pass()
+        floor_i = min(range(len(ts)), key=ts.__getitem__)
+        dt = ts[floor_i]
         queries[name] = {
             "sf01_sec": base,
             "sf1_sec": round(dt, 3),
             "ratio": round(dt / base, 2) if base else None,
+            "pass_canaries": cs,
+            "floor_canary_ratio": cs[floor_i],
         }
     for name, cap in (
         ("text_bpe_tokenize", None),
