@@ -312,6 +312,45 @@ def test_lr_gradient_and_sigmoid_envelopes(ansi):
         assert r["p"] == (LR_SCALE if sign > 0 else 0)
 
 
+def test_curate_quota_decimal_envelope(ansi):
+    """The curation pipeline's per-source quota ``(pow_q * target)
+    div pow_tot`` runs in DECIMAL(38,0): at int64-max statistics
+    (pow_q = 1e6·(2^63)^0.3 ≈ 4.9e11 from the temperature fixed
+    point, target ≈ 9.2e18 surviving docs) the product is ~4.5e30 —
+    seven decimal orders inside 38 digits — and the integral quotient
+    is exact, int64-fitting, and equal to Python's big-int
+    arithmetic."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        MIX_DOC_BUDGET_DEN,
+    )
+
+    pow_q = 490_000_000_000
+    pow_tot = 3 * pow_q
+    n_surv = 9_200_000_000_000_000_000
+    df = ansi.range(1).select(
+        F.lit(pow_q).cast("decimal(38,0)").alias("pow_q"),
+        F.lit(pow_tot).cast("decimal(38,0)").alias("pow_tot"),
+        F.lit(n_surv).alias("n_surv"),
+    )
+    target = (
+        f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
+        f" div {MIX_DOC_BUDGET_DEN})"
+    )
+    r = _one(
+        df.select(
+            F.expr(
+                f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
+            ).alias("q")
+        )
+    )
+    want = (
+        pow_q
+        * ((n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN)
+        // pow_tot
+    )
+    assert r["q"] == want
+
+
 def test_cms_shard_merge_near_edge(ansi):
     """CMS cells merge by addition across shards; 1000 shards each
     carrying 9e15 instances of one hot cell sum to 9e18 — still under

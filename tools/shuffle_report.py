@@ -47,6 +47,7 @@ QUERIES: dict[str, list[str]] = {
     "sim_sq8_topk": ["embeddings"],
     "sim_ivf_sq8_topk": ["embeddings"],
     "pipeline_quality_lr_step": ["documents"],
+    "pipeline_quality_score": ["documents"],
     "text_unigram_tokenize": ["documents"],
     "pipeline_decontaminate": ["documents"],
     "pipeline_pack_sequences": ["documents"],
@@ -70,6 +71,20 @@ def table_bytes(sf_dir: str, tables: list[str]) -> int:
         elif os.path.exists(p):
             total += os.path.getsize(p)
     return total
+
+
+def run_shuffle_bytes(spark) -> int:
+    """Executor-cumulative shuffle-write bytes (AppStatusStore) — a
+    WHOLE-RUN counter that, unlike the final-plan walk, also sees the
+    stages a detach (localCheckpoint) pins away. The per-query delta
+    is the `run MB` column; for pin-free queries it ~equals the plan
+    walk, for detach-based ones it is the number the walk loses."""
+    ex = spark._jsparkSession.sparkContext().statusStore().executorList(
+        False
+    )
+    return sum(
+        ex.apply(i).totalShuffleWrite() for i in range(ex.size())
+    )
 
 
 def walk_metrics(node, acc, seen=None) -> None:
@@ -146,14 +161,18 @@ def main() -> None:
         "  exchanges on the same keys. The structural claim this",
         "  report pins is what the SHUFFLE columns carry.",
         "- Queries that pin an intermediate with `detach`",
-        "  (localCheckpoint) report only their POST-pin lineage — the",
-        "  pinned stage's own shuffle (e.g. exact_substring's single",
-        "  index shuffle on the window hash) executes before the",
-        "  walked plan begins.",
+        "  (localCheckpoint) report only their POST-pin lineage in the",
+        "  plan-walk columns — the pinned stage's own shuffle (e.g.",
+        "  exact_substring's single index shuffle on the window hash)",
+        "  executes before the walked plan begins. The `run MB` column",
+        "  closes that blind spot: it is the executor-cumulative",
+        "  shuffle-write DELTA across the whole query run (warm-up",
+        "  included), so detach-based queries that walk as 0 show",
+        "  their true pre-pin exchange payload there.",
         "",
-        "| query | input MB | shuffles | shuffle MB | broadcasts |"
-        " broadcast MB | shuffle/input |",
-        "|---|---|---|---|---|---|---|",
+        "| query | input MB | shuffles | shuffle MB | run MB |"
+        " broadcasts | broadcast MB | shuffle/input |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     # bench-only callables (not registry-exported) are reportable too
     import bench
@@ -169,16 +188,23 @@ def main() -> None:
 
         return getattr(dedup, name)
 
+    import time as _time
+
     for name, tables in QUERIES.items():
+        _time.sleep(0.5)  # async listener flush before the baseline
+        run0 = run_shuffle_bytes(spark)
         df = _fn(name)(spark, sf_dir)
         df.collect()
         acc = {"shuffle": 0, "broadcast": 0, "n_shuffles": 0, "n_broadcasts": 0}
         walk_metrics(df._jdf.queryExecution().executedPlan(), acc)
+        _time.sleep(0.5)  # async listener flush
+        run_delta = run_shuffle_bytes(spark) - run0
         inp = table_bytes(sf_dir, tables)
         ratio = acc["shuffle"] / inp if inp else float("nan")
         lines.append(
             f"| {name} | {mb(inp):.1f} | {acc['n_shuffles']} |"
-            f" {mb(acc['shuffle']):.2f} | {acc['n_broadcasts']} |"
+            f" {mb(acc['shuffle']):.2f} | {mb(run_delta):.2f} |"
+            f" {acc['n_broadcasts']} |"
             f" {mb(acc['broadcast']):.2f} | {ratio:.2f} |"
         )
         # pinned blocks from detach-based queries
@@ -188,8 +214,15 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SHUFFLE_BYTES.md",
     )
+    # preserve the Composition section tools/composition_report.py owns
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        i = old.find("## Composition —")
+        if i != -1:
+            tail = "\n" + old[i:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("\n".join(lines))
     spark.stop()
 
