@@ -145,3 +145,83 @@ def wap_load(table: VersionedTable, csv_path: str, wap_branch: str = "feature_br
         published = False
     table.drop_branch(wap_branch)
     return published
+
+
+CURATE_MANIFEST_DDL = (
+    "run string, shard bigint, pack_id bigint, n_docs bigint, "
+    "pack_tokens bigint, first_doc bigint, last_doc bigint"
+)
+
+
+def curate_publish(
+    spark: SparkSession,
+    sf_dir: str,
+    location: str,
+    run_label: str = "run0",
+    wap_branch: str = "curate_audit",
+) -> dict:
+    """The north-star pipeline meeting the reference's governance
+    surface: run the composed curation job
+    (``pipeline_curate_corpus``) and land its pack manifest in a
+    ``VersionedTable`` through write-audit-publish — the shape a
+    nightly 100 TB curation actually ships. Compute once, append to
+    the WAP branch (session-routed, exactly the reference's
+    ``spark.wap.branch`` pattern — WapIceberg.scala:14), gate on
+    manifest invariants, and fast-forward main only when clean; a
+    failed audit drops the branch and leaves main untouched, so a bad
+    run can never reach the training job reading main.
+
+    Audit gates — all manifest-level, O(packs) rows, never re-reading
+    the corpus: (a) non-empty; (b) the reference's any-column null
+    scan; (c) (run, shard, pack_id) unique across the WHOLE audited
+    branch — nightly manifests accumulate, so each run stamps its
+    ``run_label`` and the key audit catches both intra-run duplicates
+    and an accidental re-publish of an existing label; (d) every pack
+    carries positive docs and tokens. Returns the audit/publish
+    report."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_corpus,
+    )
+
+    manifest = pipeline_curate_corpus(spark, sf_dir).select(
+        F.lit(run_label).alias("run"), "*"
+    )
+    table = VersionedTable.create(
+        spark,
+        location,
+        schema=CURATE_MANIFEST_DDL,
+        partition_by=None,
+        properties={"write.wap.enabled": "true"},
+        if_not_exists=True,
+    )
+    with wap_session(spark, wap_branch):
+        table.append(manifest)  # routed to the WAP branch
+        audited = table.read()  # ambient read of the same branch
+        n_packs = audited.count()
+        null_rows = rows_with_any_null(audited).count()
+        dup_keys = (
+            audited.groupBy("run", "shard", "pack_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .count()
+        )
+        bad_packs = audited.filter(
+            (F.col("pack_tokens") <= 0) | (F.col("n_docs") <= 0)
+        ).count()
+    published = (
+        n_packs > 0
+        and null_rows == 0
+        and dup_keys == 0
+        and bad_packs == 0
+    )
+    if published:
+        table.fast_forward(MAIN, wap_branch)
+    table.drop_branch(wap_branch)
+    return {
+        "published": published,
+        "packs": n_packs,
+        "null_rows": null_rows,
+        "dup_keys": dup_keys,
+        "bad_packs": bad_packs,
+        "main_rows": table.read(branch=MAIN).count(),
+    }

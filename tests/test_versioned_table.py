@@ -1420,3 +1420,58 @@ def test_cherrypick_call_procedure(spark, tmp_path):
     assert out[0]["source_snapshot_id"] == staged.snapshot_id
     assert out[0]["current_snapshot_id"] == t._refs()["main"]
     assert t.read().count() == 12
+
+
+def test_curate_publish_wap_roundtrip(spark, tmp_path, sf_dir):
+    """The curation pipeline landing in a WAP-governed table: the pack
+    manifest publishes through the audit branch when clean (main rows
+    == manifest packs, audit counters all zero), the WAP branch is
+    gone afterwards, and main's content equals the directly-computed
+    manifest. A second run into the same table appends through a fresh
+    audit cycle (packs accumulate on main only after publish)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_corpus,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import curate_publish
+
+    loc = str(tmp_path / "curated")
+    report = curate_publish(spark, sf_dir, loc, run_label="2024-01-01")
+    assert report["published"] is True
+    assert report["null_rows"] == 0
+    assert report["dup_keys"] == 0
+    assert report["bad_packs"] == 0
+    want = {
+        ("2024-01-01",) + tuple(r)
+        for r in pipeline_curate_corpus(spark, sf_dir).collect()
+    }
+    t = VersionedTable.load(spark, loc)
+    got = {
+        (
+            r["run"],
+            r["shard"],
+            r["pack_id"],
+            r["n_docs"],
+            r["pack_tokens"],
+            r["first_doc"],
+            r["last_doc"],
+        )
+        for r in t.read().collect()
+    }
+    assert got == want
+    assert report["packs"] == len(want)
+    assert report["main_rows"] == len(want)
+    # audit branch cleaned up
+    assert "curate_audit" not in {
+        r["name"] for r in t.refs().collect()
+    }
+    # a second nightly run under a new label appends through its own
+    # audit cycle; re-publishing an EXISTING label fails the key audit
+    # and leaves main untouched
+    report2 = curate_publish(spark, sf_dir, loc, run_label="2024-01-02")
+    assert report2["published"] is True
+    assert report2["main_rows"] == 2 * len(want)
+    report3 = curate_publish(spark, sf_dir, loc, run_label="2024-01-02")
+    assert report3["published"] is False
+    assert report3["dup_keys"] > 0
+    assert report3["main_rows"] == 2 * len(want)
