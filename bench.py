@@ -151,6 +151,7 @@ def _load_extra_bench() -> None:
     )
     from iceberg_by_example_spark.operators.sampling import (
         pipeline_global_shuffle,
+        pipeline_pack_learned,
         pipeline_temperature_mix,
     )
     from iceberg_by_example_spark.operators.similarity import (
@@ -190,6 +191,7 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
     EXTRA_BENCH_FNS["pipeline_quality_score"] = pipeline_quality_score
     EXTRA_BENCH_FNS["pipeline_curate_corpus"] = pipeline_curate_corpus
+    EXTRA_BENCH_FNS["pipeline_pack_learned"] = pipeline_pack_learned
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

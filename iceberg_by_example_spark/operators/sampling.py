@@ -860,3 +860,49 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         pos.alias("pos"),
     )
+
+
+def pipeline_pack_learned(
+    spark: SparkSession, sf_dir: str, **bpe_kw
+) -> DataFrame:
+    """Sequence packing under the LEARNED token budget — the
+    tokenizer-side train→apply closure: the registered packer budgets
+    by whitespace tokens, but a training run's 2048-token sequences
+    are measured in TOKENIZER pieces, so this variant trains the BPE
+    on the corpus (``bpe_tokenize_stats`` — head/tail split, driver
+    merge loop on the bounded word table) and packs by each doc's
+    exact learned piece count. Same streaming-concatenation
+    ``pack_stats`` core, same (source, doc_id) order — only the size
+    column changes, so any pack whose docs tokenize fatter than their
+    whitespace count shifts boundaries exactly as production packing
+    would.
+
+    Scale shape: the tokenizer pass is the measured
+    ``text_bpe_tokenize`` cost (corpus explode + broadcast head join +
+    distinct-OOV pandas tail); packing adds one per-source window over
+    the (doc_id, n_pieces) manifest — no second corpus read
+    (``bpe_tokenize_stats`` returns a detached manifest). Bench-only;
+    pytest pins equality with a pure-Python pack over the
+    already-pinned per-doc piece counts, and pins that a capped-vocab
+    training (multi-piece OOV words) actually moves pack boundaries
+    (at the fully-trained default on the narrow test vocabulary every
+    word encodes to one piece, so learned == whitespace packs there —
+    corpus-specific, not structural). ``bpe_kw`` passes through to
+    the trainer (n_merges, vocab_cap)."""
+    from iceberg_by_example_spark.operators.tokenizer import (
+        bpe_tokenize_stats,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = bpe_tokenize_stats(docs, **bpe_kw).select(
+        "doc_id", "n_pieces"
+    )
+    sized = (
+        docs.select("doc_id", "source")
+        .join(pieces, "doc_id")
+        .select(
+            "doc_id", "source", F.col("n_pieces").alias("n_tokens")
+        )
+    )
+    return pack_stats(sized, ["source"], ["doc_id"])

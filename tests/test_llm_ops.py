@@ -3595,3 +3595,73 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
         for pid, (nd, pt, fd, ld) in packs.items():
             want.add((shard, pid, nd, pt, fd, ld))
     assert got == want
+
+
+def test_pack_learned_matches_python_pack_over_piece_counts(
+    spark, sf_dir
+):
+    """The learned-budget packer must equal a pure-Python streaming
+    pack over the (already independently pinned) per-doc BPE piece
+    counts — and, under a capped-vocab training whose OOV words
+    encode multi-piece, must actually differ from the
+    whitespace-budget packer (at the fully-trained default this tiny
+    corpus's every word is one piece, so the default packs equal the
+    whitespace packs — asserted too, as corpus documentation)."""
+    from iceberg_by_example_spark.operators.sampling import (
+        pipeline_pack_learned,
+    )
+    from iceberg_by_example_spark.operators.tokenizer import (
+        bpe_tokenize_stats,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    got = {
+        tuple(r) for r in pipeline_pack_learned(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_tokenize_stats(docs).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    by_source: dict = {}
+    for doc_id, s in src.items():
+        by_source.setdefault(s, []).append(doc_id)
+    want = set()
+    for s, ids in by_source.items():
+        ids.sort()
+        packs: dict = {}
+        cum = 0
+        for doc_id in ids:
+            pid = cum // 2048
+            n = pieces[doc_id]
+            nd, pt, fd, ld = packs.get(pid, (0, 0, doc_id, doc_id))
+            packs[pid] = (nd + 1, pt + n, min(fd, doc_id), max(ld, doc_id))
+            cum += n
+        for pid, (nd, pt, fd, ld) in packs.items():
+            want.add((s, pid, nd, pt, fd, ld))
+    assert got == want
+
+    from iceberg_by_example_spark.plans.registry import QUERY_REGISTRY
+
+    ws = {
+        tuple(r)
+        for r in QUERY_REGISTRY["pipeline_pack_sequences"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # fully-trained on this narrow vocabulary: 1 piece per word
+    assert got == ws
+    # capped vocab -> OOV words encode multi-piece -> boundaries move
+    capped = {
+        tuple(r)
+        for r in pipeline_pack_learned(
+            spark, sf_dir, vocab_cap=16
+        ).collect()
+    }
+    assert capped != ws
+    assert sum(r[3] for r in capped) > sum(r[3] for r in ws)
