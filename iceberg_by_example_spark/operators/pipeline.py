@@ -1039,14 +1039,24 @@ def _curate_select_pack(surv: DataFrame) -> DataFrame:
         .join(F.broadcast(quota), "source")
         .filter(F.col("rk") <= F.col("quota"))
     )
-    shard = F.expr(f"k div {SHUFFLE_SHARD_WIDTH}")
-    pos = F.row_number().over(
-        Window.partitionBy(shard).orderBy(F.asc("k"), F.asc("doc_id"))
-    )
-    ordered = sel.select(
+    # materialize `shard` as a column BEFORE the pos window so the
+    # window and the pack window downstream partition on the SAME
+    # attribute — partitioning by the raw `k div ...` expression made
+    # ENSURE_REQUIREMENTS re-shuffle on the aliased column for the
+    # pack stage (semantically the identical key; one exchange saved,
+    # plan-audited)
+    sharded = sel.select(
         "doc_id",
         "n_tokens",
-        shard.alias("shard"),
-        pos.alias("pos"),
+        "k",
+        F.expr(f"k div {SHUFFLE_SHARD_WIDTH}").alias("shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy(
+            F.asc("k"), F.asc("doc_id")
+        )
+    )
+    ordered = sharded.select(
+        "doc_id", "n_tokens", "shard", pos.alias("pos")
     )
     return detach(pack_stats(ordered, ["shard"], ["pos"]))
