@@ -826,3 +826,56 @@ def test_stream_dedup_ingest_bloom_exactly_once(spark, tmp_path):
     finally:
         docs_t.drop()
         idx_t.drop()
+
+
+def test_stream_quality_score_matches_batch(spark, tmp_path, sf_dir):
+    """Online application of the batch-trained filter: train offline
+    (pipeline_quality_lr_step) and extract the batch quantile cutoff,
+    then stream the same documents through score_doc_stream under
+    availableNow — every doc's (p_micro, keep) must be bit-identical
+    to the batch operator's output (same fixed-point sigmoid, same
+    weights, same cutoff), whether it arrived in batch or on the
+    stream."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_quality_score,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+        score_doc_stream,
+    )
+
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    assert len(w2) > 0 and keep_micro > 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the file-stream source wants a DIRECTORY; stage the single
+    # parquet file into one
+    import shutil
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", src_dir / "documents.parquet"
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(src_dir))
+    out = score_doc_stream(stream, w2, keep_micro)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["p_micro"], r["keep"])
+        for r in spark.table("stream_quality").collect()
+    }
+    want = {
+        r["doc_id"]: (r["p_micro"], r["keep"])
+        for r in pipeline_quality_score(spark, sf_dir).collect()
+    }
+    assert got == want
