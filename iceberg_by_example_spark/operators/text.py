@@ -537,20 +537,17 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASHING_DIM = 64
 
 
-def hashing_vectorizer_arrays(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Array-shaped hashing-trick features (``features:
-    array<int>``) — the native form a trainer consumes. Unregistered:
-    the grading driver cannot hash array cells (registry rule 4), so
-    the registered query below canonicalizes to a string."""
+def hashing_feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, features: array<int>) over ANY documents-shaped frame
+    — batch or streaming — so the trainer, the batch scorer, and the
+    online stream scorer all featurize through the SAME expressions
+    and can never drift."""
     from iceberg_by_example_spark.operators.dedup import _md5_hash60
 
-    d = load_table(spark, sf_dir, "documents")
     buckets = F.transform(
         tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
     )
-    tok = d.select("doc_id", buckets.alias("b"))
+    tok = docs.select("doc_id", buckets.alias("b"))
 
     def _eq(k: int):
         # single-arg lambda: a 2-arg function would make F.filter pass
@@ -561,6 +558,16 @@ def hashing_vectorizer_arrays(
         *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
     )
     return tok.select("doc_id", features.alias("features"))
+
+
+def hashing_vectorizer_arrays(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-shaped hashing-trick features (``features:
+    array<int>``) — the native form a trainer consumes. Unregistered:
+    the grading driver cannot hash array cells (registry rule 4), so
+    the registered query below canonicalizes to a string."""
+    return hashing_feature_frame(load_table(spark, sf_dir, "documents"))
 
 
 @register(

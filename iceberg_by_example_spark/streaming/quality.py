@@ -56,28 +56,18 @@ def score_doc_stream(
     """(doc_id, p_micro, keep) over a STREAMING documents frame: the
     trained weights land as an array literal (feature-width — no
     stream-static join, no broadcast needed), features come from the
-    same hashing-trick expressions as training, and the score is the
-    batch operator's exact fixed-point sigmoid. Stateless: works
-    under any trigger with no state store."""
-    from iceberg_by_example_spark.operators.dedup import _md5_hash60
-    from iceberg_by_example_spark.functions.text import tokens
-    from iceberg_by_example_spark.operators.text import HASHING_DIM
-
-    buckets = F.transform(
-        tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
+    SAME ``hashing_feature_frame`` the trainer uses (imported, never
+    copied), and the score is the batch operator's exact fixed-point
+    sigmoid. Stateless: works under any trigger with no state
+    store."""
+    from iceberg_by_example_spark.operators.text import (
+        hashing_feature_frame,
     )
 
-    def _eq(k: int):
-        return lambda x: x == F.lit(k)
-
-    features = F.array(
-        *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
-    )
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w2])
     p = _lr_sigmoid_micro(_lr_dot_micro())
     return (
-        docs.select("doc_id", buckets.alias("b"))
-        .select("doc_id", features.alias("features"))
+        hashing_feature_frame(docs)
         .withColumn("w", w_arr)
         .select(
             "doc_id",
