@@ -48,6 +48,8 @@ QUERIES: dict[str, list[str]] = {
     "sim_ivf_sq8_topk": ["embeddings"],
     "pipeline_quality_lr_step": ["documents"],
     "pipeline_quality_score": ["documents"],
+    "pipeline_pack_learned": ["documents"],
+    "pipeline_curate_corpus": ["documents"],
     "text_unigram_tokenize": ["documents"],
     "pipeline_decontaminate": ["documents"],
     "pipeline_pack_sequences": ["documents"],
