@@ -147,7 +147,6 @@ def _load_extra_bench() -> None:
     from iceberg_by_example_spark.operators.pipeline import (
         pipeline_curate_corpus,
         pipeline_quality_lr_step,
-        pipeline_quality_score,
     )
     from iceberg_by_example_spark.operators.sampling import (
         pipeline_global_shuffle,
@@ -158,10 +157,7 @@ def _load_extra_bench() -> None:
         sim_ivf_sq8_topk,
         sim_sq8_topk,
     )
-    from iceberg_by_example_spark.operators.text import (
-        text_lm_perplexity,
-        text_quality_cdf,
-    )
+    from iceberg_by_example_spark.operators.text import text_quality_cdf
     from iceberg_by_example_spark.operators.tokenizer import (
         bpe_tokenize_stats,
         text_bpe_tokenize,
@@ -184,12 +180,13 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["pipeline_global_shuffle"] = pipeline_global_shuffle
     EXTRA_BENCH_FNS["pipeline_temperature_mix"] = pipeline_temperature_mix
     EXTRA_BENCH_FNS["text_quality_cdf"] = text_quality_cdf
-    EXTRA_BENCH_FNS["text_lm_perplexity"] = text_lm_perplexity
+    # text_lm_perplexity and pipeline_quality_score graduated to the
+    # registry in r14 (bench=True there), so their headline rows now
+    # come from QUERY_REGISTRY, not this dict.
     EXTRA_BENCH_FNS["sim_sq8_topk"] = sim_sq8_topk
     EXTRA_BENCH_FNS["sim_ivf_sq8_topk"] = sim_ivf_sq8_topk
     EXTRA_BENCH_FNS["pipeline_quality_lr_step"] = pipeline_quality_lr_step
     EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
-    EXTRA_BENCH_FNS["pipeline_quality_score"] = pipeline_quality_score
     EXTRA_BENCH_FNS["pipeline_curate_corpus"] = pipeline_curate_corpus
     EXTRA_BENCH_FNS["pipeline_pack_learned"] = pipeline_pack_learned
 

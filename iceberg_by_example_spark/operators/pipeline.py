@@ -778,6 +778,12 @@ def _lr_weights(x: DataFrame, n: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_quality_score",
+    oracle=_quality_score_oracle(),
+    category="pipeline",
+    bench=True,
+)
 def pipeline_quality_score(
     spark: SparkSession,
     sf_dir: str,
@@ -809,9 +815,11 @@ def pipeline_quality_score(
     (b|bucket, …, w2_micro) frame, e.g. a previously materialized
     training output) to skip retraining and score with stored
     weights — the composed curation pipeline uses this to share one
-    training run across stages. Unregistered (r13 budget is 0,
-    queued); ``_quality_score_oracle()`` is the tested DuckDB twin
-    extending the trainer oracle's shared CTE chain."""
+    training run across stages. Registered in r14 (the judge-approved
+    swap — the slot came from ``set_except_all``);
+    ``_quality_score_oracle()`` is the DuckDB oracle extending the
+    trainer oracle's shared CTE chain, twin-EQUAL at sf0.001 (pytest)
+    and sf0.1 (PROBES_r13)."""
     from iceberg_by_example_spark.util import detach
 
     x = _lr_feature_frame(spark, sf_dir).persist()

@@ -786,6 +786,12 @@ def _nll_micro(cnt3, cnt2, v):
     return F.round(-F.log(p) * LM_NLL_SCALE).cast("long")
 
 
+@register(
+    "text_lm_perplexity",
+    oracle=_LM_PERPLEXITY_ORACLE,
+    category="text",
+    bench=True,
+)
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram negative log-likelihood under an
     add-one-smoothed conditional model trained on the deterministic
@@ -807,8 +813,9 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram's nll_micro tops out near ln(C2+V)·1e6 ≈ 3.4e7 at
     trillion-token scale, so a billion-token document sums to ~3e16,
     2^63-safe (pinned by ``test_fixed_point_headroom``-family).
-    Unregistered (r12 budget is 0); ``_LM_PERPLEXITY_ORACLE`` is the
-    tested DuckDB twin, so registration is one decorator away."""
+    Registered in r14 (the judge-approved swap — the slot came from
+    ``set_intersect_all``); ``_LM_PERPLEXITY_ORACLE`` is the DuckDB
+    oracle, twin-EQUAL at sf0.001 (pytest) and sf0.1 (PROBES_r11+)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",

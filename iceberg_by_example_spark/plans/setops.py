@@ -112,15 +112,20 @@ def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "set_intersect_all",
-    oracle="""
+# Deregistered in r14 (judge-approved slack-neutral swap, VERDICT r13
+# #1): the ALL variants exercise the same DataFrame set-op code path as
+# the registered set_intersect / set_except and never diverged from
+# them across four grading rotations; their two registry slots went to
+# text_lm_perplexity and pipeline_quality_score. The functions stay —
+# callers and the DuckDB twins below keep working — and pytest still
+# pins their semantics.
+SET_INTERSECT_ALL_ORACLE = """
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT ALL
     SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    category="setop",
-)
+    """
+
+
 def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL (bag semantics — multiplicity = min of the two)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -128,15 +133,13 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersectAll(s)
 
 
-@register(
-    "set_except_all",
-    oracle="""
+SET_EXCEPT_ALL_ORACLE = """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT ALL
     SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    category="setop",
-)
+    """
+
+
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (bag difference — multiplicity-aware)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))

@@ -230,3 +230,36 @@ def test_approx_percentile_builtin_within_bounds(spark):
         # a generous value tolerance on this distribution (5%)
         assert abs(ap50 - r["p50"]) <= 0.05 * r["p50"], (flag, ap50, r["p50"])
         assert abs(ap90 - r["p90"]) <= 0.05 * r["p90"], (flag, ap90, r["p90"])
+
+
+def test_set_all_variants_match_duckdb_twins(spark):
+    """set_intersect_all / set_except_all were deregistered in r14
+    (judge-approved swap — their registry slots went to
+    text_lm_perplexity and pipeline_quality_score), so the DuckDB twin
+    check the driver used to run moves here: bag-semantics equality,
+    multiplicities included, on the real sf0.01 tables."""
+    from collections import Counter
+
+    import duckdb
+
+    from iceberg_by_example_spark.plans.setops import (
+        SET_EXCEPT_ALL_ORACLE,
+        SET_INTERSECT_ALL_ORACLE,
+        set_except_all,
+        set_intersect_all,
+    )
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    for fn, sql in (
+        (set_intersect_all, SET_INTERSECT_ALL_ORACLE),
+        (set_except_all, SET_EXCEPT_ALL_ORACLE),
+    ):
+        got = Counter(r["nationkey"] for r in fn(spark, SF).collect())
+        want = Counter(v for (v,) in con.execute(sql).fetchall())
+        assert got == want, fn.__name__
+        assert got, fn.__name__
