@@ -1693,12 +1693,17 @@ def winnow_index_table(
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     }
-    if stored.get(sig_key, sig) != sig:
+    # A MISSING signature is a guard failure, not a pass (r13 ADVICE
+    # #4): an index written by a pre-guard build (or one whose ALTER
+    # TABLE property was lost) would otherwise silently skip the
+    # different-derivation check this property exists to provide.
+    if stored.get(sig_key) != sig:
         raise ValueError(
             f"winnow index {table} was built from a different "
             "corpus_keys derivation (plan signature "
-            f"{stored[sig_key]} != {sig}); pass refresh=True (or a "
-            "new name) to rebuild it for a different corpus"
+            f"{stored.get(sig_key, '<missing>')} != {sig}); pass "
+            "refresh=True (or a new name) to rebuild it for a "
+            "different corpus"
         )
     return out
 

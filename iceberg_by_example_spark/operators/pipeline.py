@@ -351,9 +351,12 @@ def pipeline_filter_funnel(
     (doc_id, …, keep)) to append the LEARNED filter as the funnel's
     last gate: docs surviving the heuristic stages but scored
     ``keep = 0`` are attributed to a new ``lr_rejected`` stage (idx
-    4) and ``kept`` moves to idx 5. The join is a doc_id equi-join
-    (keys-only shuffle); the registered no-argument form is
-    unchanged."""
+    4) and ``kept`` moves to idx 5. The join is a LEFT doc_id
+    equi-join (keys-only shuffle), so a partial score frame can never
+    silently shrink the funnel totals: a doc with no score row keeps a
+    null ``lr_keep``, which no stage predicate matches, and it falls
+    through to ``kept`` — null score = pass, the conservative reading
+    (r13 ADVICE #1). The registered no-argument form is unchanged."""
     d = load_table(spark, sf_dir, "documents")
     m = _funnel_metrics(d)
     if lr_scores is not None:
@@ -362,6 +365,7 @@ def pipeline_filter_funnel(
                 "doc_id", F.col("keep").alias("lr_keep")
             ),
             "doc_id",
+            "left",
         )
     stage = (
         F.when(F.col("n_tokens") < FUNNEL_MIN_TOKENS, F.lit("too_short"))

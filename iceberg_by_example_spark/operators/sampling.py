@@ -129,7 +129,9 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum_before
       FROM sized)
     SELECT source,
-           CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
+           -- exact integral quotient, mirroring pack_stats's `div`
+           -- (identical values at any sf; exact past 2^53 too)
+           CAST(cum_before // 2048 AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
            -- CAST: DuckDB's integer SUM yields HUGEINT, which the
            -- driver's pandas hasher renders float64 and mismatches
@@ -184,9 +186,11 @@ def pack_stats(
     return (
         placed.groupBy(
             *part_cols,
-            F.floor(F.col("cum_before") / F.lit(2048.0))
-            .cast("long")
-            .alias("pack_id"),
+            # exact integral quotient (r13 ADVICE #3): cum_before is a
+            # non-negative int64 prefix sum, and `div` keeps the
+            # engine-exact arithmetic used repo-wide — double division
+            # would lose exactness past 2^53 cumulative tokens.
+            F.expr("cum_before div 2048").alias("pack_id"),
         )
         .agg(
             F.count("*").alias("n_docs"),

@@ -133,17 +133,24 @@ def wap_load(table: VersionedTable, csv_path: str, wap_branch: str = "feature_br
     Returns True if published.
     """
     spark = table.spark
-    with wap_session(spark, wap_branch):
-        batch = read_activity_csv(spark, csv_path)
-        table.append(batch)  # routed to the WAP branch by session conf
-        audited = table.read()  # ambient read of the same branch
-        bad = rows_with_any_null(audited).count()
-    if bad == 0:
-        table.fast_forward(MAIN, wap_branch)
-        published = True
-    else:
-        published = False
-    table.drop_branch(wap_branch)
+    # drop_branch in finally (r13 ADVICE #2): an exception between the
+    # append and the publish must not leave a stale WAP branch holding
+    # unaudited rows for the next run to inherit (drop_branch is
+    # idempotent, so the finally is safe even if the append failed
+    # before the branch was auto-created).
+    try:
+        with wap_session(spark, wap_branch):
+            batch = read_activity_csv(spark, csv_path)
+            table.append(batch)  # routed to the WAP branch by session conf
+            audited = table.read()  # ambient read of the same branch
+            bad = rows_with_any_null(audited).count()
+        if bad == 0:
+            table.fast_forward(MAIN, wap_branch)
+            published = True
+        else:
+            published = False
+    finally:
+        table.drop_branch(wap_branch)
     return published
 
 
@@ -194,29 +201,37 @@ def curate_publish(
         properties={"write.wap.enabled": "true"},
         if_not_exists=True,
     )
-    with wap_session(spark, wap_branch):
-        table.append(manifest)  # routed to the WAP branch
-        audited = table.read()  # ambient read of the same branch
-        n_packs = audited.count()
-        null_rows = rows_with_any_null(audited).count()
-        dup_keys = (
-            audited.groupBy("run", "shard", "pack_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .count()
+    # drop_branch in finally (r13 ADVICE #2): without it, an exception
+    # between the append and the audit (or during fast_forward) leaves
+    # a stale curate_audit branch holding unaudited rows — the next
+    # run's append would inherit them and spuriously fail ITS dup-key
+    # audit. drop_branch is idempotent, so the finally is safe even
+    # when the failure happened before the branch was auto-created.
+    try:
+        with wap_session(spark, wap_branch):
+            table.append(manifest)  # routed to the WAP branch
+            audited = table.read()  # ambient read of the same branch
+            n_packs = audited.count()
+            null_rows = rows_with_any_null(audited).count()
+            dup_keys = (
+                audited.groupBy("run", "shard", "pack_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .count()
+            )
+            bad_packs = audited.filter(
+                (F.col("pack_tokens") <= 0) | (F.col("n_docs") <= 0)
+            ).count()
+        published = (
+            n_packs > 0
+            and null_rows == 0
+            and dup_keys == 0
+            and bad_packs == 0
         )
-        bad_packs = audited.filter(
-            (F.col("pack_tokens") <= 0) | (F.col("n_docs") <= 0)
-        ).count()
-    published = (
-        n_packs > 0
-        and null_rows == 0
-        and dup_keys == 0
-        and bad_packs == 0
-    )
-    if published:
-        table.fast_forward(MAIN, wap_branch)
-    table.drop_branch(wap_branch)
+        if published:
+            table.fast_forward(MAIN, wap_branch)
+    finally:
+        table.drop_branch(wap_branch)
     return {
         "published": published,
         "packs": n_packs,

@@ -3665,3 +3665,116 @@ def test_pack_learned_matches_python_pack_over_piece_counts(
     }
     assert capped != ws
     assert sum(r[3] for r in capped) > sum(r[3] for r in ws)
+
+
+def test_filter_funnel_partial_lr_scores_null_is_pass(spark, sf_dir):
+    """r13 ADVICE #1: a PARTIAL score frame must not deflate the
+    funnel — the join is left, a doc with no score row passes the LR
+    gate (null keep = pass), so totals still sum to the corpus and
+    heuristic-stage counts are byte-identical to the full-score run."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_filter_funnel,
+        pipeline_quality_score,
+    )
+
+    scores = pipeline_quality_score(spark, sf_dir)
+    full = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in pipeline_filter_funnel(
+            spark, sf_dir, lr_scores=scores
+        ).collect()
+    }
+    # drop the score rows for half the docs (odd doc_ids)
+    partial = scores.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in pipeline_filter_funnel(
+            spark, sf_dir, lr_scores=partial
+        ).collect()
+    }
+    total = sum(n for _, n in full.values())
+    assert sum(n for _, n in got.values()) == total
+    for s in ("too_short", "low_diversity", "no_stopwords"):
+        if s in full:
+            assert got[s] == full[s]
+    # unscored docs pass the gate: lr_rejected can only shrink and
+    # kept can only grow relative to the full-score run
+    assert got.get("lr_rejected", (4, 0))[1] <= full.get(
+        "lr_rejected", (4, 0)
+    )[1]
+    assert got["kept"][1] >= full["kept"][1]
+    # exactly the odd-doc_id rejects that SURVIVE the heuristics moved
+    # from lr_rejected to kept (first-failure attribution: docs the
+    # heuristics already dropped never reach the LR gate)
+    from iceberg_by_example_spark.operators.pipeline import (
+        _funnel_metrics,
+        _funnel_pass,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    heur_pass = _funnel_metrics(
+        load_table(spark, sf_dir, "documents")
+    ).filter(_funnel_pass()).select("doc_id")
+    odd_rejects = (
+        scores.filter((F.col("keep") == 0) & (F.col("doc_id") % 2 == 1))
+        .join(heur_pass, "doc_id", "left_semi")
+        .count()
+    )
+    assert (
+        full.get("lr_rejected", (4, 0))[1]
+        - got.get("lr_rejected", (4, 0))[1]
+        == odd_rejects
+    )
+
+
+def test_winnow_index_missing_signature_is_guard_failure(spark):
+    """r13 ADVICE #4: an index table whose plan-signature property is
+    ABSENT (pre-guard build, or a path that lost the ALTER TABLE) must
+    fail the reuse guard instead of silently serving whatever corpus
+    it was built from."""
+    import os
+
+    import pytest as _pytest
+
+    from iceberg_by_example_spark.operators.dedup import (
+        winnow_index_table,
+        winnow_keys,
+    )
+
+    keys = winnow_keys(_planted_substring_corpus(spark)).filter(
+        F.col("doc_id") < 5
+    )
+    winnow_index_table(spark, keys, name="widx_nosig")
+    spark.sql(
+        f"ALTER TABLE winnowidx_{os.getpid()}.widx_nosig "
+        "UNSET TBLPROPERTIES ('winnow.corpus_plan_sig')"
+    )
+    with _pytest.raises(ValueError, match="<missing>"):
+        winnow_index_table(spark, keys, name="widx_nosig")
+    # refresh=True rebuilds and restores the stamped guard
+    rebuilt = winnow_index_table(
+        spark, keys, name="widx_nosig", refresh=True
+    )
+    assert rebuilt.count() == keys.count()
+    winnow_index_table(spark, keys, name="widx_nosig")  # reuse ok again
+
+
+def test_pack_stats_pack_id_exact_past_double_precision(spark):
+    """r13 ADVICE #3: pack_id is the exact integral quotient, not a
+    double division — at a cumulative prefix of 2^60 - 1 tokens the
+    double rounds UP across the pack boundary and floor() would
+    misassign the pack by one."""
+    from iceberg_by_example_spark.operators.sampling import pack_stats
+
+    big = (1 << 60) - 1
+    sized = spark.createDataFrame(
+        [(1, "s", big), (2, "s", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rows = {
+        r["pack_id"]: (r["n_docs"], r["first_doc"])
+        for r in pack_stats(sized, ["source"], ["doc_id"]).collect()
+    }
+    assert rows == {0: (1, 1), big // 2048: (1, 2)}
+    # the double-floor answer would be one pack later
+    assert big // 2048 != int(float(big) // 2048.0)

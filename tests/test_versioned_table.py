@@ -1475,3 +1475,35 @@ def test_curate_publish_wap_roundtrip(spark, tmp_path, sf_dir):
     assert report3["published"] is False
     assert report3["dup_keys"] > 0
     assert report3["main_rows"] == 2 * len(want)
+
+
+def test_curate_publish_drops_audit_branch_on_failure(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """r13 ADVICE #2: an exception during the publish (or anywhere
+    between append and audit) must not leave a stale curate_audit
+    branch — the next run would inherit its unaudited rows and
+    spuriously fail that run's dup-key audit. The drop now runs in a
+    finally, so after a crashed run the branch is gone and a retry
+    publishes cleanly."""
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import curate_publish
+
+    loc = str(tmp_path / "curated_crash")
+
+    def boom(self, to_branch, from_branch):
+        raise RuntimeError("simulated commit-service outage")
+
+    monkeypatch.setattr(VersionedTable, "fast_forward", boom)
+    with pytest.raises(RuntimeError, match="outage"):
+        curate_publish(spark, sf_dir, loc, run_label="day1")
+    t = VersionedTable.load(spark, loc)
+    assert "curate_audit" not in {r["name"] for r in t.refs().collect()}
+    assert t.read().count() == 0  # nothing reached main
+
+    # retry after the outage clears: publishes, and the dup-key audit
+    # sees only THIS run's rows (no stale-branch inheritance)
+    monkeypatch.undo()
+    report = curate_publish(spark, sf_dir, loc, run_label="day1")
+    assert report["published"] is True
+    assert report["dup_keys"] == 0
