@@ -903,11 +903,11 @@ def pipeline_quality_score(
 # ---------------------------------------------------------------------------
 
 # Curate to ceil(|survivors| / MIX_DOC_BUDGET_DEN) documents, allocated
-# across sources by the temperature shares (exact integer quotas from
-# the shared pow_q fixed point; floor allocation, so the selected count
-# is within #sources of the target — production adds largest-remainder
-# seats, which would cost one more bounded sort over the sources
-# relation).
+# across sources by the temperature shares: exact integer quotas from
+# the shared pow_q fixed point, floor shares plus largest-remainder
+# seats (r13 VERDICT #4), headroom-aware — so the selected count hits
+# the target EXACTLY for every share distribution (the remainder pass
+# is one window over the bounded sources relation).
 MIX_DOC_BUDGET_DEN = 2
 
 
@@ -925,7 +925,9 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pipeline_training_set`` precedent), composed as doc_id
     semi/anti-joins — keys-only exchanges at every boundary. The mix
     is APPLIED, not just reported: per-source doc quotas are exact
-    integer shares of the temperature fixed point (``_mix_pow``), and
+    integer shares of the temperature fixed point (``_mix_pow``) —
+    floor shares plus headroom-aware largest-remainder seats, so
+    ``sum(quota) == target`` exactly — and
     the quota picks each source's first ``q_i`` docs in the global
     shuffle-key order (``shuffle_key``), so the subsample is the same
     'random half' every engine and every rerun selects. Packing runs
@@ -1023,17 +1025,64 @@ def _curate_select_pack(surv: DataFrame) -> DataFrame:
         f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
         f" div {MIX_DOC_BUDGET_DEN})"
     )
-    quota = (
+    # Largest-remainder seats (r13 VERDICT #4): floor shares alone
+    # under-select by up to #sources - 1 docs. Each source gets its
+    # exact floor share (capped at its own doc count), then the
+    # remaining seats fill sources in remainder order — and because a
+    # capped source may absorb fewer seats than its remainder rank
+    # grants, the fill is headroom-aware (a cumulative window greedy):
+    # seats flow to the next-ranked source with docs left, so
+    # sum(quota) == target ALWAYS (target <= |survivors| by
+    # construction, so total headroom covers the deficit). All
+    # arithmetic is exact integer; the windows run over the SOURCES
+    # relation (bounded — hundreds of rows), never the corpus, so the
+    # single-partition window is free at any scale.
+    base = (
         powed.crossJoin(F.broadcast(tot))
         .select(
             "source",
-            F.least(
-                F.col("n_docs"),
-                F.expr(
-                    f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
-                ),
-            ).alias("quota"),
+            "n_docs",
+            F.expr(
+                f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
+            ).alias("fl"),
+            F.expr(
+                f"CAST((pow_q * {target}) % pow_tot AS BIGINT)"
+            ).alias("rem"),
+            F.expr(f"CAST({target} AS BIGINT)").alias("tgt"),
         )
+        .select(
+            "source",
+            "rem",
+            "tgt",
+            F.least("n_docs", "fl").alias("flc"),
+            (F.col("n_docs") - F.least("n_docs", "fl")).alias(
+                "headroom"
+            ),
+        )
+    )
+    seat_order = [F.desc("rem"), F.asc("source")]
+    deficit = F.col("tgt") - F.sum("flc").over(
+        Window.orderBy(*seat_order).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    head_before = F.coalesce(
+        F.sum("headroom").over(
+            Window.orderBy(*seat_order).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    quota = base.select(
+        "source",
+        (
+            F.col("flc")
+            + F.greatest(
+                F.lit(0),
+                F.least(F.col("headroom"), deficit - head_before),
+            )
+        ).alias("quota"),
     )
     keyed = surv.select(
         "doc_id",

@@ -3555,10 +3555,22 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
     pow_tot = sum(pow_q.values())
     n_surv = len(surv)
     target = (n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
-    quota = {
+    # floor shares + headroom-aware largest-remainder seats (r14):
+    # remaining seats fill sources in (remainder desc, source asc)
+    # order, each capped at its own doc count
+    flc = {
         s: min(per_source[s][1], pow_q[s] * target // pow_tot)
         for s in per_source
     }
+    quota = dict(flc)
+    deficit = target - sum(flc.values())
+    for s in sorted(
+        per_source, key=lambda s: (-(pow_q[s] * target % pow_tot), s)
+    ):
+        extra = max(0, min(per_source[s][1] - flc[s], deficit))
+        quota[s] += extra
+        deficit -= extra
+    assert deficit == 0 and sum(quota.values()) == target
 
     # --- selection: first quota docs per source in shuffle-key order ---
     def k60(doc_id):
@@ -3778,3 +3790,74 @@ def test_pack_stats_pack_id_exact_past_double_precision(spark):
     assert rows == {0: (1, 1), big // 2048: (1, 2)}
     # the double-floor answer would be one pack later
     assert big // 2048 != int(float(big) // 2048.0)
+
+
+def test_curate_quota_hits_target_exactly_adversarial(spark):
+    """r13 VERDICT #4: floor + headroom-aware largest-remainder seats
+    — the selected count equals ceil(n/2) EXACTLY for adversarial
+    share distributions, including cap-binding ones (a source whose
+    temperature share exceeds its own doc count), single-source, and
+    one-doc-per-source corpora. Cross-checked against a pure-Python
+    greedy over the same pow_q fixed point."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        MIX_DOC_BUDGET_DEN,
+        _curate_select_pack,
+    )
+    from iceberg_by_example_spark.operators.sampling import _mix_pow
+
+    cases = {
+        # (source -> (n_docs, tokens_per_doc))
+        "single": {"a": (7, 40)},
+        "one_each": {f"s{i}": (1, 30 + i) for i in range(9)},
+        # cap bind: 'giant' has a huge token mass (big pow_q share)
+        # but only 2 docs — its floor share caps and the seats must
+        # flow to the others
+        "cap_bind": {"giant": (2, 100000), "t1": (40, 10), "t2": (40, 9)},
+        "skewed": {"big": (50, 500), "m": (5, 50), "tiny": (3, 2)},
+        # remainder tie-break: identical sources, odd target
+        "ties": {"x1": (3, 25), "x2": (3, 25), "x3": (3, 25)},
+    }
+    for label, spec in cases.items():
+        rows = []
+        doc_id = 0
+        for s, (nd, tok) in spec.items():
+            for _ in range(nd):
+                rows.append((doc_id, s, tok))
+                doc_id += 1
+        surv = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        manifest = _curate_select_pack(surv).collect()
+        n = len(rows)
+        target = (n + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
+        assert sum(r["n_docs"] for r in manifest) == target, label
+
+        # per-source quota cross-check vs the Python greedy
+        per_source = {s: (nd * tok, nd) for s, (nd, tok) in spec.items()}
+        ps_df = spark.createDataFrame(
+            [(s, t) for s, (t, _) in per_source.items()],
+            "source string, source_tokens long",
+        )
+        pow_q = {
+            r["source"]: int(r["pow_q"])
+            for r in _mix_pow(ps_df).collect()
+        }
+        pow_tot = sum(pow_q.values())
+        flc = {
+            s: min(per_source[s][1], pow_q[s] * target // pow_tot)
+            for s in per_source
+        }
+        quota = dict(flc)
+        deficit = target - sum(flc.values())
+        for s in sorted(
+            per_source,
+            key=lambda s: (-(pow_q[s] * target % pow_tot), s),
+        ):
+            extra = max(0, min(per_source[s][1] - flc[s], deficit))
+            quota[s] += extra
+            deficit -= extra
+        assert deficit == 0, label
+        assert sum(quota.values()) == target, label
+        assert all(
+            quota[s] <= per_source[s][1] for s in per_source
+        ), label
