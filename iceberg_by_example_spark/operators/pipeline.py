@@ -911,7 +911,12 @@ def pipeline_quality_score(
 MIX_DOC_BUDGET_DEN = 2
 
 
-def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    size_source: str = "whitespace",
+    **bpe_kw,
+) -> DataFrame:
     """The composed curation pipeline, end to end in ONE job: heuristic
     funnel -> exact dedup -> near-dup cluster canonicals ->
     decontamination (benchmark slice and contaminated docs out) ->
@@ -946,16 +951,55 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     backed by disk (or the filtered manifest written to a table
     between macro-stages); no stage shuffles document text.
 
+    Size provider (r13 VERDICT #5): ``size_source`` picks the token
+    budget the quota AND the packer measure in — ``"whitespace"``
+    (default, the registered packer's budget) or ``"bpe"``, which
+    trains the tokenizer on the corpus (``bpe_tokenize_stats``,
+    ``bpe_kw`` passes n_merges/vocab_cap through) and sizes every doc
+    by its exact LEARNED piece count, so the end-to-end manifest is
+    the one a tokenizer-aware training run consumes. The filter
+    stages are unchanged (quality heuristics stay whitespace-defined);
+    only the (doc_id, n_tokens) size manifest swaps, and the
+    tokenizer's corpus pass reads the same persisted relation. A
+    survivor with no regex words (the tokenizer's [a-z]+ alphabet)
+    sizes to 0 pieces via the left join, never drops.
+
     Unregistered (r13 registration budget is 0); pytest pins the
     composed result row-identical to materializing the chain stage by
     stage plus an independent Python recomputation of quota,
-    selection, and packing."""
+    selection, and packing — parametrized over BOTH size sources."""
     from iceberg_by_example_spark.functions.text import token_count
     from iceberg_by_example_spark.operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents").persist()
     surv = None
     try:
+        if size_source == "whitespace":
+            sized = d.select(
+                "doc_id", "source", token_count("text").alias("n_tokens")
+            )
+        elif size_source == "bpe":
+            from iceberg_by_example_spark.operators.tokenizer import (
+                bpe_tokenize_stats,
+            )
+
+            pieces = bpe_tokenize_stats(d, **bpe_kw).select(
+                "doc_id", "n_pieces"
+            )
+            sized = (
+                d.select("doc_id", "source")
+                .join(pieces, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "source",
+                    F.coalesce("n_pieces", F.lit(0)).alias("n_tokens"),
+                )
+            )
+        else:
+            raise ValueError(
+                f"size_source must be 'whitespace' or 'bpe', got"
+                f" {size_source!r}"
+            )
         heur = (
             _funnel_metrics(d).filter(_funnel_pass()).select("doc_id")
         )
@@ -979,9 +1023,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
         )
         surv = (
-            d.select(
-                "doc_id", "source", token_count("text").alias("n_tokens")
-            )
+            sized
             .join(heur, "doc_id", "left_semi")
             .join(exact, "doc_id", "left_semi")
             .join(losers, "doc_id", "left_anti")

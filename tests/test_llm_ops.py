@@ -3452,7 +3452,10 @@ def test_unigram_stats_spark_plumbing_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
+@pytest.mark.parametrize("size_source", ["whitespace", "bpe"])
+def test_curate_corpus_equals_stage_by_stage_chain(
+    spark, sf_dir, size_source
+):
     """The composed one-job curation pipeline must equal materializing
     the chain stage by stage: survivors = heuristic pass ∩ exact-dedup
     winners minus cluster losers minus bench slice minus contaminated
@@ -3460,7 +3463,11 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
     selection / shuffle / packing recomputed INDEPENDENTLY in Python
     (hashlib keys, integer quota arithmetic, dict-based prefix-sum
     packing). Any scan-sharing or persist in the composition that
-    changed a row would fail the set equality."""
+    changed a row would fail the set equality. Parametrized over the
+    size provider (r13 VERDICT #5): the bpe variant sizes quota AND
+    packs by capped-vocab LEARNED piece counts (vocab_cap=16 so OOV
+    words really encode multi-piece), and must still equal the
+    independent recomputation over those counts."""
     import hashlib
 
     from iceberg_by_example_spark.operators.dedup import (
@@ -3482,6 +3489,7 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
     )
     from iceberg_by_example_spark.sources.tpch import load_table
 
+    bpe_kw = {} if size_source == "whitespace" else {"vocab_cap": 16}
     got = {
         (
             r["shard"],
@@ -3491,7 +3499,9 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
             r["first_doc"],
             r["last_doc"],
         )
-        for r in pipeline_curate_corpus(spark, sf_dir).collect()
+        for r in pipeline_curate_corpus(
+            spark, sf_dir, size_source=size_source, **bpe_kw
+        ).collect()
     }
 
     # --- stage-by-stage chain, each stage materialized separately ---
@@ -3523,10 +3533,24 @@ def test_curate_corpus_equals_stage_by_stage_chain(spark, sf_dir):
     def bench_bucket(doc_id):
         return hashlib.md5(f"bench:{doc_id}".encode()).hexdigest()[:2]
 
-    docs = {
-        r["doc_id"]: (r["source"], len(r["text"].split(" ")))
-        for r in d.collect()
-    }
+    if size_source == "whitespace":
+        docs = {
+            r["doc_id"]: (r["source"], len(r["text"].split(" ")))
+            for r in d.collect()
+        }
+    else:
+        from iceberg_by_example_spark.operators.tokenizer import (
+            bpe_tokenize_stats,
+        )
+
+        pieces = {
+            r["doc_id"]: r["n_pieces"]
+            for r in bpe_tokenize_stats(d, **bpe_kw).collect()
+        }
+        docs = {
+            r["doc_id"]: (r["source"], pieces.get(r["doc_id"], 0))
+            for r in d.select("doc_id", "source").collect()
+        }
     surv = [
         doc_id
         for doc_id in docs
