@@ -113,6 +113,12 @@ SCALING_PROBE_QUERIES = [
     # SCALE-bounded (<=1e6+1 row) histogram, so the ratio claim is
     # "three linear passes over persisted features, flat overhead"
     "pipeline_quality_score",
+    # r14: the incremental daily ingest — batch work + standing-index
+    # probes. At 10× BOTH the batch and the index grow 10×, so the
+    # claim under test is linear-ish growth with no corpus rescan
+    # (the first probe pass pays the one-time state build; the floor
+    # is the steady-state second pass).
+    "pipeline_curate_ingest_day",
     # r12: same claim as text_bpe_tokenize — the corpus pass grows,
     # the driver EM and the distinct-OOV Viterbi tail do not
     "text_unigram_tokenize",
@@ -145,6 +151,7 @@ def _load_extra_bench() -> None:
         dedup_threshold_sweep,
     )
     from iceberg_by_example_spark.operators.pipeline import (
+        curate_ingest_day_demo,
         pipeline_curate_corpus,
         pipeline_quality_lr_step,
     )
@@ -189,6 +196,10 @@ def _load_extra_bench() -> None:
     EXTRA_BENCH_FNS["text_unigram_tokenize"] = text_unigram_tokenize
     EXTRA_BENCH_FNS["pipeline_curate_corpus"] = pipeline_curate_corpus
     EXTRA_BENCH_FNS["pipeline_pack_learned"] = pipeline_pack_learned
+    # r14: the incremental daily ingest. The on-disk standing state
+    # builds during the untimed warmup pass (ensure_curate_state);
+    # timed passes measure the steady-state O(batch + index) job.
+    EXTRA_BENCH_FNS["pipeline_curate_ingest_day"] = curate_ingest_day_demo
 
 # 30× replica probe for the two heaviest queries: super-linear creep
 # shows earliest at larger factors — the 10× ratios (4.4×/3.7× in r6)

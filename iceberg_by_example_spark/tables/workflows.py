@@ -166,6 +166,7 @@ def curate_publish(
     location: str,
     run_label: str = "run0",
     wap_branch: str = "curate_audit",
+    manifest: DataFrame | None = None,
 ) -> dict:
     """The north-star pipeline meeting the reference's governance
     surface: run the composed curation job
@@ -185,14 +186,20 @@ def curate_publish(
     ``run_label`` and the key audit catches both intra-run duplicates
     and an accidental re-publish of an existing label; (d) every pack
     carries positive docs and tokens. Returns the audit/publish
-    report."""
+    report.
+
+    Pass ``manifest`` (an unlabeled pack manifest — shard, pack_id,
+    n_docs, pack_tokens, first_doc, last_doc) to publish a manifest
+    computed elsewhere: the incremental daily ingest
+    (``curate_ingest_day``) lands its day manifest through the same
+    governance gate instead of recomputing the corpus."""
     from iceberg_by_example_spark.operators.pipeline import (
         pipeline_curate_corpus,
     )
 
-    manifest = pipeline_curate_corpus(spark, sf_dir).select(
-        F.lit(run_label).alias("run"), "*"
-    )
+    if manifest is None:
+        manifest = pipeline_curate_corpus(spark, sf_dir)
+    manifest = manifest.select(F.lit(run_label).alias("run"), "*")
     table = VersionedTable.create(
         spark,
         location,
@@ -240,3 +247,35 @@ def curate_publish(
         "bad_packs": bad_packs,
         "main_rows": table.read(branch=MAIN).count(),
     }
+
+
+def curate_ingest_day(
+    spark: SparkSession,
+    state,
+    batch: DataFrame,
+    location: str,
+    run_label: str,
+    wap_branch: str = "curate_audit",
+) -> dict:
+    """One day of the steady-state curation loop: run the INCREMENTAL
+    composed pipeline over today's batch against the standing indexes
+    (``pipeline_curate_ingest_day`` — O(batch + index), the corpus is
+    never rescanned) and land the day's pack manifest in the
+    governance table through the same write-audit-publish gate the
+    nightly backfill uses (``curate_publish`` with ``run_label`` = the
+    day, so manifests accumulate per day and a re-ingest of the same
+    day fails the key audit instead of double-counting). Returns the
+    audit/publish report."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_ingest_day,
+    )
+
+    manifest = pipeline_curate_ingest_day(spark, state, batch)
+    return curate_publish(
+        spark,
+        sf_dir="",  # unused: the manifest is supplied
+        location=location,
+        run_label=run_label,
+        wap_branch=wap_branch,
+        manifest=manifest,
+    )

@@ -3885,3 +3885,221 @@ def test_curate_quota_hits_target_exactly_adversarial(spark):
         assert all(
             quota[s] <= per_source[s][1] for s in per_source
         ), label
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation: the steady-state daily ingest (r13 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def _curate_day_split(spark, sf_dir):
+    """Deterministic OLD/DAY split honoring the monotone-id contract:
+    the top ~10% of doc_ids play today's ingest."""
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t = ids[int(len(ids) * 0.9)]
+    return (
+        docs.filter(F.col("doc_id") < t),
+        docs.filter(F.col("doc_id") >= t),
+        t,
+    )
+
+
+def test_curate_ingest_day_equals_full_recompute_cross_slice(
+    spark, sf_dir
+):
+    """The incremental daily ingest's survivor decisions must equal
+    the FULL recompute's decisions for the day's docs: survivors of
+    ``pipeline_curate_ingest_day`` over (standing state from OLD,
+    batch = DAY, stored model constants from the full corpus) ==
+    {full-chain survivors over OLD ∪ DAY} ∩ DAY — exact dedup,
+    near-dup components, benchmark carve, decontamination (union
+    vocabulary), and the stored-weight LR gate all included. And the
+    day manifest must equal an independent Python recomputation of
+    the updated-mass quota / selection / shuffle / pack tail."""
+    import hashlib
+
+    from iceberg_by_example_spark.operators.dedup import (
+        dedup_cluster_canonical,
+        dedup_exact,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        DECON_BENCH_BUCKET,
+        MIX_DOC_BUDGET_DEN,
+        _funnel_metrics,
+        _funnel_pass,
+        build_curate_state,
+        pipeline_curate_ingest_day,
+        pipeline_decontaminate,
+        pipeline_quality_score,
+    )
+    from iceberg_by_example_spark.operators.sampling import (
+        SHUFFLE_SHARD_WIDTH,
+        _mix_pow,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, t = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    got_surv = {
+        r["doc_id"]: (r["source"], r["n_tokens"])
+        for r in pipeline_curate_ingest_day(
+            spark, state, day, return_survivors=True
+        ).collect()
+    }
+
+    # --- full recompute over OLD ∪ DAY, stage by standalone stage ---
+    d = load_table(spark, sf_dir, "documents")
+    heur = {
+        r["doc_id"]
+        for r in _funnel_metrics(d).filter(_funnel_pass()).collect()
+    }
+    exact = {r["doc_id"] for r in dedup_exact(spark, sf_dir).collect()}
+    losers = {
+        r["doc_id"]
+        for r in dedup_cluster_canonical(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in pipeline_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .collect()
+    }
+    lr_keep = {
+        r["doc_id"]
+        for r in pipeline_quality_score(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .collect()
+    }
+
+    def bench_bucket(doc_id):
+        return hashlib.md5(f"bench:{doc_id}".encode()).hexdigest()[:2]
+
+    docs_all = {
+        r["doc_id"]: (r["source"], len(r["text"].split(" ")))
+        for r in d.collect()
+    }
+    want_surv = {
+        doc_id: docs_all[doc_id]
+        for doc_id in docs_all
+        if doc_id >= t
+        and doc_id in heur
+        and doc_id in exact
+        and doc_id not in losers
+        and bench_bucket(doc_id) >= DECON_BENCH_BUCKET
+        and doc_id not in contaminated
+        and doc_id in lr_keep
+    }
+    assert want_surv, "day slice produced no survivors — widen the split"
+    assert got_surv == want_surv
+
+    # --- manifest == Python recomputation over updated masses ---
+    got_manifest = {
+        tuple(r)
+        for r in pipeline_curate_ingest_day(spark, state, day).collect()
+    }
+    standing = {
+        r["source"]: int(r["source_tokens"])
+        for r in state.source_stats.collect()
+    }
+    updated = dict(standing)
+    per_source: dict = {}
+    for doc_id, (s, n) in got_surv.items():
+        updated[s] = updated.get(s, 0) + n
+        tok, cnt = per_source.get(s, (0, 0))
+        per_source[s] = (tok + n, cnt + 1)
+    ps_df = spark.createDataFrame(
+        [(s, t_) for s, t_ in updated.items()],
+        "source string, source_tokens long",
+    )
+    pow_q = {
+        r["source"]: int(r["pow_q"]) for r in _mix_pow(ps_df).collect()
+    }
+    pow_tot = sum(pow_q.values())
+    n_surv = len(got_surv)
+    target = (n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
+    flc = {
+        s: min(per_source[s][1], pow_q[s] * target // pow_tot)
+        for s in per_source
+    }
+    quota = dict(flc)
+    deficit = target - sum(flc.values())
+    for s in sorted(
+        per_source, key=lambda s: (-(pow_q[s] * target % pow_tot), s)
+    ):
+        extra = max(0, min(per_source[s][1] - flc[s], deficit))
+        quota[s] += extra
+        deficit -= extra
+    assert deficit == 0 and sum(quota.values()) == target
+
+    def k60(doc_id):
+        return int(
+            hashlib.md5(f"shuf:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    by_source: dict = {}
+    for doc_id in got_surv:
+        by_source.setdefault(got_surv[doc_id][0], []).append(doc_id)
+    selected = []
+    for s, ids in by_source.items():
+        ids.sort(key=lambda i: (k60(i), i))
+        selected.extend(ids[: quota[s]])
+    assert len(selected) == target
+
+    by_shard: dict = {}
+    for doc_id in selected:
+        by_shard.setdefault(
+            k60(doc_id) // SHUFFLE_SHARD_WIDTH, []
+        ).append(doc_id)
+    want_manifest = set()
+    for shard, ids in by_shard.items():
+        ids.sort(key=lambda i: (k60(i), i))
+        packs: dict = {}
+        cum = 0
+        for doc_id in ids:
+            pid = cum // 2048
+            n = got_surv[doc_id][1]
+            nd, pt, fd, ld = packs.get(pid, (0, 0, doc_id, doc_id))
+            packs[pid] = (
+                nd + 1,
+                pt + n,
+                min(fd, doc_id),
+                max(ld, doc_id),
+            )
+            cum += n
+        for pid, (nd, pt, fd, ld) in packs.items():
+            want_manifest.add((shard, pid, nd, pt, fd, ld))
+    assert got_manifest == want_manifest
+
+
+def test_curate_ingest_day_enforces_monotone_ids(spark, sf_dir):
+    """An interleaved-id batch must raise, not silently produce
+    decisions the full recompute would contradict."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, _ = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+    with pytest.raises(ValueError, match="monotone-id"):
+        pipeline_curate_ingest_day(spark, state, old.limit(5))
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="empty"):
+        pipeline_curate_ingest_day(
+            spark, state, docs.filter(F.col("doc_id") < 0)
+        )

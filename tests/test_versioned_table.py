@@ -1507,3 +1507,49 @@ def test_curate_publish_drops_audit_branch_on_failure(
     report = curate_publish(spark, sf_dir, loc, run_label="day1")
     assert report["published"] is True
     assert report["dup_keys"] == 0
+
+
+def test_curate_ingest_day_publishes_through_wap(spark, tmp_path, sf_dir):
+    """The steady-state loop end to end: the day's incremental
+    manifest lands through the same WAP governance gate as the
+    backfill, labeled by day; re-ingesting the same day fails the key
+    audit and leaves main untouched."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import curate_ingest_day
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t = ids[int(len(ids) * 0.9)]
+    old = docs.filter(F.col("doc_id") < t)
+    day = docs.filter(F.col("doc_id") >= t)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    loc = str(tmp_path / "curated_daily")
+    report = curate_ingest_day(
+        spark, state, day, loc, run_label="2024-02-01"
+    )
+    assert report["published"] is True
+    assert report["packs"] > 0
+    want = {
+        ("2024-02-01",) + tuple(r)
+        for r in pipeline_curate_ingest_day(spark, state, day).collect()
+    }
+    table = VersionedTable.load(spark, loc)
+    got = {tuple(r) for r in table.read().collect()}
+    assert got == want
+    # same-day re-ingest: key audit rejects, main untouched
+    report2 = curate_ingest_day(
+        spark, state, day, loc, run_label="2024-02-01"
+    )
+    assert report2["published"] is False
+    assert report2["dup_keys"] > 0
+    assert {tuple(r) for r in table.read().collect()} == want

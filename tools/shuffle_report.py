@@ -50,6 +50,7 @@ QUERIES: dict[str, list[str]] = {
     "pipeline_quality_score": ["documents"],
     "pipeline_pack_learned": ["documents"],
     "pipeline_curate_corpus": ["documents"],
+    "pipeline_curate_ingest_day": ["documents"],
     "text_unigram_tokenize": ["documents"],
     "pipeline_decontaminate": ["documents"],
     "pipeline_pack_sequences": ["documents"],
