@@ -4103,3 +4103,27 @@ def test_curate_ingest_day_enforces_monotone_ids(spark, sf_dir):
         pipeline_curate_ingest_day(
             spark, state, docs.filter(F.col("doc_id") < 0)
         )
+
+
+@pytest.mark.parametrize("materialize", ["disk", "manifest"])
+def test_curate_corpus_materialize_variants_equal(
+    spark, sf_dir, materialize
+):
+    """r13 VERDICT #6: the disk-backed cache and the written-manifest
+    macro-stage boundary must produce the row-identical pack manifest
+    to the default in-memory persist — the executable form of the
+    'structure holds with the cache backed by disk' claim."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_corpus,
+    )
+
+    base = {
+        tuple(r) for r in pipeline_curate_corpus(spark, sf_dir).collect()
+    }
+    got = {
+        tuple(r)
+        for r in pipeline_curate_corpus(
+            spark, sf_dir, materialize=materialize
+        ).collect()
+    }
+    assert base and got == base

@@ -180,6 +180,24 @@ def main() -> None:
         map(tuple, chain_rows)
     ), "composed manifest != stage-by-stage manifest"
 
+    # r13 VERDICT #6: measure the disk-backed-cache and the
+    # written-manifest variants against the same equality bar — the
+    # structure must hold (and cost about the same) when the pins
+    # live on disk, the regime a 100 TB cache actually runs in.
+    disk_rows, disk_fs, disk_sh, disk_in, disk_sec = measure(
+        lambda s, d: pipeline_curate_corpus(s, d, materialize="disk")
+    )
+    assert sorted(map(tuple, disk_rows)) == sorted(
+        map(tuple, comp_rows)
+    ), "disk-persist manifest != in-memory manifest"
+    man_rows, man_fs, man_sh, man_in, man_sec = measure(
+        lambda s, d: pipeline_curate_corpus(s, d, materialize="manifest")
+    )
+    assert sorted(map(tuple, man_rows)) == sorted(
+        map(tuple, comp_rows)
+    ), "written-manifest manifest != in-memory manifest"
+    del disk_in, man_in
+
     del chain_in, comp_in  # see docstring: not a discriminator
     mb = lambda b: b / 1_048_576  # noqa: E731
     kb = lambda b: b / 1024  # noqa: E731
@@ -207,9 +225,25 @@ def main() -> None:
         f"| composed pipeline_curate_corpus | {kb(comp_fs):.0f} |"
         f" {comp_fs / scan_kb:.1f} |"
         f" {mb(comp_sh):.2f} | {comp_sec:.1f} |",
+        f"| composed, materialize='disk' (DISK_ONLY pins) |"
+        f" {kb(disk_fs):.0f} |"
+        f" {disk_fs / scan_kb:.1f} |"
+        f" {mb(disk_sh):.2f} | {disk_sec:.1f} |",
+        f"| composed, materialize='manifest' (parquet boundary) |"
+        f" {kb(man_fs):.0f} |"
+        f" {man_fs / scan_kb:.1f} |"
+        f" {mb(man_sh):.2f} | {man_sec:.1f} |",
         f"| stage-by-stage chain | {kb(chain_fs):.0f} |"
         f" {chain_fs / scan_kb:.1f} |"
         f" {mb(chain_sh):.2f} | {chain_sec:.1f} |",
+        "",
+        "The disk/manifest rows are the r14 executable form of the"
+        " 'cache backed by disk' claim: identical manifests"
+        " (tool-asserted), same key-width shuffles, wall-clock within"
+        " the same band — the composition does not depend on the pins"
+        " living in memory. (The manifest row's footer KB includes"
+        " writing+reading the survivor parquet, its macro-stage"
+        " boundary.)",
         "",
         f"`documents.parquet` at this sf is {corpus_mb:.1f} MB"
         f" compressed; one calibrated fresh scan costs {scan_kb/1024:.1f}"
