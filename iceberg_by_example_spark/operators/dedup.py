@@ -1679,7 +1679,11 @@ def incremental_jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
-def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+def incremental_winnow_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    census: DataFrame | None = None,
+) -> DataFrame:
     """Batch-vs-corpus winnowed SPAN dedup — the steady-state ingest
     shape for verbatim-substring contamination, completing the
     incremental triad (exact fingerprints: ``dedup_incremental_exact``;
@@ -1710,8 +1714,13 @@ def incremental_winnow_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     asserts no Exchange node has the index scan in its subtree
     (``test_incremental_winnow_bucketed_index_exchange_free``), the
     executable form of this paragraph. Returns (batch_doc,
-    corpus_doc, shared_keys)."""
-    census = corpus.groupBy("k").agg(F.count("*").alias("df"))
+    corpus_doc, shared_keys).
+
+    Pass ``census`` ((k, df) — the MATERIALIZED index census, the
+    same commit-refreshed artifact ``incremental_jaccard_pairs``
+    accepts) to skip the O(index) groupBy per ingest."""
+    if census is None:
+        census = corpus.groupBy("k").agg(F.count("*").alias("df"))
     probe = batch.join(
         census.filter(F.col("df") <= SPAN_DF_CAP), "k", "left_semi"
     )

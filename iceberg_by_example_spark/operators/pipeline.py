@@ -1267,8 +1267,12 @@ class CurateState:
     ``w2``/``keep_micro`` (the stored LR filter: feature-width weights
     + the tuned cutoff, exactly ``batch_trained_filter``'s constants),
     ``source_stats`` (per-source survivor token masses feeding the
-    temperature mix), and ``max_doc_id`` (the monotone-ingest-id
-    watermark the incremental dedup semantics require)."""
+    temperature mix), ``max_doc_id`` (the monotone-ingest-id
+    watermark the incremental dedup semantics require), and the
+    optional ``winnow_index``/``winnow_census`` ((doc_id, k) winnow
+    span keys + their commit-refreshed df census) powering the
+    ingest's opt-in verbatim-span gate — the third leg of the
+    exact/near-dup/winnow probe triad."""
 
     fp_index: DataFrame
     shingle_index: DataFrame
@@ -1278,6 +1282,8 @@ class CurateState:
     keep_micro: int
     source_stats: DataFrame
     max_doc_id: int
+    winnow_index: DataFrame | None = None
+    winnow_census: DataFrame | None = None
 
 
 def curate_survivors_for(
@@ -1347,6 +1353,7 @@ def build_curate_state(
     from iceberg_by_example_spark.operators.dedup import (
         _shingle_sets,
         sized_shingle_postings,
+        winnow_keys,
     )
     from iceberg_by_example_spark.operators.sampling import hash_bucket
 
@@ -1366,6 +1373,10 @@ def build_curate_state(
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("source_tokens"))
     )
+    winnow_index = winnow_keys(docs).select("doc_id", "k")
+    winnow_census = winnow_index.groupBy("k").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     max_doc_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     return CurateState(
         fp_index=fp_index,
@@ -1376,6 +1387,8 @@ def build_curate_state(
         keep_micro=int(keep_micro),
         source_stats=source_stats,
         max_doc_id=int(max_doc_id),
+        winnow_index=winnow_index,
+        winnow_census=winnow_census,
     )
 
 
@@ -1384,6 +1397,7 @@ def pipeline_curate_ingest_day(
     state: CurateState,
     batch: DataFrame,
     return_survivors: bool = False,
+    span_gate: bool = False,
 ) -> DataFrame:
     """The INCREMENTAL composed curation — what actually runs daily
     once the backfill exists: today's batch flows through the same
@@ -1425,6 +1439,17 @@ def pipeline_curate_ingest_day(
     the incremental cluster/exact decisions equal the full
     recompute's only under it (an interleaved id could displace a
     standing canonical, which no O(batch) job can detect).
+
+    ``span_gate=True`` adds the triad's third probe: the batch is
+    winnowed (``winnow_keys`` — O(batch)) and any day doc sharing a
+    df-capped winnow span key with the standing ``state.winnow_index``
+    (probed via ``incremental_winnow_pairs`` with the stored census)
+    is dropped as verbatim-span contamination. ADDITIVE and opt-in:
+    the full backfill handles spans through the corpus-wide span
+    operators, so the gate strictly shrinks the survivor set (pinned
+    by pytest against a direct ``incremental_winnow_pairs``
+    recompute) and the default-off path keeps the cross-slice
+    equality.
 
     Returns the day's pack manifest; publish it with
     ``workflows.curate_ingest_day`` (WAP, run label = the day).
@@ -1555,8 +1580,26 @@ def pipeline_curate_ingest_day(
             .join(day_bench, "doc_id", "left_anti")
             .join(contaminated, "doc_id", "left_anti")
             .join(lr_keep, "doc_id", "left_semi")
-            .persist()
         )
+        if span_gate:
+            if state.winnow_index is None:
+                raise ValueError(
+                    "span_gate=True needs state.winnow_index (build "
+                    "the state with a winnow index, or pass "
+                    "span_gate=False)"
+                )
+            from iceberg_by_example_spark.operators.dedup import (
+                incremental_winnow_pairs,
+                winnow_keys,
+            )
+
+            span_hits = incremental_winnow_pairs(
+                winnow_keys(b).select("doc_id", "k"),
+                state.winnow_index,
+                census=state.winnow_census,
+            ).select(F.col("batch_doc").alias("doc_id")).distinct()
+            surv = surv.join(span_hits, "doc_id", "left_anti")
+        surv = surv.persist()
         if return_survivors:
             # materialized copy (the equality pytest pins this set to
             # the full recompute's cross-slice) — detached so the
@@ -1609,7 +1652,8 @@ def ensure_curate_state(
 
     root = _curate_state_root(sf_dir)
     marker = os.path.join(root, "_READY")
-    stamp = f"split={CURATE_DEMO_SPLIT_PCT} base={sf_dir}"
+    # v2: the winnow index/census tables joined the state layout
+    stamp = f"v2 split={CURATE_DEMO_SPLIT_PCT} base={sf_dir}"
     if not (
         os.path.exists(marker) and open(marker).read() == stamp
     ):
@@ -1638,6 +1682,8 @@ def ensure_curate_state(
             ("shingle_census", st.shingle_census),
             ("bench_vocab", st.bench_vocab),
             ("source_stats", st.source_stats),
+            ("winnow_index", st.winnow_index),
+            ("winnow_census", st.winnow_census),
         ):
             df.write.mode("overwrite").parquet(os.path.join(root, name))
         with open(os.path.join(root, "meta.json"), "w") as f:
@@ -1670,6 +1716,12 @@ def ensure_curate_state(
             os.path.join(root, "source_stats")
         ),
         max_doc_id=int(meta["max_doc_id"]),
+        winnow_index=spark.read.parquet(
+            os.path.join(root, "winnow_index")
+        ),
+        winnow_census=spark.read.parquet(
+            os.path.join(root, "winnow_census")
+        ),
     )
     return state, int(meta["threshold"])
 

@@ -4127,3 +4127,49 @@ def test_curate_corpus_materialize_variants_equal(
         ).collect()
     }
     assert base and got == base
+
+
+def test_curate_ingest_span_gate_drops_exactly_winnow_hits(
+    spark, sf_dir
+):
+    """The opt-in verbatim-span gate (the probe triad's third leg):
+    span-gated day survivors == default day survivors minus exactly
+    the day docs ``incremental_winnow_pairs`` pairs with the standing
+    winnow index — and the default-off path is untouched."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_winnow_pairs,
+        winnow_keys,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, _ = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    base = {
+        r["doc_id"]
+        for r in pipeline_curate_ingest_day(
+            spark, state, day, return_survivors=True
+        ).collect()
+    }
+    gated = {
+        r["doc_id"]
+        for r in pipeline_curate_ingest_day(
+            spark, state, day, return_survivors=True, span_gate=True
+        ).collect()
+    }
+    hits = {
+        r["batch_doc"]
+        for r in incremental_winnow_pairs(
+            winnow_keys(day).select("doc_id", "k"),
+            winnow_keys(old).select("doc_id", "k"),
+        ).collect()
+    }
+    assert gated == base - hits
+    assert gated <= base
