@@ -293,6 +293,15 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "pipeline_epoch_plan": 2,
     "pipeline_filter_funnel": 2,
     "pipeline_pack_sequences": 1,
+    # r14 registrations (the judge-approved swap). quality_score: the
+    # feature frame persists and the trainer/scorer read the cache —
+    # the gradient groupBys and the bounded cutoff histogram all
+    # resolve pre-execution to broadcast/cached inputs at this sf.
+    "pipeline_quality_score": 0,
+    # lm_perplexity: detached model table (trigram-TYPES groupBy runs
+    # pre-pin), then ctx agg + the (c,w)/(c) scoring joins + per-doc
+    # agg = 3 post-pin exchanges.
+    "text_lm_perplexity": 3,
     "scan_projection_filter": 0,
     "sim_batch_topk": 1,  # the per-query window's single exchange
     "sim_ivf_pq_topk": 0,  # literal codebooks: corpus side is map-only

@@ -163,6 +163,12 @@ def main() -> None:
         "  conversion); at production scale those joins revert to hash",
         "  exchanges on the same keys. The structural claim this",
         "  report pins is what the SHUFFLE columns carry.",
+        "- `pipeline_curate_ingest_day` is measured in its STEADY",
+        "  state: the standing-state tables exist on disk (built once",
+        "  by `ensure_curate_state`; the tool's first-ever run pays it",
+        "  and a re-run records the daily shape), so its `run MB` is",
+        "  the day's batch work + index probes — compare with the full",
+        "  `pipeline_curate_corpus` row to read the incremental win.",
         "- Queries that pin an intermediate with `detach`",
         "  (localCheckpoint) report only their POST-pin lineage in the",
         "  plan-walk columns — the pinned stage's own shuffle (e.g.",
