@@ -349,6 +349,24 @@ def test_curate_quota_decimal_envelope(ansi):
         // pow_tot
     )
     assert r["q"] == want
+    # r14 largest-remainder seats: the seat rank key is the SAME
+    # decimal product's modulus — bounded by pow_tot (~1.5e12 at these
+    # int64-max statistics), so the BIGINT cast is exact; ANSI proves
+    # no silent wrap anywhere in the product/mod chain.
+    r2 = _one(
+        df.select(
+            F.expr(
+                f"CAST((pow_q * {target}) % pow_tot AS BIGINT)"
+            ).alias("rem")
+        )
+    )
+    want_rem = (
+        pow_q
+        * ((n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN)
+        % pow_tot
+    )
+    assert r2["rem"] == want_rem
+    assert 0 <= r2["rem"] < pow_tot
 
 
 def test_cms_shard_merge_near_edge(ansi):
