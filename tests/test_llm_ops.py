@@ -4173,3 +4173,66 @@ def test_curate_ingest_span_gate_drops_exactly_winnow_hits(
     }
     assert gated == base - hits
     assert gated <= base
+
+
+def test_incremental_jaccard_bucketed_index_exchange_free(spark):
+    """The near-dup postings probe inherits the winnow index's
+    bucketed-table property (SCALING.md's incremental-curation
+    section): materialize the standing shingle postings bucketed on
+    the shingle hash, run incremental_jaccard_pairs against it with
+    broadcast off, and assert the census and probe scans read
+    Bucketed: true with NO corpus-side Exchange — only the O(batch)
+    side and the pair agg shuffle. Results identical to the
+    unbucketed path."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        sized_shingle_postings,
+        winnow_index_table,
+    )
+
+    docs = _planted_substring_corpus(spark)
+    batch_ids = {7, 9, 5}
+    batch = sized_shingle_postings(
+        docs.filter(F.col("doc_id").isin(*batch_ids))
+    )
+    corpus = sized_shingle_postings(
+        docs.filter(~F.col("doc_id").isin(*batch_ids))
+    )
+
+    idx = winnow_index_table(
+        spark,
+        corpus.select("doc_id", "n_sh", F.col("shingle").alias("k")),
+        name="jidx_test",
+    ).select("doc_id", "n_sh", F.col("k").alias("shingle"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = incremental_jaccard_pairs(batch, idx, min_jaccard=0.2)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2  # census + probe
+        paths = _scan_to_join_paths(plan, "jidx_test")
+        assert len(paths) == 2
+        # a BroadcastExchange of the df-capped HOT set is fine (it is
+        # bounded by construction and deliberately hinted); the claim
+        # under test is no SHUFFLE of the corpus-side postings
+        for path in paths:
+            assert not any(
+                "Exchange hashpartitioning" in line for line in path
+            ), (
+                "corpus-side shuffle over the bucketed postings:\n"
+                + "\n".join(path)
+            )
+        got = {
+            (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+            for r in pairs.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = {
+        (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(
+            batch, corpus, min_jaccard=0.2
+        ).collect()
+    }
+    assert got == want
+    assert got, "no probe hits — planted corpus should pair"
