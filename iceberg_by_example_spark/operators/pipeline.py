@@ -1339,7 +1339,11 @@ def curate_survivors_for(
 
 
 def build_curate_state(
-    spark: SparkSession, docs: DataFrame, w2: list, keep_micro: int
+    spark: SparkSession,
+    docs: DataFrame,
+    w2: list,
+    keep_micro: int,
+    survivors: DataFrame | None = None,
 ) -> CurateState:
     """The nightly backfill's state materialization: given the corpus
     frame and the stored LR constants (train them with
@@ -1348,7 +1352,11 @@ def build_curate_state(
     per backfill; each subsequent ``pipeline_curate_ingest_day`` is
     O(batch + index). Callers persist/write the returned relations
     (the bench demo keeps them as parquet tables — the on-disk form a
-    real pipeline owns)."""
+    real pipeline owns). Pass ``survivors`` (the (doc_id, source,
+    n_tokens) manifest the backfill already computed for its own
+    publish) to derive the source masses from it instead of re-running
+    the filter chain — ``workflows.curate_backfill`` shares one chain
+    between the manifest and the state."""
     from iceberg_by_example_spark.functions.text import fingerprint
     from iceberg_by_example_spark.operators.dedup import (
         _shingle_sets,
@@ -1368,10 +1376,10 @@ def build_curate_state(
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    source_stats = (
-        curate_survivors_for(spark, docs, w2, keep_micro)
-        .groupBy("source")
-        .agg(F.sum("n_tokens").alias("source_tokens"))
+    if survivors is None:
+        survivors = curate_survivors_for(spark, docs, w2, keep_micro)
+    source_stats = survivors.groupBy("source").agg(
+        F.sum("n_tokens").alias("source_tokens")
     )
     winnow_index = winnow_keys(docs).select("doc_id", "k")
     winnow_census = winnow_index.groupBy("k").agg(

@@ -279,3 +279,60 @@ def curate_ingest_day(
         wap_branch=wap_branch,
         manifest=manifest,
     )
+
+
+def curate_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    location: str,
+    run_label: str = "backfill",
+    wap_branch: str = "curate_audit",
+) -> tuple:
+    """The nightly backfill as ONE workflow: train the quality filter
+    (``batch_trained_filter`` — the stored constants every later
+    ingest scores with), run the full filter chain ONCE (shared: its
+    survivor manifest feeds both the published packs and the standing
+    state's source masses), build the ``CurateState`` the daily
+    ingests probe, and land the full pack manifest through
+    write-audit-publish. Returns ``(state, report)`` — hand the state
+    to ``curate_ingest_day`` for every following day.
+
+    Equivalence note: the manifest published here equals
+    ``pipeline_curate_corpus``'s output — the stored constants are by
+    construction the in-job trainer's weights and the quantile gate's
+    exact cutoff, so the stored-weight chain decides identically
+    (pinned by ``test_curate_backfill_then_ingest_day_roundtrip``)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        _curate_select_pack,
+        build_curate_state,
+        curate_survivors_for,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    surv = None
+    try:
+        w2, keep_micro = batch_trained_filter(spark, sf_dir)
+        surv = curate_survivors_for(
+            spark, docs, w2, keep_micro
+        ).persist()
+        state = build_curate_state(
+            spark, docs, w2, keep_micro, survivors=surv
+        )
+        manifest = _curate_select_pack(surv)
+        report = curate_publish(
+            spark,
+            sf_dir="",  # unused: the manifest is supplied
+            location=location,
+            run_label=run_label,
+            wap_branch=wap_branch,
+            manifest=manifest,
+        )
+        return state, report
+    finally:
+        if surv is not None:
+            surv.unpersist()
+        docs.unpersist()

@@ -1553,3 +1553,83 @@ def test_curate_ingest_day_publishes_through_wap(spark, tmp_path, sf_dir):
     assert report2["published"] is False
     assert report2["dup_keys"] > 0
     assert {tuple(r) for r in table.read().collect()} == want
+
+
+def test_curate_backfill_then_ingest_day_roundtrip(
+    spark, tmp_path, sf_dir
+):
+    """The whole production loop through the workflows layer: nightly
+    curate_backfill (train → one shared filter chain → state + WAP
+    publish, manifest EQUAL to pipeline_curate_corpus's), then a day
+    of genuinely new docs — reversed-token texts (new fingerprints and
+    shingles, but identical unigram heuristics/LR features to their
+    originals) mixed with verbatim re-ids (pure duplicates) — ingested
+    against the standing state: the duplicates all drop at the exact
+    probe, reversed docs survive exactly when their original's
+    heuristic+LR decisions pass, and the day manifest lands under its
+    own run label."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_corpus,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_backfill,
+        curate_ingest_day,
+    )
+
+    loc = str(tmp_path / "curated_loop")
+    state, report = curate_backfill(
+        spark, sf_dir, loc, run_label="night0"
+    )
+    assert report["published"] is True
+    want_full = {
+        ("night0",) + tuple(r)
+        for r in pipeline_curate_corpus(spark, sf_dir).collect()
+    }
+    table = VersionedTable.load(spark, loc)
+    assert {tuple(r) for r in table.read().collect()} == want_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = state.max_doc_id + 1
+    reversed_docs = docs.select(
+        (F.col("doc_id") + base).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dup_docs = docs.select(
+        (F.col("doc_id") + 2 * base).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).limit(20)
+    day = reversed_docs.unionByName(dup_docs)
+
+    report2 = curate_ingest_day(spark, state, day, loc, run_label="day1")
+    assert report2["published"] is True
+    got_day = {
+        tuple(r)
+        for r in table.read().filter(F.col("run") == "day1").collect()
+    }
+    assert got_day, "reversed-text day docs should survive"
+    # verbatim re-ids are exact-probe hits: no day pack may contain one
+    day_doc_ids = {
+        r["first_doc"] for r in table.read()
+        .filter(F.col("run") == "day1").collect()
+    } | {
+        r["last_doc"] for r in table.read()
+        .filter(F.col("run") == "day1").collect()
+    }
+    assert all(i < 2 * base for i in day_doc_ids), (
+        "a pure-duplicate day doc leaked past the exact probe"
+    )
+    # the backfill rows are untouched
+    assert {
+        tuple(r)
+        for r in table.read().filter(F.col("run") == "night0").collect()
+    } == want_full
