@@ -1400,6 +1400,141 @@ def build_curate_state(
     )
 
 
+def _ingest_gates(
+    spark: SparkSession,
+    state: CurateState,
+    b: DataFrame,
+    span_gate: bool,
+) -> dict:
+    """Every gate relation of the daily ingest, built ONCE and shared
+    by ``pipeline_curate_ingest_day`` (the decisions) and
+    ``pipeline_curate_ingest_report`` (the first-failure accounting) —
+    the two can never drift. Keys: heur / exact_win (keep-side ids),
+    nd_losers / day_bench / contaminated / span_hits (drop-side ids),
+    lr_keep (keep-side ids). ``b`` must already be persisted."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+    from iceberg_by_example_spark.operators.dedup import (
+        _pairs_from_postings,
+        _shingle_sets,
+        incremental_jaccard_pairs,
+        components_adaptive,
+        NGRAM_DF_CAP,
+        CLUSTER_JACCARD,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+    from iceberg_by_example_spark.streaming.quality import score_doc_stream
+    from iceberg_by_example_spark.util import detach
+
+    heur = _funnel_metrics(b).filter(_funnel_pass()).select("doc_id")
+    # exact: unseen fingerprints only, then first-in-batch wins
+    exact_win = (
+        b.select(fingerprint("text").alias("fp"), "doc_id")
+        .join(state.fp_index, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # near-dup: batch postings probe the standing index; batch
+    # self-pairs via the corpus-wide pair core over the batch
+    day_sh = detach(
+        _shingle_sets(b).withColumn(
+            "bucket", hash_bucket(F.col("doc_id"), "bench")
+        )
+    )
+    bsized = day_sh.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    bc = incremental_jaccard_pairs(
+        bsized, state.shingle_index,
+        df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD,
+        census=state.shingle_census,
+    )
+    bb = detach(
+        _pairs_from_postings(
+            bsized, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
+        ).select("doc_a", "doc_b")
+    )
+    comps = components_adaptive(spark, bb).withColumnRenamed(
+        "id", "doc_id"
+    )
+    labels = (
+        b.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("label"),
+        )
+    )
+    touch = bc.select(F.col("batch_doc").alias("doc_id")).distinct()
+    touched_labels = (
+        labels.join(touch, "doc_id", "left_semi")
+        .select("label")
+        .distinct()
+    )
+    nd_losers = (
+        labels.join(touched_labels, "label", "left_semi")
+        .select("doc_id")
+        .unionByName(
+            labels.filter(F.col("doc_id") != F.col("label")).select(
+                "doc_id"
+            )
+        )
+        .distinct()
+    )
+    # benchmark carve + decontamination over the UNION vocabulary
+    day_bench = day_sh.filter(
+        F.col("bucket") < DECON_BENCH_BUCKET
+    ).select("doc_id")
+    vocab = state.bench_vocab.unionByName(
+        day_sh.filter(F.col("bucket") < DECON_BENCH_BUCKET)
+        .select(F.explode("sh").alias("shingle"))
+    ).distinct()
+    train = day_sh.filter(
+        F.col("bucket") >= DECON_BENCH_BUCKET
+    ).select("doc_id", F.explode("sh").alias("shingle"))
+    contaminated = (
+        _decon_hits(train, vocab)
+        .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    lr_keep = (
+        score_doc_stream(b, state.w2, state.keep_micro)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    span_hits = None
+    if span_gate:
+        if state.winnow_index is None:
+            raise ValueError(
+                "span_gate=True needs state.winnow_index (build "
+                "the state with a winnow index, or pass "
+                "span_gate=False)"
+            )
+        from iceberg_by_example_spark.operators.dedup import (
+            incremental_winnow_pairs,
+            winnow_keys,
+        )
+
+        span_hits = incremental_winnow_pairs(
+            winnow_keys(b).select("doc_id", "k"),
+            state.winnow_index,
+            census=state.winnow_census,
+        ).select(F.col("batch_doc").alias("doc_id")).distinct()
+    return dict(
+        heur=heur,
+        exact_win=exact_win,
+        nd_losers=nd_losers,
+        day_bench=day_bench,
+        contaminated=contaminated,
+        lr_keep=lr_keep,
+        span_hits=span_hits,
+    )
+
+
 def pipeline_curate_ingest_day(
     spark: SparkSession,
     state: CurateState,
@@ -1468,20 +1603,7 @@ def pipeline_curate_ingest_day(
     the full recompute on OLD ∪ DAY and the manifest to an
     independent Python recomputation of the quota/selection/pack
     tail."""
-    from iceberg_by_example_spark.functions.text import (
-        fingerprint,
-        token_count,
-    )
-    from iceberg_by_example_spark.operators.dedup import (
-        _pairs_from_postings,
-        _shingle_sets,
-        incremental_jaccard_pairs,
-        components_adaptive,
-        NGRAM_DF_CAP,
-        CLUSTER_JACCARD,
-    )
-    from iceberg_by_example_spark.operators.sampling import hash_bucket
-    from iceberg_by_example_spark.streaming.quality import score_doc_stream
+    from iceberg_by_example_spark.functions.text import token_count
     from iceberg_by_example_spark.util import detach
 
     lo = batch.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
@@ -1497,116 +1619,20 @@ def pipeline_curate_ingest_day(
     b = batch.persist()
     surv = None
     try:
-        heur = _funnel_metrics(b).filter(_funnel_pass()).select("doc_id")
-        # exact: unseen fingerprints only, then first-in-batch wins
-        exact_win = (
-            b.select(fingerprint("text").alias("fp"), "doc_id")
-            .join(state.fp_index, "fp", "left_anti")
-            .groupBy("fp")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        # near-dup: batch postings probe the standing index; batch
-        # self-pairs via the corpus-wide pair core over the batch
-        day_sh = detach(
-            _shingle_sets(b).withColumn(
-                "bucket", hash_bucket(F.col("doc_id"), "bench")
-            )
-        )
-        bsized = day_sh.select(
-            "doc_id",
-            F.size("sh").alias("n_sh"),
-            F.explode(
-                F.transform("sh", lambda s: F.xxhash64(s))
-            ).alias("shingle"),
-        )
-        bc = incremental_jaccard_pairs(
-            bsized, state.shingle_index,
-            df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD,
-            census=state.shingle_census,
-        )
-        bb = detach(
-            _pairs_from_postings(
-                bsized, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
-            ).select("doc_a", "doc_b")
-        )
-        comps = components_adaptive(spark, bb).withColumnRenamed(
-            "id", "doc_id"
-        )
-        labels = (
-            b.select("doc_id")
-            .join(comps, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("label", F.col("doc_id")).alias("label"),
-            )
-        )
-        touch = bc.select(F.col("batch_doc").alias("doc_id")).distinct()
-        touched_labels = (
-            labels.join(touch, "doc_id", "left_semi")
-            .select("label")
-            .distinct()
-        )
-        nd_losers = (
-            labels.join(touched_labels, "label", "left_semi")
-            .select("doc_id")
-            .unionByName(
-                labels.filter(F.col("doc_id") != F.col("label")).select(
-                    "doc_id"
-                )
-            )
-            .distinct()
-        )
-        # benchmark carve + decontamination over the UNION vocabulary
-        day_bench = day_sh.filter(
-            F.col("bucket") < DECON_BENCH_BUCKET
-        ).select("doc_id")
-        vocab = state.bench_vocab.unionByName(
-            day_sh.filter(F.col("bucket") < DECON_BENCH_BUCKET)
-            .select(F.explode("sh").alias("shingle"))
-        ).distinct()
-        train = day_sh.filter(
-            F.col("bucket") >= DECON_BENCH_BUCKET
-        ).select("doc_id", F.explode("sh").alias("shingle"))
-        contaminated = (
-            _decon_hits(train, vocab)
-            .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
-            .select("doc_id")
-        )
-        lr_keep = (
-            score_doc_stream(b, state.w2, state.keep_micro)
-            .filter(F.col("keep") == 1)
-            .select("doc_id")
-        )
+        g = _ingest_gates(spark, state, b, span_gate)
         surv = (
             b.select(
                 "doc_id", "source", token_count("text").alias("n_tokens")
             )
-            .join(heur, "doc_id", "left_semi")
-            .join(exact_win, "doc_id", "left_semi")
-            .join(nd_losers, "doc_id", "left_anti")
-            .join(day_bench, "doc_id", "left_anti")
-            .join(contaminated, "doc_id", "left_anti")
-            .join(lr_keep, "doc_id", "left_semi")
+            .join(g["heur"], "doc_id", "left_semi")
+            .join(g["exact_win"], "doc_id", "left_semi")
+            .join(g["nd_losers"], "doc_id", "left_anti")
+            .join(g["day_bench"], "doc_id", "left_anti")
+            .join(g["contaminated"], "doc_id", "left_anti")
+            .join(g["lr_keep"], "doc_id", "left_semi")
         )
         if span_gate:
-            if state.winnow_index is None:
-                raise ValueError(
-                    "span_gate=True needs state.winnow_index (build "
-                    "the state with a winnow index, or pass "
-                    "span_gate=False)"
-                )
-            from iceberg_by_example_spark.operators.dedup import (
-                incremental_winnow_pairs,
-                winnow_keys,
-            )
-
-            span_hits = incremental_winnow_pairs(
-                winnow_keys(b).select("doc_id", "k"),
-                state.winnow_index,
-                census=state.winnow_census,
-            ).select(F.col("batch_doc").alias("doc_id")).distinct()
-            surv = surv.join(span_hits, "doc_id", "left_anti")
+            surv = surv.join(g["span_hits"], "doc_id", "left_anti")
         surv = surv.persist()
         if return_survivors:
             # materialized copy (the equality pytest pins this set to
@@ -1622,6 +1648,105 @@ def pipeline_curate_ingest_day(
     finally:
         if surv is not None:
             surv.unpersist()
+        b.unpersist()
+
+
+def pipeline_curate_ingest_report(
+    spark: SparkSession,
+    state: CurateState,
+    batch: DataFrame,
+    span_gate: bool = False,
+) -> DataFrame:
+    """First-failure drop accounting for the DAILY ingest — the
+    observability report a production pipeline publishes next to each
+    day's manifest (``pipeline_filter_funnel``'s semantics extended to
+    every incremental gate): each batch doc is attributed to the
+    FIRST gate that rejects it, in the ingest's own order —
+    too_short/low_diversity/no_stopwords (the heuristic cascade),
+    exact_dup (standing-fp or in-batch collision), near_dup
+    (component touches the corpus or loses in-batch), benchmark_slice,
+    contaminated, lr_rejected, span_hit (only with ``span_gate``) —
+    so stage counts sum exactly to the batch and ``kept`` equals the
+    survivor count. Gate relations come from the SAME ``_ingest_gates``
+    the ingest decides with, so report and decisions can never drift.
+
+    Scale shape: the gates are the ingest's own O(batch + probe)
+    relations; the attribution is left joins of keys-only flags onto
+    the batch plus one CASE chain; counts are a map-side-combinable
+    groupBy over ≤8 stage keys with the batch total broadcast back."""
+    lo = batch.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+    if lo is None:
+        raise ValueError("empty ingest batch")
+    if lo <= state.max_doc_id:
+        raise ValueError(
+            f"monotone-id contract violated: batch doc_id {lo} <= "
+            f"standing max_doc_id {state.max_doc_id}"
+        )
+    b = batch.persist()
+    try:
+        g = _ingest_gates(spark, state, b, span_gate)
+
+        def flag(df, name):
+            return df.select("doc_id").withColumn(name, F.lit(1))
+
+        m = (
+            _funnel_metrics(b)
+            .join(flag(g["exact_win"], "_exact"), "doc_id", "left")
+            .join(flag(g["nd_losers"], "_nd"), "doc_id", "left")
+            .join(flag(g["day_bench"], "_bench"), "doc_id", "left")
+            .join(flag(g["contaminated"], "_cont"), "doc_id", "left")
+            .join(flag(g["lr_keep"], "_lr"), "doc_id", "left")
+        )
+        if span_gate:
+            m = m.join(flag(g["span_hits"], "_span"), "doc_id", "left")
+        stage = (
+            F.when(
+                F.col("n_tokens") < FUNNEL_MIN_TOKENS, F.lit("too_short")
+            )
+            .when(F.col("ttr") < FUNNEL_MIN_TTR, F.lit("low_diversity"))
+            .when(
+                F.col("stop_ratio") < FUNNEL_MIN_STOP_RATIO,
+                F.lit("no_stopwords"),
+            )
+            .when(F.col("_exact").isNull(), F.lit("exact_dup"))
+            .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
+            .when(F.col("_bench").isNotNull(), F.lit("benchmark_slice"))
+            .when(F.col("_cont").isNotNull(), F.lit("contaminated"))
+            .when(F.col("_lr").isNull(), F.lit("lr_rejected"))
+        )
+        if span_gate:
+            stage = stage.when(
+                F.col("_span").isNotNull(), F.lit("span_hit")
+            )
+        stage = stage.otherwise(F.lit("kept"))
+        order = [
+            "too_short", "low_diversity", "no_stopwords", "exact_dup",
+            "near_dup", "benchmark_slice", "contaminated",
+            "lr_rejected",
+        ] + (["span_hit"] if span_gate else []) + ["kept"]
+        idx = F.col("stage")
+        stage_idx = F.when(F.col("stage") == order[0], 1)
+        for i, name in enumerate(order[1:], start=2):
+            stage_idx = stage_idx.when(idx == name, i)
+        counts = (
+            m.select(stage.alias("stage"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        total = counts.agg(F.sum("n_docs").alias("n"))
+        from iceberg_by_example_spark.util import detach
+
+        return detach(
+            counts.crossJoin(F.broadcast(total)).select(
+                "stage",
+                stage_idx.alias("stage_idx"),
+                "n_docs",
+                (F.col("n_docs") / F.col("n").cast("double")).alias(
+                    "pct_of_batch"
+                ),
+            )
+        )
+    finally:
         b.unpersist()
 
 

@@ -4236,3 +4236,86 @@ def test_incremental_jaccard_bucketed_index_exchange_free(spark):
     }
     assert got == want
     assert got, "no probe hits — planted corpus should pair"
+
+
+@pytest.mark.parametrize("span_gate", [False, True])
+def test_curate_ingest_report_first_failure_accounting(
+    spark, sf_dir, span_gate
+):
+    """The daily-ingest drop report: stage counts sum exactly to the
+    batch, `kept` equals the survivor count from the decision path
+    (same _ingest_gates — no drift possible), and each stage count
+    matches a set-arithmetic recomputation from the gate relations in
+    the ingest's first-failure order."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        FUNNEL_MIN_STOP_RATIO,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_MIN_TTR,
+        _funnel_metrics,
+        _ingest_gates,
+        build_curate_state,
+        pipeline_curate_ingest_day,
+        pipeline_curate_ingest_report,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, _ = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    rows = {
+        r["stage"]: (r["stage_idx"], r["n_docs"])
+        for r in pipeline_curate_ingest_report(
+            spark, state, day, span_gate=span_gate
+        ).collect()
+    }
+    n_batch = day.count()
+    assert sum(n for _, n in rows.values()) == n_batch
+    surv_n = pipeline_curate_ingest_day(
+        spark, state, day, return_survivors=True, span_gate=span_gate
+    ).count()
+    assert rows["kept"][1] == surv_n
+
+    # set-arithmetic recomputation in the ingest's gate order
+    b = day.persist()
+    g = _ingest_gates(spark, state, b, span_gate)
+    metrics = {
+        r["doc_id"]: (r["n_tokens"], r["ttr"], r["stop_ratio"])
+        for r in _funnel_metrics(b).collect()
+    }
+    ids = lambda df: {r["doc_id"] for r in df.collect()}  # noqa: E731
+    exact_win = ids(g["exact_win"])
+    nd = ids(g["nd_losers"])
+    bench = ids(g["day_bench"])
+    cont = ids(g["contaminated"])
+    lr = ids(g["lr_keep"])
+    span = ids(g["span_hits"]) if span_gate else set()
+    want: dict = {}
+    for doc_id, (nt, ttr, sr) in metrics.items():
+        if nt < FUNNEL_MIN_TOKENS:
+            st = "too_short"
+        elif ttr < FUNNEL_MIN_TTR:
+            st = "low_diversity"
+        elif sr < FUNNEL_MIN_STOP_RATIO:
+            st = "no_stopwords"
+        elif doc_id not in exact_win:
+            st = "exact_dup"
+        elif doc_id in nd:
+            st = "near_dup"
+        elif doc_id in bench:
+            st = "benchmark_slice"
+        elif doc_id in cont:
+            st = "contaminated"
+        elif doc_id not in lr:
+            st = "lr_rejected"
+        elif doc_id in span:
+            st = "span_hit"
+        else:
+            st = "kept"
+        want[st] = want.get(st, 0) + 1
+    b.unpersist()
+    assert {s: n for s, (_, n) in rows.items()} == want
+    # indices follow the gate order and kept is last
+    assert rows["kept"][0] == max(i for i, _ in rows.values())
