@@ -274,17 +274,30 @@ def _pairs_from_postings(
     sized: DataFrame,
     df_cap: int,
     min_jaccard: float | None = None,
+    extra_hot: DataFrame | None = None,
 ) -> DataFrame:
     """The pair core of ``jaccard_pairs_for`` over an
     already-materialized postings relation — split out so the
     incremental ingest's batch↔batch pairs reuse its pinned batch
-    postings instead of re-tokenizing the batch."""
+    postings instead of re-tokenizing the batch.
+
+    ``extra_hot`` ((shingle) rows) unions additional shingles into the
+    hot set: they are skipped at candidate generation and corrected
+    EXACTLY through the same hot-array add-back, so reported Jaccards
+    stay exact. The daily ingest passes the STANDING index's hot
+    shingles here, aligning the batch self-pairs' candidate vocabulary
+    with the corpus-wide census a full recompute would use (a shingle
+    hot only in the combined census — under the cap in both parts
+    separately — remains a bounded residual: its fan-out is < 2·cap
+    per part by construction)."""
     hot = (
         sized.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
+    if extra_hot is not None:
+        hot = hot.unionByName(extra_hot.select("shingle")).distinct()
     hot_arrs = (
         sized.join(F.broadcast(hot), "shingle")
         .groupBy("doc_id")
@@ -1635,10 +1648,17 @@ def incremental_jaccard_pairs(
     probe fan-out per batch key at O(df_cap). Jaccard here is
     computed over the cap-filtered vocabulary (exact whenever no
     shingle exceeds the cap — true at every graded sf; when the cap
-    binds at corpus scale, pairs sharing only boilerplate shingles
-    are the documented recall trade, same as ``jaccard_pairs_for``'s
-    candidate stage). The length-ratio prune inside the join is the
-    same exact necessary condition as the corpus-wide form.
+    binds at corpus scale, pairs sharing ONLY index-hot shingles are
+    the documented recall trade, same as ``jaccard_pairs_for``'s
+    candidate stage). Hot-shared shingles of SURVIVING candidates are
+    corrected EXACTLY, mirroring ``_pairs_from_postings``: each side's
+    (tiny) hot-shingle array joins onto the pair and |hot_b ∩ hot_o|
+    adds back to ``common`` — every shared shingle is either capped or
+    hot, so reported Jaccards are exact whenever a pair shares at
+    least one capped shingle (r14 review fix: the uncorrected form
+    underestimated cap-binding pairs and could flip a keep decision
+    the full recompute makes). The length-ratio prune inside the join
+    is the same exact necessary condition as the corpus-wide form.
 
     Pass ``census`` ((shingle, df) — the MATERIALIZED index census a
     production pipeline refreshes with the index commit) to skip the
@@ -1654,6 +1674,16 @@ def incremental_jaccard_pairs(
         )
         .filter(F.col("df") > df_cap)
         .select("shingle")
+    )
+    hot_o = (
+        index_sized.join(F.broadcast(hot), "shingle")
+        .groupBy(F.col("doc_id").alias("corpus_doc"))
+        .agg(F.collect_set("shingle").alias("hot_o"))
+    )
+    hot_b = (
+        batch_sized.join(F.broadcast(hot), "shingle")
+        .groupBy(F.col("doc_id").alias("batch_doc"))
+        .agg(F.collect_set("shingle").alias("hot_b"))
     )
     idx = index_sized.join(F.broadcast(hot), "shingle", "left_anti")
     n, o = batch_sized.alias("n"), idx.alias("o")
@@ -1671,10 +1701,22 @@ def incremental_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.col("common") / (
-        F.col("na") + F.col("nb") - F.col("common")
+    with_hot = (
+        common.join(hot_b, "batch_doc", "left")
+        .join(hot_o, "corpus_doc", "left")
+        .withColumn(
+            "common_total",
+            F.col("common")
+            + F.when(
+                F.col("hot_b").isNull() | F.col("hot_o").isNull(),
+                F.lit(0),
+            ).otherwise(F.size(F.array_intersect("hot_b", "hot_o"))),
+        )
+    )
+    jac = F.col("common_total") / (
+        F.col("na") + F.col("nb") - F.col("common_total")
     ).cast("double")
-    return common.select(
+    return with_hot.select(
         "batch_doc", "corpus_doc", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 

@@ -1097,6 +1097,142 @@ def pipeline_curate_corpus(
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _curate_quota(
+    surv: DataFrame, share_stats: DataFrame | None = None
+) -> DataFrame:
+    """(source, quota) — exact temperature-mix allocation of
+    target = ceil(|surv| / MIX_DOC_BUDGET_DEN) seats (r13 VERDICT #4).
+
+    Floor shares (capped at each source's own doc count), then TRUE
+    largest-remainder seats: ONE seat per source in (remainder desc,
+    source) order among sources with headroom — the textbook
+    apportionment whenever caps don't bind (deficit <= #sources - 1
+    there, so no source ever exceeds its exact share by more than one
+    doc). Only the CAP-BOUND residue (floors truncated by tiny
+    sources) falls through to a cumulative greedy over the remaining
+    headroom in the same order, so ``sum(quota) == target`` ALWAYS
+    (target <= |surv| by construction means total headroom covers the
+    deficit). All arithmetic is exact integer; every window runs over
+    the SOURCES relation (bounded — hundreds of rows), never the
+    corpus, so the single-partition windows are free at any scale.
+
+    ``share_stats`` must cover every survivor source (checked —
+    sources the stats miss have no defined share); the daily ingest
+    guarantees it by unioning today's masses into the standing ones.
+    """
+    from iceberg_by_example_spark.operators.sampling import _mix_pow
+    from pyspark.sql import Window
+
+    per_source = surv.groupBy("source").agg(
+        F.sum("n_tokens").alias("source_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if share_stats is None:
+        powed_all = _mix_pow(per_source)
+        pool = powed_all.select("source", "n_docs", "pow_q")
+    else:
+        mass = share_stats.groupBy("source").agg(
+            F.sum("source_tokens").alias("source_tokens")
+        )
+        missing = [
+            r["source"]
+            for r in per_source.select("source")
+            .join(mass, "source", "left_anti")
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                "share_stats misses survivor sources "
+                f"{sorted(missing)[:10]} — their temperature share is "
+                "undefined; union their masses in (the daily ingest "
+                "does) or pass share_stats=None"
+            )
+        powed_all = _mix_pow(mass)
+        pool = powed_all.select("source", "pow_q").join(
+            per_source.select("source", "n_docs"), "source"
+        )
+    tot = powed_all.agg(F.sum("pow_q").alias("pow_tot")).crossJoin(
+        per_source.agg(F.sum("n_docs").alias("n_surv"))
+    )
+    target = (
+        f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
+        f" div {MIX_DOC_BUDGET_DEN})"
+    )
+    base = (
+        pool.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
+            ).alias("fl"),
+            F.expr(
+                f"CAST((pow_q * {target}) % pow_tot AS BIGINT)"
+            ).alias("rem"),
+            F.expr(f"CAST({target} AS BIGINT)").alias("tgt"),
+        )
+        .select(
+            "source",
+            "rem",
+            "tgt",
+            F.least("n_docs", "fl").alias("flc"),
+            (F.col("n_docs") - F.least("n_docs", "fl")).alias(
+                "headroom"
+            ),
+        )
+    )
+    # eligible (headroom > 0) sources first, then remainder rank; the
+    # precomputed row_number keys every later window so they all agree
+    order_cols = [
+        F.asc(F.col("headroom") == 0),
+        F.desc("rem"),
+        F.asc("source"),
+    ]
+    ranked = base.select(
+        "*", F.row_number().over(Window.orderBy(*order_cols)).alias("rk")
+    )
+    w_all = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = ranked.select(
+        "*",
+        (F.col("tgt") - F.sum("flc").over(w_all)).alias("deficit"),
+    ).select(
+        "*",
+        F.when(
+            (F.col("headroom") > 0) & (F.col("rk") <= F.col("deficit")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("seat1"),
+    )
+    w_before = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    filled = staged.select(
+        "*",
+        (F.col("deficit") - F.sum("seat1").over(w_all)).alias("d2"),
+        F.coalesce(
+            F.sum(F.col("headroom") - F.col("seat1")).over(w_before),
+            F.lit(0),
+        ).alias("rh_before"),
+    )
+    return filled.select(
+        "source",
+        (
+            F.col("flc")
+            + F.col("seat1")
+            + F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("headroom") - F.col("seat1"),
+                    F.col("d2") - F.col("rh_before"),
+                ),
+            )
+        ).alias("quota"),
+    )
+
+
 def _curate_select_pack(
     surv: DataFrame, share_stats: DataFrame | None = None
 ) -> DataFrame:
@@ -1125,87 +1261,7 @@ def _curate_select_pack(
     from iceberg_by_example_spark.util import detach
     from pyspark.sql import Window
 
-    per_source = surv.groupBy("source").agg(
-        F.sum("n_tokens").alias("source_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    if share_stats is None:
-        powed_all = _mix_pow(per_source)
-        pool = powed_all.select("source", "n_docs", "pow_q")
-    else:
-        mass = share_stats.groupBy("source").agg(
-            F.sum("source_tokens").alias("source_tokens")
-        )
-        powed_all = _mix_pow(mass)
-        pool = powed_all.select("source", "pow_q").join(
-            per_source.select("source", "n_docs"), "source"
-        )
-    tot = powed_all.agg(F.sum("pow_q").alias("pow_tot")).crossJoin(
-        per_source.agg(F.sum("n_docs").alias("n_surv"))
-    )
-    target = (
-        f"((n_surv + {MIX_DOC_BUDGET_DEN - 1})"
-        f" div {MIX_DOC_BUDGET_DEN})"
-    )
-    # Largest-remainder seats (r13 VERDICT #4): floor shares alone
-    # under-select by up to #sources - 1 docs. Each source gets its
-    # exact floor share (capped at its own doc count), then the
-    # remaining seats fill sources in remainder order — and because a
-    # capped source may absorb fewer seats than its remainder rank
-    # grants, the fill is headroom-aware (a cumulative window greedy):
-    # seats flow to the next-ranked source with docs left, so
-    # sum(quota) == target ALWAYS (target <= |survivors| by
-    # construction, so total headroom covers the deficit). All
-    # arithmetic is exact integer; the windows run over the SOURCES
-    # relation (bounded — hundreds of rows), never the corpus, so the
-    # single-partition window is free at any scale.
-    base = (
-        pool.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            F.expr(
-                f"CAST((pow_q * {target}) div pow_tot AS BIGINT)"
-            ).alias("fl"),
-            F.expr(
-                f"CAST((pow_q * {target}) % pow_tot AS BIGINT)"
-            ).alias("rem"),
-            F.expr(f"CAST({target} AS BIGINT)").alias("tgt"),
-        )
-        .select(
-            "source",
-            "rem",
-            "tgt",
-            F.least("n_docs", "fl").alias("flc"),
-            (F.col("n_docs") - F.least("n_docs", "fl")).alias(
-                "headroom"
-            ),
-        )
-    )
-    seat_order = [F.desc("rem"), F.asc("source")]
-    deficit = F.col("tgt") - F.sum("flc").over(
-        Window.orderBy(*seat_order).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    head_before = F.coalesce(
-        F.sum("headroom").over(
-            Window.orderBy(*seat_order).rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ),
-        F.lit(0),
-    )
-    quota = base.select(
-        "source",
-        (
-            F.col("flc")
-            + F.greatest(
-                F.lit(0),
-                F.least(F.col("headroom"), deficit - head_before),
-            )
-        ).alias("quota"),
-    )
+    quota = _curate_quota(surv, share_stats)
     keyed = surv.select(
         "doc_id",
         "source",
@@ -1263,7 +1319,12 @@ class CurateState:
     ``sized_shingle_postings``) with its MATERIALIZED df census
     ``shingle_census`` (refreshed with the index commit, so no ingest
     repays an index aggregation), ``bench_vocab`` (the benchmark
-    slice's distinct shingles — broadcast-sized by definition),
+    vocabulary the decon gate broadcasts — in a real deployment this
+    is a FIXED external eval suite's shingles, MBs by definition; the
+    testdata's 3% hash carve stands in for it and grows with the
+    corpus, a test-scale artifact — a deployment whose vocabulary
+    somehow outgrew broadcast would drop the hint and shuffle the
+    same keys),
     ``w2``/``keep_micro`` (the stored LR filter: feature-width weights
     + the tuned cutoff, exactly ``batch_trained_filter``'s constants),
     ``source_stats`` (per-source survivor token masses feeding the
@@ -1453,9 +1514,20 @@ def _ingest_gates(
         df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD,
         census=state.shingle_census,
     )
+    # the batch self-pairs treat the STANDING index's hot shingles as
+    # hot too (extra_hot): candidates over them are skipped exactly as
+    # a full-recompute's corpus-wide census would skip them, and
+    # surviving pairs are hot-corrected exactly — aligning the two
+    # census scopes at any cap regime (r14 review fix)
+    index_hot = state.shingle_census.filter(
+        F.col("df") > NGRAM_DF_CAP
+    ).select("shingle")
     bb = detach(
         _pairs_from_postings(
-            bsized, df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD
+            bsized,
+            df_cap=NGRAM_DF_CAP,
+            min_jaccard=CLUSTER_JACCARD,
+            extra_hot=index_hot,
         ).select("doc_a", "doc_b")
     )
     comps = components_adaptive(spark, bb).withColumnRenamed(
@@ -1606,19 +1678,21 @@ def pipeline_curate_ingest_day(
     from iceberg_by_example_spark.functions.text import token_count
     from iceberg_by_example_spark.util import detach
 
-    lo = batch.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
-    if lo is None:
-        raise ValueError("empty ingest batch")
-    if lo <= state.max_doc_id:
-        raise ValueError(
-            f"monotone-id contract violated: batch doc_id {lo} <= "
-            f"standing max_doc_id {state.max_doc_id} — incremental "
-            "dedup decisions only equal the full recompute when new "
-            "docs get new ids; re-id the batch or run the backfill"
-        )
     b = batch.persist()
     surv = None
     try:
+        # the guard agg runs over the PERSISTED frame — it warms the
+        # cache the gates read instead of paying a second batch scan
+        lo = b.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        if lo is None:
+            raise ValueError("empty ingest batch")
+        if lo <= state.max_doc_id:
+            raise ValueError(
+                f"monotone-id contract violated: batch doc_id {lo} <= "
+                f"standing max_doc_id {state.max_doc_id} — incremental "
+                "dedup decisions only equal the full recompute when new "
+                "docs get new ids; re-id the batch or run the backfill"
+            )
         g = _ingest_gates(spark, state, b, span_gate)
         surv = (
             b.select(
@@ -1656,6 +1730,7 @@ def pipeline_curate_ingest_report(
     state: CurateState,
     batch: DataFrame,
     span_gate: bool = False,
+    gates: dict | None = None,
 ) -> DataFrame:
     """First-failure drop accounting for the DAILY ingest — the
     observability report a production pipeline publishes next to each
@@ -1673,18 +1748,24 @@ def pipeline_curate_ingest_report(
     Scale shape: the gates are the ingest's own O(batch + probe)
     relations; the attribution is left joins of keys-only flags onto
     the batch plus one CASE chain; counts are a map-side-combinable
-    groupBy over ≤8 stage keys with the batch total broadcast back."""
-    lo = batch.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
-    if lo is None:
-        raise ValueError("empty ingest batch")
-    if lo <= state.max_doc_id:
-        raise ValueError(
-            f"monotone-id contract violated: batch doc_id {lo} <= "
-            f"standing max_doc_id {state.max_doc_id}"
-        )
+    groupBy over ≤8 stage keys with the batch total broadcast back.
+    A caller publishing the day manifest AND its report should compute
+    ``_ingest_gates`` once over its own persisted batch and pass the
+    dict as ``gates`` (span_gate must match) — otherwise this function
+    rebuilds them, doubling the day's probe work."""
     b = batch.persist()
     try:
-        g = _ingest_gates(spark, state, b, span_gate)
+        lo = b.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        if lo is None:
+            raise ValueError("empty ingest batch")
+        if lo <= state.max_doc_id:
+            raise ValueError(
+                f"monotone-id contract violated: batch doc_id {lo} <= "
+                f"standing max_doc_id {state.max_doc_id}"
+            )
+        g = gates if gates is not None else _ingest_gates(
+            spark, state, b, span_gate
+        )
 
         def flag(df, name):
             return df.select("doc_id").withColumn(name, F.lit(1))
@@ -1809,54 +1890,69 @@ def ensure_curate_state(
         st = build_curate_state(
             spark, docs.filter(F.col("doc_id") < t), w2, keep_micro
         )
-        for name, df in (
-            ("fp_index", st.fp_index),
-            ("shingle_index", st.shingle_index),
-            ("shingle_census", st.shingle_census),
-            ("bench_vocab", st.bench_vocab),
-            ("source_stats", st.source_stats),
-            ("winnow_index", st.winnow_index),
-            ("winnow_census", st.winnow_census),
-        ):
-            df.write.mode("overwrite").parquet(os.path.join(root, name))
-        with open(os.path.join(root, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "w2": st.w2,
-                    "keep_micro": st.keep_micro,
-                    "max_doc_id": st.max_doc_id,
-                    "threshold": t,
-                },
-                f,
-            )
+        write_curate_state(st, root, extra_meta={"threshold": t})
         with open(marker, "w") as f:
             f.write(stamp)
-    meta = json.load(open(os.path.join(root, "meta.json")))
-    state = CurateState(
-        fp_index=spark.read.parquet(os.path.join(root, "fp_index")),
-        shingle_index=spark.read.parquet(
-            os.path.join(root, "shingle_index")
-        ),
-        shingle_census=spark.read.parquet(
-            os.path.join(root, "shingle_census")
-        ),
-        bench_vocab=spark.read.parquet(
-            os.path.join(root, "bench_vocab")
-        ),
-        w2=[int(v) for v in meta["w2"]],
-        keep_micro=int(meta["keep_micro"]),
-        source_stats=spark.read.parquet(
-            os.path.join(root, "source_stats")
-        ),
-        max_doc_id=int(meta["max_doc_id"]),
-        winnow_index=spark.read.parquet(
-            os.path.join(root, "winnow_index")
-        ),
-        winnow_census=spark.read.parquet(
-            os.path.join(root, "winnow_census")
-        ),
-    )
+    state, meta = read_curate_state(spark, root)
     return state, int(meta["threshold"])
+
+
+_STATE_TABLES = (
+    "fp_index",
+    "shingle_index",
+    "shingle_census",
+    "bench_vocab",
+    "source_stats",
+    "winnow_index",
+    "winnow_census",
+)
+
+
+def write_curate_state(
+    st: CurateState, root: str, extra_meta: dict | None = None
+) -> None:
+    """Materialize a CurateState as parquet tables + a constants json
+    under ``root`` — the durable form a production pipeline owns
+    between runs. Shared by the bench demo's temp-dir cache and
+    ``workflows.curate_backfill(state_dir=...)``."""
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for name in _STATE_TABLES:
+        df = getattr(st, name)
+        df.write.mode("overwrite").parquet(os.path.join(root, name))
+    meta = {
+        "w2": st.w2,
+        "keep_micro": st.keep_micro,
+        "max_doc_id": st.max_doc_id,
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_curate_state(
+    spark: SparkSession, root: str
+) -> tuple[CurateState, dict]:
+    """Load a ``write_curate_state`` layout; returns (state, meta)."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    tables = {
+        name: spark.read.parquet(os.path.join(root, name))
+        for name in _STATE_TABLES
+    }
+    return (
+        CurateState(
+            w2=[int(v) for v in meta["w2"]],
+            keep_micro=int(meta["keep_micro"]),
+            max_doc_id=int(meta["max_doc_id"]),
+            **tables,
+        ),
+        meta,
+    )
 
 
 def curate_ingest_day_demo(spark: SparkSession, sf_dir: str) -> DataFrame:

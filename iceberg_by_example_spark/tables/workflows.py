@@ -287,6 +287,7 @@ def curate_backfill(
     location: str,
     run_label: str = "backfill",
     wap_branch: str = "curate_audit",
+    state_dir: str | None = None,
 ) -> tuple:
     """The nightly backfill as ONE workflow: train the quality filter
     (``batch_trained_filter`` — the stored constants every later
@@ -297,16 +298,30 @@ def curate_backfill(
     write-audit-publish. Returns ``(state, report)`` — hand the state
     to ``curate_ingest_day`` for every following day.
 
+    The returned state is MATERIALIZED, never a lazy plan over the
+    corpus (r14 review fix — a lazy state would re-run the full
+    filter chain on every subsequent ingest): pass ``state_dir`` to
+    write it as parquet tables + a constants json (the durable
+    production form, reloadable with ``read_curate_state``); without
+    it every state relation is eagerly pinned in-session
+    (localCheckpoint), which survives until the session ends but not
+    a block-dropping harness — prefer ``state_dir``.
+
     Equivalence note: the manifest published here equals
     ``pipeline_curate_corpus``'s output — the stored constants are by
     construction the in-job trainer's weights and the quantile gate's
     exact cutoff, so the stored-weight chain decides identically
     (pinned by ``test_curate_backfill_then_ingest_day_roundtrip``)."""
+    import dataclasses
+
     from iceberg_by_example_spark.operators.pipeline import (
         _curate_select_pack,
         build_curate_state,
         curate_survivors_for,
+        read_curate_state,
+        write_curate_state,
     )
+    from iceberg_by_example_spark.util import detach
     from iceberg_by_example_spark.sources.tpch import load_table
     from iceberg_by_example_spark.streaming.quality import (
         batch_trained_filter,
@@ -322,6 +337,18 @@ def curate_backfill(
         state = build_curate_state(
             spark, docs, w2, keep_micro, survivors=surv
         )
+        if state_dir is not None:
+            write_curate_state(state, state_dir)
+            state, _ = read_curate_state(spark, state_dir)
+        else:
+            state = dataclasses.replace(
+                state,
+                **{
+                    f.name: detach(getattr(state, f.name))
+                    for f in dataclasses.fields(state)
+                    if isinstance(getattr(state, f.name), DataFrame)
+                },
+            )
         manifest = _curate_select_pack(surv)
         report = curate_publish(
             spark,

@@ -3452,6 +3452,34 @@ def test_unigram_stats_spark_plumbing_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _lr_quota_python(per_source, pow_q, pow_tot, target):
+    """The pure-Python twin of _curate_quota: capped floors, ONE
+    largest-remainder seat per eligible source, then the cap-residue
+    greedy over remaining headroom in the same order. per_source maps
+    source -> (tokens, n_docs)."""
+    flc = {
+        s: min(per_source[s][1], pow_q[s] * target // pow_tot)
+        for s in per_source
+    }
+    headroom = {s: per_source[s][1] - flc[s] for s in per_source}
+    deficit = target - sum(flc.values())
+    elig = sorted(
+        (s for s in per_source if headroom[s] > 0),
+        key=lambda s: (-(pow_q[s] * target % pow_tot), s),
+    )
+    quota = dict(flc)
+    seat1 = set(elig[:deficit])
+    for s in seat1:
+        quota[s] += 1
+    d2 = deficit - len(seat1)
+    for s in elig:
+        take = min(headroom[s] - (1 if s in seat1 else 0), d2)
+        quota[s] += take
+        d2 -= take
+    assert d2 == 0 and sum(quota.values()) == target
+    return quota
+
+
 @pytest.mark.parametrize("size_source", ["whitespace", "bpe"])
 def test_curate_corpus_equals_stage_by_stage_chain(
     spark, sf_dir, size_source
@@ -3579,22 +3607,7 @@ def test_curate_corpus_equals_stage_by_stage_chain(
     pow_tot = sum(pow_q.values())
     n_surv = len(surv)
     target = (n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
-    # floor shares + headroom-aware largest-remainder seats (r14):
-    # remaining seats fill sources in (remainder desc, source asc)
-    # order, each capped at its own doc count
-    flc = {
-        s: min(per_source[s][1], pow_q[s] * target // pow_tot)
-        for s in per_source
-    }
-    quota = dict(flc)
-    deficit = target - sum(flc.values())
-    for s in sorted(
-        per_source, key=lambda s: (-(pow_q[s] * target % pow_tot), s)
-    ):
-        extra = max(0, min(per_source[s][1] - flc[s], deficit))
-        quota[s] += extra
-        deficit -= extra
-    assert deficit == 0 and sum(quota.values()) == target
+    quota = _lr_quota_python(per_source, pow_q, pow_tot, target)
 
     # --- selection: first quota docs per source in shuffle-key order ---
     def k60(doc_id):
@@ -3867,24 +3880,33 @@ def test_curate_quota_hits_target_exactly_adversarial(spark):
             for r in _mix_pow(ps_df).collect()
         }
         pow_tot = sum(pow_q.values())
-        flc = {
-            s: min(per_source[s][1], pow_q[s] * target // pow_tot)
-            for s in per_source
-        }
-        quota = dict(flc)
-        deficit = target - sum(flc.values())
-        for s in sorted(
-            per_source,
-            key=lambda s: (-(pow_q[s] * target % pow_tot), s),
-        ):
-            extra = max(0, min(per_source[s][1] - flc[s], deficit))
-            quota[s] += extra
-            deficit -= extra
-        assert deficit == 0, label
+        quota = _lr_quota_python(per_source, pow_q, pow_tot, target)
         assert sum(quota.values()) == target, label
         assert all(
             quota[s] <= per_source[s][1] for s in per_source
         ), label
+        # r14 review finding: compare the PER-SOURCE quotas, not just
+        # the selected total — a misallocation preserving the sum must
+        # fail here
+        from iceberg_by_example_spark.operators.pipeline import (
+            _curate_quota,
+        )
+
+        got_quota = {
+            r["source"]: r["quota"]
+            for r in _curate_quota(surv).collect()
+        }
+        assert got_quota == quota, label
+        # textbook largest-remainder property when caps don't bind:
+        # no source exceeds its exact floor share by more than 1
+        if all(
+            pow_q[s] * target // pow_tot <= per_source[s][1]
+            for s in per_source
+        ):
+            for s in per_source:
+                assert (
+                    quota[s] - pow_q[s] * target // pow_tot <= 1
+                ), (label, s)
 
 
 # ---------------------------------------------------------------------------
@@ -4027,19 +4049,7 @@ def test_curate_ingest_day_equals_full_recompute_cross_slice(
     pow_tot = sum(pow_q.values())
     n_surv = len(got_surv)
     target = (n_surv + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
-    flc = {
-        s: min(per_source[s][1], pow_q[s] * target // pow_tot)
-        for s in per_source
-    }
-    quota = dict(flc)
-    deficit = target - sum(flc.values())
-    for s in sorted(
-        per_source, key=lambda s: (-(pow_q[s] * target % pow_tot), s)
-    ):
-        extra = max(0, min(per_source[s][1] - flc[s], deficit))
-        quota[s] += extra
-        deficit -= extra
-    assert deficit == 0 and sum(quota.values()) == target
+    quota = _lr_quota_python(per_source, pow_q, pow_tot, target)
 
     def k60(doc_id):
         return int(
@@ -4209,9 +4219,17 @@ def test_incremental_jaccard_bucketed_index_exchange_free(spark):
     try:
         pairs = incremental_jaccard_pairs(batch, idx, min_jaccard=0.2)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Bucketed: true") == 2  # census + probe
+        # census + probe + the hot-correction's hot-set/hot-array
+        # derivations all scan the index — EVERY one must be bucketed
+        n_scans = sum(
+            1
+            for line in plan.splitlines()
+            if "FileScan" in line and "jidx_test" in line
+        )
+        assert n_scans >= 2
+        assert plan.count("Bucketed: true") == n_scans
         paths = _scan_to_join_paths(plan, "jidx_test")
-        assert len(paths) == 2
+        assert len(paths) == n_scans
         # a BroadcastExchange of the df-capped HOT set is fine (it is
         # bounded by construction and deliberately hinted); the claim
         # under test is no SHUFFLE of the corpus-side postings
@@ -4319,3 +4337,75 @@ def test_curate_ingest_report_first_failure_accounting(
     assert {s: n for s, (_, n) in rows.items()} == want
     # indices follow the gate order and kept is last
     assert rows["kept"][0] == max(i for i, _ in rows.values())
+
+
+def test_incremental_jaccard_hot_correction_exact(spark):
+    """r14 review fix: when the df cap binds, batch-vs-index Jaccard
+    must still be EXACT for any pair sharing at least one capped
+    shingle — the hot-shared shingles add back through the hot-array
+    correction, exactly like the corpus-wide core. Crafted corpus:
+    boilerplate 3-grams ('x y z', 'y z w') hot in the index (df 4 >
+    cap 2); the batch doc is a verbatim copy of index doc 0, so the
+    TRUE Jaccard is 1.0 — the uncorrected capped-vocabulary form
+    reads 3/7 ≈ 0.43 and would MISS the pair at the 0.5 cluster
+    threshold."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        sized_shingle_postings,
+    )
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_docs = docs_df(
+        [
+            (0, "a b q x y z w"),
+            (1, "c d e x y z w"),
+            (2, "f g h x y z w"),
+            (3, "i j k x y z w"),
+        ]
+    )
+    batch_docs = docs_df([(100, "a b q x y z w")])
+    got = {
+        (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(
+            sized_shingle_postings(batch_docs),
+            sized_shingle_postings(index_docs),
+            df_cap=2,
+            min_jaccard=0.5,
+        ).collect()
+    }
+    assert got == {(100, 0): 1.0}
+
+    # brute-force cross-check at a low threshold: every pair sharing
+    # >= 1 capped shingle reports its exact set Jaccard
+    def shingles(text):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+
+    idx_sh = {i: shingles(t) for i, t in [
+        (0, "a b q x y z w"), (1, "c d e x y z w"),
+        (2, "f g h x y z w"), (3, "i j k x y z w"),
+    ]}
+    b_sh = shingles("a b q x y z w")
+    hot = {"x y z", "y z w"}
+    got_low = {
+        (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(
+            sized_shingle_postings(batch_docs),
+            sized_shingle_postings(index_docs),
+            df_cap=2,
+            min_jaccard=0.05,
+        ).collect()
+    }
+    want_low = {}
+    for i, sh in idx_sh.items():
+        if not (b_sh & sh) - hot:
+            continue  # no capped shared shingle -> not a candidate
+        j = len(b_sh & sh) / len(b_sh | sh)
+        if j >= 0.05:
+            want_low[(100, i)] = j
+    assert got_low == want_low
+    assert want_low[(100, 0)] == 1.0

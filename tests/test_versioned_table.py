@@ -1580,7 +1580,11 @@ def test_curate_backfill_then_ingest_day_roundtrip(
 
     loc = str(tmp_path / "curated_loop")
     state, report = curate_backfill(
-        spark, sf_dir, loc, run_label="night0"
+        spark,
+        sf_dir,
+        loc,
+        run_label="night0",
+        state_dir=str(tmp_path / "standing_state"),
     )
     assert report["published"] is True
     want_full = {

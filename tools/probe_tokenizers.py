@@ -97,13 +97,24 @@ def probe_10x(sf1_dir: str, sf_dir: str) -> dict:
         retry_log = []
         best = None
         for _ in range(MAX_RETRIES):
-            out = subprocess.run(
-                [sys.executable, os.path.join(HERE, "probe_one.py"),
-                 name, sf1_dir, "2"],
-                capture_output=True, text=True, timeout=1800,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "probe_one.py"),
+                     name, sf1_dir, "2"],
+                    capture_output=True, text=True, timeout=1800,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                )
+                if out.returncode != 0 or not out.stdout.strip():
+                    raise RuntimeError(
+                        f"probe_one rc={out.returncode}: "
+                        + out.stderr.strip()[-400:]
+                    )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception as exc:  # record, keep probing
+                retry_log.append(
+                    {"error": f"{type(exc).__name__}: {exc}"}
+                )
+                continue
             retry_log.append(
                 {"passes": r["passes"], "canaries": r["pass_canaries"]}
             )
@@ -112,6 +123,14 @@ def probe_10x(sf1_dir: str, sf_dir: str) -> dict:
                 best = (r["floor_canary_ratio"], r["floor_sec"], r)
             if r["floor_canary_ratio"] <= QUIET_CANARY:
                 break
+        if best is None:
+            records[name] = {
+                "data_dir": sf1_dir,
+                "replicas": 10,
+                "error": "every probe attempt failed",
+                "retry_log": retry_log,
+            }
+            continue
         records[name] = {
             "data_dir": sf1_dir,
             "replicas": 10,
