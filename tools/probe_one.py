@@ -58,6 +58,15 @@ def main() -> None:
     t0 = time.perf_counter()
     run(canary_spec.fn(spark, canary_dir))
     canary_sec = time.perf_counter() - t0
+    # multi-core stamp (r14): the scan canary is single-task, so a
+    # neighbor stealing ONE vCPU reads hot even when the 32-task
+    # stages run at full speed — record both so a probe window can be
+    # diagnosed (bench.py's r11 lesson applied to the probe runner)
+    import bench as _bench
+
+    _bench.run_mc_canary(spark)  # warm its codegen
+    mc_sec = _bench.run_mc_canary(spark)
+    mc_ratio = round(mc_sec / _bench.MC_CANARY_FLOOR, 2)
 
     def gc_quiesce() -> None:
         """Unpersist pinned blocks AND force a JVM GC (outside any
@@ -100,6 +109,7 @@ def main() -> None:
                 "data_dir": data_dir,
                 "canary_sec": round(canary_sec, 3),
                 "canary_ratio": round(canary_sec / CANARY_R1_FLOOR, 2),
+                "canary_mc_ratio": mc_ratio,
                 "passes": passes,
                 "pass_canaries": pass_canaries,
                 "floor_sec": passes[floor_i],
