@@ -4409,3 +4409,54 @@ def test_incremental_jaccard_hot_correction_exact(spark):
             want_low[(100, i)] = j
     assert got_low == want_low
     assert want_low[(100, 0)] == 1.0
+
+
+def test_curate_quota_randomized_battery_matches_python(spark):
+    """Seeded random share distributions (caps binding and not, tiny
+    and skewed sources, remainder ties): Spark's _curate_quota must
+    equal the Python largest-remainder twin PER SOURCE every time —
+    insurance against ordering/window edge bugs the hand-picked
+    adversarial cases miss."""
+    import random
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        MIX_DOC_BUDGET_DEN,
+        _curate_quota,
+    )
+    from iceberg_by_example_spark.operators.sampling import _mix_pow
+
+    rng = random.Random(1414)
+    for case in range(12):
+        n_sources = rng.randint(1, 7)
+        spec = {}
+        for i in range(n_sources):
+            nd = rng.randint(1, 12)
+            tok = rng.choice([1, 3, 9, 50, 400, 10_000])
+            spec[f"s{i}"] = (nd, tok)
+        rows = []
+        doc_id = 0
+        for sname, (nd, tok) in spec.items():
+            for _ in range(nd):
+                rows.append((doc_id, sname, tok))
+                doc_id += 1
+        surv = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        got = {
+            r["source"]: r["quota"]
+            for r in _curate_quota(surv).collect()
+        }
+        per_source = {s: (nd * tok, nd) for s, (nd, tok) in spec.items()}
+        ps_df = spark.createDataFrame(
+            [(s, t) for s, (t, _) in per_source.items()],
+            "source string, source_tokens long",
+        )
+        pow_q = {
+            r["source"]: int(r["pow_q"])
+            for r in _mix_pow(ps_df).collect()
+        }
+        pow_tot = sum(pow_q.values())
+        n = len(rows)
+        target = (n + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
+        want = _lr_quota_python(per_source, pow_q, pow_tot, target)
+        assert got == want, (case, spec, got, want)
