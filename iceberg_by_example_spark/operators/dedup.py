@@ -1675,16 +1675,6 @@ def incremental_jaccard_pairs(
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
-    hot_o = (
-        index_sized.join(F.broadcast(hot), "shingle")
-        .groupBy(F.col("doc_id").alias("corpus_doc"))
-        .agg(F.collect_set("shingle").alias("hot_o"))
-    )
-    hot_b = (
-        batch_sized.join(F.broadcast(hot), "shingle")
-        .groupBy(F.col("doc_id").alias("batch_doc"))
-        .agg(F.collect_set("shingle").alias("hot_b"))
-    )
     idx = index_sized.join(F.broadcast(hot), "shingle", "left_anti")
     n, o = batch_sized.alias("n"), idx.alias("o")
     pair_cond = (F.col("n.shingle") == F.col("o.shingle")) & (
@@ -1700,6 +1690,31 @@ def incremental_jaccard_pairs(
             F.col("o.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # hot arrays only for docs that actually appear in a candidate
+    # pair (r14 review #2 follow-up): the semi join bounds the
+    # collect_set aggregation to O(candidate docs x their hot
+    # shingles) instead of a corpus-wide exchange per ingest; the
+    # batch side is O(batch) by construction
+    hot_o = (
+        index_sized.join(F.broadcast(hot), "shingle")
+        .join(
+            # candidate corpus docs are bounded by batch keys x df_cap
+            # — broadcast by construction, so the index-hot postings
+            # never shuffle for the semi join
+            F.broadcast(
+                common.select(F.col("corpus_doc").alias("doc_id"))
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy(F.col("doc_id").alias("corpus_doc"))
+        .agg(F.collect_set("shingle").alias("hot_o"))
+    )
+    hot_b = (
+        batch_sized.join(F.broadcast(hot), "shingle")
+        .groupBy(F.col("doc_id").alias("batch_doc"))
+        .agg(F.collect_set("shingle").alias("hot_b"))
     )
     with_hot = (
         common.join(hot_b, "batch_doc", "left")

@@ -1098,7 +1098,9 @@ def pipeline_curate_corpus(
 
 
 def _curate_quota(
-    surv: DataFrame, share_stats: DataFrame | None = None
+    surv: DataFrame,
+    share_stats: DataFrame | None = None,
+    check_coverage: bool = True,
 ) -> DataFrame:
     """(source, quota) — exact temperature-mix allocation of
     target = ceil(|surv| / MIX_DOC_BUDGET_DEN) seats (r13 VERDICT #4).
@@ -1134,7 +1136,7 @@ def _curate_quota(
         mass = share_stats.groupBy("source").agg(
             F.sum("source_tokens").alias("source_tokens")
         )
-        missing = [
+        missing = [] if not check_coverage else [
             r["source"]
             for r in per_source.select("source")
             .join(mass, "source", "left_anti")
@@ -1234,7 +1236,9 @@ def _curate_quota(
 
 
 def _curate_select_pack(
-    surv: DataFrame, share_stats: DataFrame | None = None
+    surv: DataFrame,
+    share_stats: DataFrame | None = None,
+    check_share_coverage: bool = True,
 ) -> DataFrame:
     """Quota, selection, shuffle, and packing over a survivor manifest
     ``(doc_id, source, n_tokens)`` — the tail of the curation pipeline,
@@ -1261,7 +1265,7 @@ def _curate_select_pack(
     from iceberg_by_example_spark.util import detach
     from pyspark.sql import Window
 
-    quota = _curate_quota(surv, share_stats)
+    quota = _curate_quota(surv, share_stats, check_share_coverage)
     keyed = surv.select(
         "doc_id",
         "source",
@@ -1718,7 +1722,12 @@ def pipeline_curate_ingest_day(
                 F.sum("n_tokens").alias("source_tokens")
             )
         )
-        return _curate_select_pack(surv, share_stats=updated)
+        # coverage check skipped: the union above guarantees every
+        # survivor source has a mass row, and the check would cost an
+        # eager driver job per day (r14 review)
+        return _curate_select_pack(
+            surv, share_stats=updated, check_share_coverage=False
+        )
     finally:
         if surv is not None:
             surv.unpersist()
@@ -1753,16 +1762,27 @@ def pipeline_curate_ingest_report(
     ``_ingest_gates`` once over its own persisted batch and pass the
     dict as ``gates`` (span_gate must match) — otherwise this function
     rebuilds them, doubling the day's probe work."""
-    b = batch.persist()
+    if gates is not None and span_gate and gates.get("span_hits") is None:
+        raise ValueError(
+            "gates were built with span_gate=False but the report was "
+            "asked for span accounting — rebuild the gates with "
+            "span_gate=True (or pass span_gate=False here)"
+        )
+    own = gates is None
+    b = batch.persist() if own else batch
     try:
-        lo = b.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
-        if lo is None:
-            raise ValueError("empty ingest batch")
-        if lo <= state.max_doc_id:
-            raise ValueError(
-                f"monotone-id contract violated: batch doc_id {lo} <= "
-                f"standing max_doc_id {state.max_doc_id}"
-            )
+        if own:
+            # with caller gates the caller already ran the ingest's
+            # guard over its own persisted batch — re-persisting here
+            # would DROP that cache on exit (persist isn't refcounted)
+            lo = b.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+            if lo is None:
+                raise ValueError("empty ingest batch")
+            if lo <= state.max_doc_id:
+                raise ValueError(
+                    f"monotone-id contract violated: batch doc_id {lo} "
+                    f"<= standing max_doc_id {state.max_doc_id}"
+                )
         g = gates if gates is not None else _ingest_gates(
             spark, state, b, span_gate
         )
@@ -1828,7 +1848,8 @@ def pipeline_curate_ingest_report(
             )
         )
     finally:
-        b.unpersist()
+        if own:
+            b.unpersist()
 
 
 # Demo split for the (spark, sf_dir)-shaped bench/probe form of the
@@ -1921,6 +1942,8 @@ def write_curate_state(
     os.makedirs(root, exist_ok=True)
     for name in _STATE_TABLES:
         df = getattr(st, name)
+        if df is None:  # the winnow leg is opt-in
+            continue
         df.write.mode("overwrite").parquet(os.path.join(root, name))
     meta = {
         "w2": st.w2,
@@ -1941,7 +1964,11 @@ def read_curate_state(
 
     meta = json.load(open(os.path.join(root, "meta.json")))
     tables = {
-        name: spark.read.parquet(os.path.join(root, name))
+        name: (
+            spark.read.parquet(os.path.join(root, name))
+            if os.path.exists(os.path.join(root, name))
+            else None
+        )
         for name in _STATE_TABLES
     }
     return (

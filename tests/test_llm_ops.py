@@ -3897,16 +3897,23 @@ def test_curate_quota_hits_target_exactly_adversarial(spark):
             for r in _curate_quota(surv).collect()
         }
         assert got_quota == quota, label
-        # textbook largest-remainder property when caps don't bind:
-        # no source exceeds its exact floor share by more than 1
-        if all(
-            pow_q[s] * target // pow_tot <= per_source[s][1]
-            for s in per_source
+        # textbook largest-remainder property: no source exceeds its
+        # exact floor share by more than 1 — holds when caps don't
+        # bind AND enough sources have headroom for the one-seat pass
+        # (a headroom-0-without-truncation source shrinks the eligible
+        # pool and the residue greedy must stack seats — r14 review
+        # counterexample)
+        fl = {s: pow_q[s] * target // pow_tot for s in per_source}
+        elig_n = sum(
+            1 for s in per_source if per_source[s][1] - fl[s] > 0
+        )
+        deficit0 = target - sum(fl.values())
+        if (
+            all(fl[s] <= per_source[s][1] for s in per_source)
+            and elig_n >= deficit0
         ):
             for s in per_source:
-                assert (
-                    quota[s] - pow_q[s] * target // pow_tot <= 1
-                ), (label, s)
+                assert quota[s] - fl[s] <= 1, (label, s)
 
 
 # ---------------------------------------------------------------------------
@@ -4220,14 +4227,18 @@ def test_incremental_jaccard_bucketed_index_exchange_free(spark):
         pairs = incremental_jaccard_pairs(batch, idx, min_jaccard=0.2)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         # census + probe + the hot-correction's hot-set/hot-array
-        # derivations all scan the index — EVERY one must be bucketed
+        # derivations all scan the index. The probe/census scans must
+        # read bucketed; scans that only feed a broadcast may have
+        # bucketed reading disabled by DisableUnnecessaryBucketedScan
+        # (no operator exploits the partitioning there) — harmless,
+        # and the shuffle-free path check below covers them anyway.
         n_scans = sum(
             1
             for line in plan.splitlines()
             if "FileScan" in line and "jidx_test" in line
         )
         assert n_scans >= 2
-        assert plan.count("Bucketed: true") == n_scans
+        assert plan.count("Bucketed: true") >= 2  # census + probe
         paths = _scan_to_join_paths(plan, "jidx_test")
         assert len(paths) == n_scans
         # a BroadcastExchange of the df-capped HOT set is fine (it is

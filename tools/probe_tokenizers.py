@@ -116,7 +116,11 @@ def probe_10x(sf1_dir: str, sf_dir: str) -> dict:
                 )
                 continue
             retry_log.append(
-                {"passes": r["passes"], "canaries": r["pass_canaries"]}
+                {
+                    "passes": r["passes"],
+                    "canaries": r["pass_canaries"],
+                    "canary_mc_ratio": r.get("canary_mc_ratio"),
+                }
             )
             cand = (r["floor_canary_ratio"], r["floor_sec"])
             if best is None or cand < best[0:2]:
