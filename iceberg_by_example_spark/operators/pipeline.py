@@ -1995,3 +1995,104 @@ def curate_ingest_day_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= t
     )
     return pipeline_curate_ingest_day(spark, state, day)
+
+
+def advance_curate_state(
+    spark: SparkSession,
+    state: CurateState,
+    batch: DataFrame,
+    day_survivors: DataFrame,
+) -> CurateState:
+    """The state-refresh half of the daily cycle — the 'same commit
+    that appends the day's keys' every index docstring references:
+    fold today's batch into the standing indexes so tomorrow's ingest
+    probes them too. Every delta is O(batch) rows; the only standing
+    relation rewritten per key is the shingle/winnow census, merged by
+    BROADCASTING the day's per-key deltas onto the old census (one
+    map-side pass over the census — keys-only, type-bounded — with no
+    index-side shuffle).
+
+    - ``fp_index`` ∪ the batch's fingerprints (dedup semantics index
+      EVERY ingested doc, not just survivors — a tomorrow duplicate of
+      a today reject must still probe-hit).
+    - ``shingle_index``/``winnow_index`` ∪ the batch's postings/keys,
+      censuses merged as above.
+    - ``bench_vocab`` ∪ the day's own benchmark-slice shingles.
+    - ``source_stats`` + the day's SURVIVOR masses (``day_survivors``
+      = ``pipeline_curate_ingest_day(..., return_survivors=True)``).
+    - ``max_doc_id`` advanced to the batch maximum.
+
+    Pytest pins the advanced state's every relation equal to a fresh
+    ``build_curate_state`` over OLD ∪ DAY with the same stored
+    constants (the executable form of 'incremental refresh = nightly
+    rebuild'). Callers persist/write the result (``write_curate_state``)
+    exactly as with a fresh build."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+    from iceberg_by_example_spark.operators.dedup import (
+        _shingle_sets,
+        sized_shingle_postings,
+        winnow_keys,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    def merge_census(old: DataFrame, delta_keys: DataFrame, key: str):
+        delta = delta_keys.groupBy(key).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        merged = (
+            old.join(F.broadcast(delta), key, "left")
+            .select(
+                key,
+                (
+                    F.col("df") + F.coalesce(F.col("_d"), F.lit(0))
+                ).alias("df"),
+            )
+        )
+        fresh = (
+            delta.join(old.select(key), key, "left_anti")
+            .select(key, F.col("_d").alias("df"))
+        )
+        return merged.unionByName(fresh)
+
+    b_fp = batch.select(fingerprint("text").alias("fp")).distinct()
+    b_postings = sized_shingle_postings(batch)
+    b_winnow = winnow_keys(batch).select("doc_id", "k")
+    b_bench_vocab = (
+        _shingle_sets(batch)
+        .filter(
+            hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET
+        )
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    new_max = batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    return CurateState(
+        fp_index=state.fp_index.unionByName(b_fp).distinct(),
+        shingle_index=state.shingle_index.unionByName(b_postings),
+        shingle_census=merge_census(
+            state.shingle_census, b_postings, "shingle"
+        ),
+        bench_vocab=state.bench_vocab.unionByName(
+            b_bench_vocab
+        ).distinct(),
+        w2=state.w2,
+        keep_micro=state.keep_micro,
+        source_stats=state.source_stats.unionByName(
+            day_survivors.groupBy("source").agg(
+                F.sum("n_tokens").alias("source_tokens")
+            )
+        ).groupBy("source").agg(
+            F.sum("source_tokens").alias("source_tokens")
+        ),
+        max_doc_id=max(state.max_doc_id, int(new_max)),
+        winnow_index=(
+            None
+            if state.winnow_index is None
+            else state.winnow_index.unionByName(b_winnow)
+        ),
+        winnow_census=(
+            None
+            if state.winnow_census is None
+            else merge_census(state.winnow_census, b_winnow, "k")
+        ),
+    )

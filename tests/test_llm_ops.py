@@ -4471,3 +4471,49 @@ def test_curate_quota_randomized_battery_matches_python(spark):
         target = (n + MIX_DOC_BUDGET_DEN - 1) // MIX_DOC_BUDGET_DEN
         want = _lr_quota_python(per_source, pow_q, pow_tot, target)
         assert got == want, (case, spec, got, want)
+
+
+def test_advance_curate_state_equals_fresh_backfill(spark, sf_dir):
+    """The daily state refresh must equal rebuilding from scratch:
+    advance_curate_state(state over OLD, today's batch, today's
+    survivors) produces relations set/value-identical to
+    build_curate_state over OLD ∪ DAY with the same stored constants
+    — every index, both censuses, the vocabulary, the source masses,
+    and the watermark. THE closing pin of the incremental loop:
+    tomorrow's ingest probes the advanced state exactly as a nightly
+    rebuild would have it."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        advance_curate_state,
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, _ = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+    surv = pipeline_curate_ingest_day(
+        spark, state, day, return_survivors=True
+    )
+    advanced = advance_curate_state(spark, state, day, surv)
+    fresh = build_curate_state(
+        spark, load_table(spark, sf_dir, "documents"), w2, keep_micro
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(advanced.fp_index) == rows(fresh.fp_index)
+    assert rows(advanced.shingle_index) == rows(fresh.shingle_index)
+    assert rows(advanced.shingle_census) == rows(fresh.shingle_census)
+    assert rows(advanced.bench_vocab) == rows(fresh.bench_vocab)
+    assert rows(advanced.winnow_index) == rows(fresh.winnow_index)
+    assert rows(advanced.winnow_census) == rows(fresh.winnow_census)
+    # source masses: advanced = old survivors + day survivors, which
+    # equals the fresh chain's masses by the cross-slice theorem
+    assert rows(advanced.source_stats) == rows(fresh.source_stats)
+    assert advanced.max_doc_id == fresh.max_doc_id
+    assert (advanced.w2, advanced.keep_micro) == (w2, keep_micro)
