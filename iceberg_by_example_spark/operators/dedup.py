@@ -1633,6 +1633,7 @@ def incremental_jaccard_pairs(
     df_cap: int = NGRAM_DF_CAP,
     min_jaccard: float = CLUSTER_JACCARD,
     census: DataFrame | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Batch-vs-standing-index exact-jaccard near-dup pairs — the
     incremental form of ``jaccard_pairs_for`` the curation ingest
@@ -1663,7 +1664,19 @@ def incremental_jaccard_pairs(
     Pass ``census`` ((shingle, df) — the MATERIALIZED index census a
     production pipeline refreshes with the index commit) to skip the
     O(index) groupBy per ingest; without it the census is computed
-    here, which is correct but repays an index scan every day."""
+    here, which is correct but repays an index scan every day.
+
+    The candidate pair relation is PERSISTED (materialized once — r14
+    ADVICE #1: reusing the lazy ``common`` subtree re-executed the
+    whole probe join just to build the hot-correction's semi-join
+    input) and the candidate corpus-doc set is, by default, broadcast
+    onto the index-hot postings — it is bounded by
+    batch keys × df_cap by construction. ``broadcast_candidates=False``
+    is the fallback for a batch large enough that even that bound
+    exceeds driver/broadcast memory: the hint is dropped so the
+    semi-join plans as a shuffle (AQE may still convert it back when
+    the runtime size allows). Equality over both paths is pinned by
+    pytest."""
     hot = (
         (
             census
@@ -1681,6 +1694,14 @@ def incremental_jaccard_pairs(
         F.least("n.n_sh", "o.n_sh")
         >= F.lit(min_jaccard) * F.greatest("n.n_sh", "o.n_sh")
     )
+    # persisted (materialized once on first use): ``common`` feeds
+    # BOTH the final pair relation and the hot-correction's candidate
+    # set — left lazy, the candidate-set branch re-executed the whole
+    # probe join (only its shuffle exchange was reused) just to build
+    # the semi-join input. persist() over detach() deliberately: the
+    # probe subtree stays inside the returned plan (the bucketed-index
+    # pytest asserts its exchanges), and ContextCleaner reclaims the
+    # blocks once the frame is unreachable.
     common = (
         n.join(o, pair_cond)
         .groupBy(
@@ -1690,24 +1711,24 @@ def incremental_jaccard_pairs(
             F.col("o.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
+        .persist()
     )
     # hot arrays only for docs that actually appear in a candidate
     # pair (r14 review #2 follow-up): the semi join bounds the
     # collect_set aggregation to O(candidate docs x their hot
     # shingles) instead of a corpus-wide exchange per ingest; the
     # batch side is O(batch) by construction
+    cand_o = common.select(
+        F.col("corpus_doc").alias("doc_id")
+    ).distinct()
+    if broadcast_candidates:
+        # candidate corpus docs are bounded by batch keys x df_cap —
+        # broadcast by construction, so the index-hot postings never
+        # shuffle for the semi join
+        cand_o = F.broadcast(cand_o)
     hot_o = (
         index_sized.join(F.broadcast(hot), "shingle")
-        .join(
-            # candidate corpus docs are bounded by batch keys x df_cap
-            # — broadcast by construction, so the index-hot postings
-            # never shuffle for the semi join
-            F.broadcast(
-                common.select(F.col("corpus_doc").alias("doc_id"))
-            ),
-            "doc_id",
-            "left_semi",
-        )
+        .join(cand_o, "doc_id", "left_semi")
         .groupBy(F.col("doc_id").alias("corpus_doc"))
         .agg(F.collect_set("shingle").alias("hot_o"))
     )

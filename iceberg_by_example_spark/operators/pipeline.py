@@ -1768,6 +1768,21 @@ def pipeline_curate_ingest_report(
             "asked for span accounting — rebuild the gates with "
             "span_gate=True (or pass span_gate=False here)"
         )
+    if (
+        gates is not None
+        and not span_gate
+        and gates.get("span_hits") is not None
+    ):
+        # the other direction (r14 ADVICE #4): span-gated decisions
+        # reported without span accounting would silently attribute
+        # every span-dropped doc to 'kept', so the report no longer
+        # sums to the gated survivor count
+        raise ValueError(
+            "gates carry span_hits (built with span_gate=True) but the "
+            "report was asked without span accounting — span-dropped "
+            "docs would be misattributed to 'kept'; pass span_gate=True "
+            "(or rebuild the gates with span_gate=False)"
+        )
     own = gates is None
     b = batch.persist() if own else batch
     try:
@@ -1869,6 +1884,28 @@ def _curate_state_root(sf_dir: str) -> str:
     )
 
 
+def _docs_content_fingerprint(sf_dir: str) -> str:
+    """Driver-side fingerprint of the documents table's FILES (names,
+    sizes, mtimes — no data scan): regenerated testdata at the same
+    path must invalidate the cached standing state (r14 ADVICE #5 —
+    a stale index silently served into timed bench passes would
+    probe yesterday's corpus). os.stat only, so every ensure call
+    pays microseconds, not a Spark job."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(p):
+        st = os.stat(p)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def ensure_curate_state(
     spark: SparkSession, sf_dir: str
 ) -> tuple[CurateState, int]:
@@ -1887,8 +1924,13 @@ def ensure_curate_state(
 
     root = _curate_state_root(sf_dir)
     marker = os.path.join(root, "_READY")
-    # v2: the winnow index/census tables joined the state layout
-    stamp = f"v2 split={CURATE_DEMO_SPLIT_PCT} base={sf_dir}"
+    # v3: the stamp carries a content fingerprint of the documents
+    # files (r14 ADVICE #5) — regenerating the testdata in place now
+    # invalidates the cache instead of silently probing a stale index
+    stamp = (
+        f"v3 split={CURATE_DEMO_SPLIT_PCT} base={sf_dir} "
+        f"docs={_docs_content_fingerprint(sf_dir)}"
+    )
     if not (
         os.path.exists(marker) and open(marker).read() == stamp
     ):
@@ -2002,15 +2044,24 @@ def advance_curate_state(
     state: CurateState,
     batch: DataFrame,
     day_survivors: DataFrame,
+    broadcast_census_delta: bool = True,
 ) -> CurateState:
     """The state-refresh half of the daily cycle — the 'same commit
     that appends the day's keys' every index docstring references:
     fold today's batch into the standing indexes so tomorrow's ingest
     probes them too. Every delta is O(batch) rows; the only standing
     relation rewritten per key is the shingle/winnow census, merged by
-    BROADCASTING the day's per-key deltas onto the old census (one
-    map-side pass over the census — keys-only, type-bounded — with no
-    index-side shuffle).
+    BROADCASTING the day's per-key deltas onto the old census: the old
+    census streams map-side through a broadcast semi/anti split on the
+    delta keys, and only the touched slice (≤ delta keys rows) plus
+    the delta itself re-aggregate — so the index-side census never
+    shuffles (r14 ADVICE #2: the previous form's ``delta ANTI old``
+    put the O(index) census on the anti-join build side, which cannot
+    broadcast and shuffled the standing census every day).
+    ``broadcast_census_delta=False`` is the documented fallback for a
+    batch whose distinct keys exceed the broadcast threshold: the same
+    split runs as shuffled joins (equality pinned over both paths by
+    pytest).
 
     - ``fp_index`` ∪ the batch's fingerprints (dedup semantics index
       EVERY ingested doc, not just survivors — a tomorrow duplicate of
@@ -2026,7 +2077,19 @@ def advance_curate_state(
     ``build_curate_state`` over OLD ∪ DAY with the same stored
     constants (the executable form of 'incremental refresh = nightly
     rebuild'). Callers persist/write the result (``write_curate_state``)
-    exactly as with a fresh build."""
+    exactly as with a fresh build.
+
+    Retroactive-decontamination caveat (r14 ADVICE #3): the
+    ``source_stats`` leg of that equality is data-contingent in one
+    narrow way — a DAY benchmark-slice doc can retroactively
+    contaminate an OLD training doc in the fresh recompute's UNION
+    vocabulary, which the advanced state (OLD survivor decisions
+    frozen at backfill time) never revisits. That is the incremental
+    contract, not a bug: a production pipeline does not claw back
+    yesterday's published packs when today's eval suite grows; it
+    re-decides OLD docs only at the next backfill. The equality pytest
+    guards its own precondition by asserting the testdata has no such
+    day-bench→old-training hit before pinning ``source_stats``."""
     from iceberg_by_example_spark.functions.text import fingerprint
     from iceberg_by_example_spark.operators.dedup import (
         _shingle_sets,
@@ -2037,22 +2100,24 @@ def advance_curate_state(
 
     def merge_census(old: DataFrame, delta_keys: DataFrame, key: str):
         delta = delta_keys.groupBy(key).agg(
-            F.count(F.lit(1)).alias("_d")
+            F.count(F.lit(1)).alias("df")
         )
+        dk = delta.select(key)
+        if broadcast_census_delta:
+            dk = F.broadcast(dk)
+        # split the standing census on the delta keys: the untouched
+        # slice passes through MAP-SIDE (broadcast anti-join, old on
+        # the stream side), the touched slice (≤ delta keys rows)
+        # re-aggregates together with the delta — the only shuffle is
+        # over O(delta keys) rows, never the index
+        untouched = old.join(dk, key, "left_anti")
+        touched = old.join(dk, key, "left_semi")
         merged = (
-            old.join(F.broadcast(delta), key, "left")
-            .select(
-                key,
-                (
-                    F.col("df") + F.coalesce(F.col("_d"), F.lit(0))
-                ).alias("df"),
-            )
+            touched.unionByName(delta)
+            .groupBy(key)
+            .agg(F.sum("df").alias("df"))
         )
-        fresh = (
-            delta.join(old.select(key), key, "left_anti")
-            .select(key, F.col("_d").alias("df"))
-        )
-        return merged.unionByName(fresh)
+        return untouched.unionByName(merged)
 
     b_fp = batch.select(fingerprint("text").alias("fp")).distinct()
     b_postings = sized_shingle_postings(batch)

@@ -4512,8 +4512,237 @@ def test_advance_curate_state_equals_fresh_backfill(spark, sf_dir):
     assert rows(advanced.bench_vocab) == rows(fresh.bench_vocab)
     assert rows(advanced.winnow_index) == rows(fresh.winnow_index)
     assert rows(advanced.winnow_census) == rows(fresh.winnow_census)
+    # guard the pin's precondition (r14 ADVICE #3): the source_stats
+    # equality is data-contingent — a DAY benchmark-slice doc could
+    # retroactively contaminate an OLD training doc in the fresh
+    # recompute's UNION vocabulary, which the advanced state (OLD
+    # decisions frozen at backfill) never revisits. Assert the
+    # testdata has no such flip before pinning the masses.
+    from iceberg_by_example_spark.operators.dedup import _shingle_sets
+    from iceberg_by_example_spark.operators.pipeline import (
+        DECON_BENCH_BUCKET,
+        DECON_MIN_SHARED,
+        _decon_hits,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    old_sh = _shingle_sets(old).withColumn(
+        "bucket", hash_bucket(F.col("doc_id"), "bench")
+    )
+    old_train = old_sh.filter(
+        F.col("bucket") >= DECON_BENCH_BUCKET
+    ).select("doc_id", F.explode("sh").alias("shingle"))
+    day_vocab = (
+        _shingle_sets(day)
+        .filter(
+            hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET
+        )
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    union_vocab = state.bench_vocab.unionByName(day_vocab).distinct()
+    h_old = {
+        r["doc_id"]: r["shared_grams"]
+        for r in _decon_hits(old_train, state.bench_vocab).collect()
+    }
+    h_union = {
+        r["doc_id"]: r["shared_grams"]
+        for r in _decon_hits(old_train, union_vocab).collect()
+    }
+    flips = {
+        d
+        for d, s in h_union.items()
+        if s >= DECON_MIN_SHARED and h_old.get(d, 0) < DECON_MIN_SHARED
+    }
+    assert flips == set(), (
+        "testdata violates the no-retroactive-decontamination "
+        f"precondition of the source_stats pin: {sorted(flips)[:5]}"
+    )
     # source masses: advanced = old survivors + day survivors, which
     # equals the fresh chain's masses by the cross-slice theorem
+    # (under the guard above)
     assert rows(advanced.source_stats) == rows(fresh.source_stats)
     assert advanced.max_doc_id == fresh.max_doc_id
     assert (advanced.w2, advanced.keep_micro) == (w2, keep_micro)
+
+
+def test_ingest_report_gate_mismatch_raises_both_directions(spark):
+    """r14 ADVICE #4: the gates/span_gate mismatch must fail FAST in
+    BOTH directions. Gates built with span_gate=True reported with
+    span_gate=False would silently attribute span-dropped docs to
+    'kept'; the reverse direction was already guarded. Validation is
+    pure input checking — it must precede any use of state or batch,
+    which is why None stand-ins suffice here."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_ingest_report,
+    )
+
+    sentinel = spark.range(0).select(F.col("id").alias("doc_id"))
+    base = dict(
+        heur=None, exact_win=None, nd_losers=None, day_bench=None,
+        contaminated=None, lr_keep=None,
+    )
+    with pytest.raises(ValueError, match="span_gate=True"):
+        pipeline_curate_ingest_report(
+            spark, None, None, span_gate=True,
+            gates={**base, "span_hits": None},
+        )
+    with pytest.raises(ValueError, match="misattributed"):
+        pipeline_curate_ingest_report(
+            spark, None, None, span_gate=False,
+            gates={**base, "span_hits": sentinel},
+        )
+
+
+def test_ensure_curate_state_invalidated_by_corpus_mutation(
+    spark, sf_dir, tmp_path
+):
+    """r14 ADVICE #5: the on-disk standing-state cache must key on the
+    documents table's CONTENT, not just its path — regenerated
+    testdata at the same path previously served a stale index into
+    timed bench passes. Copy the corpus to a scratch dir, build the
+    state, shrink the corpus in place, and assert the next ensure
+    call rebuilds (watermark drops with the corpus)."""
+    import shutil
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        _curate_state_root,
+        ensure_curate_state,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    import os
+
+    scratch = str(tmp_path / "sfmut")
+    os.makedirs(scratch)
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", f"{scratch}/documents.parquet"
+    )
+    try:
+        state1, t1 = ensure_curate_state(spark, scratch)
+        max1 = state1.max_doc_id
+
+        docs = load_table(spark, scratch, "documents")
+        cut = int(
+            docs.agg(
+                F.expr("CAST(percentile(doc_id, 0.5) AS BIGINT)")
+            ).collect()[0][0]
+        )
+        half = docs.filter(F.col("doc_id") < cut).collect()
+        os.remove(f"{scratch}/documents.parquet")
+        spark.createDataFrame(half, docs.schema).write.parquet(
+            f"{scratch}/documents.parquet"
+        )
+
+        state2, t2 = ensure_curate_state(spark, scratch)
+        assert state2.max_doc_id < max1  # rebuilt over the shrunk corpus
+    finally:
+        shutil.rmtree(_curate_state_root(scratch), ignore_errors=True)
+
+
+def test_advance_census_merge_paths_equal(spark):
+    """r14 ADVICE #2 / VERDICT #5: the census delta-merge must be
+    identical through the broadcast path (map-side split on the delta
+    keys — the default) and the shuffle fallback (the documented path
+    for a day whose distinct keys exceed the broadcast threshold), and
+    both must equal a census recomputed from scratch over OLD ∪ DAY
+    postings."""
+    from iceberg_by_example_spark.operators.dedup import (
+        sized_shingle_postings,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        advance_curate_state,
+        build_curate_state,
+    )
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("web").alias("source")
+        )
+
+    old_docs = docs_df(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d x y z w"),
+            (2, "p q r s t u v n"),
+        ]
+    )
+    surv = spark.createDataFrame(
+        [(0, "web", 8)], "doc_id long, source string, n_tokens long"
+    )
+    state = build_curate_state(
+        spark, old_docs, w2=[0], keep_micro=0, survivors=surv
+    )
+    batch = docs_df(
+        [
+            (10, "a b c d e f g q"),  # overlaps old shingles
+            (11, "m n o p a a b b"),  # mostly fresh shingles
+        ]
+    )
+    day_surv = spark.createDataFrame(
+        [(10, "web", 8)], "doc_id long, source string, n_tokens long"
+    )
+
+    def census_rows(st):
+        return sorted(map(tuple, st.shingle_census.collect()))
+
+    adv_b = advance_curate_state(
+        spark, state, batch, day_surv, broadcast_census_delta=True
+    )
+    adv_s = advance_curate_state(
+        spark, state, batch, day_surv, broadcast_census_delta=False
+    )
+    want = sorted(
+        map(
+            tuple,
+            sized_shingle_postings(old_docs.unionByName(batch))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect(),
+        )
+    )
+    assert census_rows(adv_b) == want
+    assert census_rows(adv_s) == want
+    # the winnow census merges through the same code path
+    wb = sorted(map(tuple, adv_b.winnow_census.collect()))
+    ws = sorted(map(tuple, adv_s.winnow_census.collect()))
+    assert wb == ws
+
+
+def test_incremental_jaccard_candidate_paths_equal(spark):
+    """r14 ADVICE #1: dropping the candidate-set broadcast hint (the
+    fallback for a batch too large to broadcast its candidates) must
+    not change a single pair or Jaccard value."""
+    from iceberg_by_example_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        sized_shingle_postings,
+    )
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_docs = docs_df(
+        [
+            (0, "a b q x y z w"),
+            (1, "c d e x y z w"),
+            (2, "f g h x y z w"),
+            (3, "i j k x y z w"),
+        ]
+    )
+    batch_docs = docs_df([(100, "a b q x y z w"), (101, "c d e x y q w")])
+
+    def pairs(broadcast_candidates):
+        return {
+            (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+            for r in incremental_jaccard_pairs(
+                sized_shingle_postings(batch_docs),
+                sized_shingle_postings(index_docs),
+                df_cap=2,
+                min_jaccard=0.05,
+                broadcast_candidates=broadcast_candidates,
+            ).collect()
+        }
+
+    got_b, got_s = pairs(True), pairs(False)
+    assert got_b == got_s
+    assert got_b  # non-vacuous: the crafted corpus produces pairs
