@@ -1717,21 +1717,33 @@ def pipeline_curate_ingest_day(
             # the full recompute's cross-slice) — detached so the
             # finally's unpersist can't force a recompute downstream
             return detach(surv)
-        updated = state.source_stats.unionByName(
-            surv.groupBy("source").agg(
-                F.sum("n_tokens").alias("source_tokens")
-            )
-        )
-        # coverage check skipped: the union above guarantees every
-        # survivor source has a mass row, and the check would cost an
-        # eager driver job per day (r14 review)
-        return _curate_select_pack(
-            surv, share_stats=updated, check_share_coverage=False
-        )
+        return curate_pack_day(surv, state)
     finally:
         if surv is not None:
             surv.unpersist()
         b.unpersist()
+
+
+def curate_pack_day(surv: DataFrame, state: CurateState) -> DataFrame:
+    """Quota/selection/pack tail of the DAILY ingest over an
+    already-computed day-survivor manifest: seats allocate by the
+    WHOLE corpus's temperature mix (standing survivor masses + the
+    day's). Shared by ``pipeline_curate_ingest_day`` and the
+    versioned-store workflow (``workflows.curate_cycle_day``), which
+    needs BOTH the survivors — for the state advance — and the pack
+    manifest, without running the gates twice; one definition means
+    the two callers cannot drift."""
+    updated = state.source_stats.unionByName(
+        surv.groupBy("source").agg(
+            F.sum("n_tokens").alias("source_tokens")
+        )
+    )
+    # coverage check skipped: the union above guarantees every
+    # survivor source has a mass row, and the check would cost an
+    # eager driver job per day (r14 review)
+    return _curate_select_pack(
+        surv, share_stats=updated, check_share_coverage=False
+    )
 
 
 def pipeline_curate_ingest_report(
@@ -2039,6 +2051,49 @@ def curate_ingest_day_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_curate_ingest_day(spark, state, day)
 
 
+def curate_day_deltas(batch: DataFrame) -> dict:
+    """The O(batch) relations a day's ingest folds into the standing
+    state — ONE definition shared by ``advance_curate_state`` (the
+    in-memory refresh) and ``tables.curate_store.CurateStateStore``
+    (the versioned append-only commit), so the two refresh paths
+    cannot drift:
+
+    - ``fp_index``: the batch's DISTINCT fingerprints (dedup semantics
+      index EVERY ingested doc, not just survivors — a tomorrow
+      duplicate of a today reject must still probe-hit).
+    - ``shingle_index``: the batch's hashed shingle postings.
+    - ``winnow_index``: the batch's winnow span keys.
+    - ``bench_vocab``: the day's own benchmark-slice shingles.
+
+    Census/source-mass partials are derived FROM these by the caller
+    (``groupBy(key).count()`` over the postings delta), so they are
+    consistent by construction."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+    from iceberg_by_example_spark.operators.dedup import (
+        _shingle_sets,
+        sized_shingle_postings,
+        winnow_keys,
+    )
+    from iceberg_by_example_spark.operators.sampling import hash_bucket
+
+    return dict(
+        fp_index=batch.select(
+            fingerprint("text").alias("fp")
+        ).distinct(),
+        shingle_index=sized_shingle_postings(batch),
+        winnow_index=winnow_keys(batch).select("doc_id", "k"),
+        bench_vocab=(
+            _shingle_sets(batch)
+            .filter(
+                hash_bucket(F.col("doc_id"), "bench")
+                < DECON_BENCH_BUCKET
+            )
+            .select(F.explode("sh").alias("shingle"))
+            .distinct()
+        ),
+    )
+
+
 def advance_curate_state(
     spark: SparkSession,
     state: CurateState,
@@ -2090,13 +2145,6 @@ def advance_curate_state(
     re-decides OLD docs only at the next backfill. The equality pytest
     guards its own precondition by asserting the testdata has no such
     day-bench→old-training hit before pinning ``source_stats``."""
-    from iceberg_by_example_spark.functions.text import fingerprint
-    from iceberg_by_example_spark.operators.dedup import (
-        _shingle_sets,
-        sized_shingle_postings,
-        winnow_keys,
-    )
-    from iceberg_by_example_spark.operators.sampling import hash_bucket
 
     def merge_census(old: DataFrame, delta_keys: DataFrame, key: str):
         delta = delta_keys.groupBy(key).agg(
@@ -2119,17 +2167,11 @@ def advance_curate_state(
         )
         return untouched.unionByName(merged)
 
-    b_fp = batch.select(fingerprint("text").alias("fp")).distinct()
-    b_postings = sized_shingle_postings(batch)
-    b_winnow = winnow_keys(batch).select("doc_id", "k")
-    b_bench_vocab = (
-        _shingle_sets(batch)
-        .filter(
-            hash_bucket(F.col("doc_id"), "bench") < DECON_BENCH_BUCKET
-        )
-        .select(F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+    deltas = curate_day_deltas(batch)
+    b_fp = deltas["fp_index"]
+    b_postings = deltas["shingle_index"]
+    b_winnow = deltas["winnow_index"]
+    b_bench_vocab = deltas["bench_vocab"]
     new_max = batch.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     return CurateState(
         fp_index=state.fp_index.unionByName(b_fp).distinct(),

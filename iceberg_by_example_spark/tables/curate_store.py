@@ -1,0 +1,495 @@
+"""Atomic, versioned storage for the standing curation state.
+
+The r14 loop closed the daily curation cycle but persisted its most
+production-critical artifact — the ``CurateState`` indexes every
+ingest probes — as bare parquet directories rewritten in full by each
+advance (``write_curate_state``): a crash mid-advance left a torn
+state with no rollback, and every day's commit rewrote O(index) bytes
+to fold in an O(batch) delta. This module puts the state under the
+engine's own governance layer (the reference's core semantic — atomic
+snapshot commits, IcebergLoadActivityTask.scala:78-80 — applied to
+the curation state):
+
+- Each state relation is a ``VersionedTable`` partitioned by ``day``,
+  APPEND-ONLY: a day's commit appends that day's O(batch) delta as a
+  new partition; the standing index bytes are never rewritten.
+- The censuses and source masses are stored as PER-DAY PARTIALS (the
+  day's ``groupBy(key).count()`` over its own postings delta); the
+  read path re-aggregates ``SUM(df)`` over the partials. This is the
+  LSM shape Iceberg itself uses for data: cheap appends, a read-side
+  merge, and (optionally) periodic compaction — and it removes the
+  census-merge broadcast from the COMMIT path entirely (the r14
+  scale-watch item).
+- Atomicity comes from a POINTER table (``state_log``), exactly
+  Iceberg's own design one level up — data files land first and are
+  invisible until the single metadata swap: each relation's delta is
+  appended on a per-day audit branch (``ingest_<day>``), audited
+  there, and the whole day becomes visible in ONE ``state_log``
+  append recording every relation's audited snapshot id. Readers
+  resolve relations through those PINNED snapshot ids, so a crash
+  anywhere before the pointer append leaves the previous state
+  exactly readable and the torn branches discardable
+  (``heal``) — and a crash after it costs only housekeeping.
+- Rollback is free: ``read_state(as_of=<day>)`` reproduces any
+  committed day's state (the pointer rows are themselves snapshots of
+  a versioned table, so Iceberg-style ``VERSION AS OF`` on the log —
+  ``log_snapshot_id=`` — resolves identically).
+
+Reference parity: WapIceberg.scala:20-87 is the write-audit-publish
+gate this reuses (branch → audit → single publish); LT:78-80 is the
+atomic-commit semantic the pointer append provides across ALL the
+relation tables at once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_by_example_spark.tables.versioned import (
+    MAIN,
+    VersionedTable,
+)
+
+# every relation a CurateState carries, with the key column its
+# census/read-side aggregation uses (None = stored verbatim)
+_RELATIONS = (
+    "fp_index",
+    "shingle_index",
+    "shingle_census",
+    "bench_vocab",
+    "source_stats",
+    "winnow_index",
+    "winnow_census",
+)
+_META_RELATION = "_meta"
+
+_LOG_DDL = (
+    "seq bigint, day string, relation string, snapshot_id string, "
+    "w2 string, keep_micro bigint, max_doc_id bigint"
+)
+
+
+def _ddl_of(df: DataFrame) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+class CurateStateStore:
+    """Versioned, append-only store for the standing curation state.
+
+    Lifecycle: ``commit_backfill`` once (the nightly rebuild's state —
+    day 0's "delta" is the full index), then ``commit_day`` per ingest
+    day; ``read_state`` returns the ``CurateState`` any
+    ``pipeline_curate_ingest_day`` call probes, at the latest day or
+    any committed ``as_of`` day."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # -- table plumbing ------------------------------------------------------
+
+    def _loc(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    @property
+    def log(self) -> VersionedTable:
+        loc = self._loc("state_log")
+        if os.path.exists(os.path.join(loc, "_meta", "table.json")):
+            return VersionedTable.load(self.spark, loc)
+        return VersionedTable.create(
+            self.spark, loc, schema=_LOG_DDL, partition_by=None
+        )
+
+    def _table(
+        self, name: str, template: DataFrame | None = None
+    ) -> VersionedTable:
+        loc = self._loc(name)
+        if os.path.exists(os.path.join(loc, "_meta", "table.json")):
+            return VersionedTable.load(self.spark, loc)
+        if template is None:
+            raise ValueError(f"relation table {name!r} does not exist")
+        return VersionedTable.create(
+            self.spark,
+            loc,
+            schema=_ddl_of(template) + ", day string",
+            partition_by="day",
+        )
+
+    # -- pointer log ---------------------------------------------------------
+
+    def _log_rows(self, log_snapshot_id: str | None = None) -> list:
+        log = self.log
+        df = (
+            log.read(snapshot_id=log_snapshot_id)
+            if log_snapshot_id is not None
+            else log.read(branch=MAIN)
+        )
+        return df.collect()  # O(days × relations) — metadata-sized
+
+    def days(self) -> list[str]:
+        """Committed day labels, in commit order."""
+        rows = sorted(self._log_rows(), key=lambda r: r["seq"])
+        out: list[str] = []
+        for r in rows:
+            if r["day"] not in out:
+                out.append(r["day"])
+        return out
+
+    # -- recovery ------------------------------------------------------------
+
+    def heal(self) -> dict:
+        """Make the store consistent after any crash, in either order
+        the torn commit left it:
+
+        - an ``ingest_<day>`` branch whose day IS in the pointer log
+          was published but not housekept → finish the fast_forward
+          and drop the branch (readers were never affected — they pin
+          snapshot ids);
+        - a branch whose day is NOT in the log is a torn, unpublished
+          commit → drop it; the appended files become unreferenced
+          and ``remove_orphan_files`` can reclaim them later.
+
+        Called automatically at the start of every commit — a new
+        day's branch MUST be cut from a main that already carries
+        every published day, or the new snapshot would silently lose
+        the lagging day's rows."""
+        published = set(self.days())
+        report = {"finished": [], "discarded": []}
+        for name in _RELATIONS:
+            loc = self._loc(name)
+            if not os.path.exists(os.path.join(loc, "_meta", "table.json")):
+                continue
+            t = VersionedTable.load(self.spark, loc)
+            for branch in list(t.branches()):
+                if not branch.startswith("ingest_"):
+                    continue
+                day = branch[len("ingest_") :]
+                if day in published:
+                    t.fast_forward(MAIN, branch)
+                    report["finished"].append(f"{name}:{day}")
+                else:
+                    report["discarded"].append(f"{name}:{day}")
+                t.drop_branch(branch)
+        return report
+
+    # -- commits -------------------------------------------------------------
+
+    def _commit(
+        self,
+        day: str,
+        deltas: dict[str, DataFrame | None],
+        meta: dict,
+    ) -> dict:
+        """The shared write-audit-publish protocol: per-relation delta
+        appends on the ``ingest_<day>`` branches, O(delta) audits on
+        the branches, then ONE ``state_log`` append that makes the
+        whole day visible atomically, then housekeeping."""
+        if day in self.days():
+            raise ValueError(
+                f"day {day!r} is already committed — a re-ingest must "
+                "not double-count; read_state(as_of=...) reproduces it"
+            )
+        self.heal()
+        branch = f"ingest_{day}"
+        snap_ids: dict[str, str] = {}
+        appended: list[VersionedTable] = []
+        try:
+            for name in _RELATIONS:
+                delta = deltas.get(name)
+                if delta is None:
+                    continue
+                t = self._table(name, template=delta)
+                t.create_branch(branch, from_branch=MAIN)
+                appended.append(t)
+                snap = t.append(
+                    delta.select("*", F.lit(day).alias("day")),
+                    branch=branch,
+                )
+                snap_ids[name] = snap.snapshot_id
+            self._audit(day, branch, deltas)
+        except Exception:
+            # torn commit: nothing was published (the pointer never
+            # moved); drop the day branches so the previous state is
+            # the ONLY visible one
+            for t in appended:
+                t.drop_branch(branch)
+            raise
+        # -- the publish: one atomic pointer append ---------------------
+        seq = len(self.days())
+        rows = [
+            (seq, day, name, sid, None, None, None)
+            for name, sid in sorted(snap_ids.items())
+        ] + [
+            (
+                seq,
+                day,
+                _META_RELATION,
+                None,
+                json.dumps(meta["w2"]),
+                int(meta["keep_micro"]),
+                int(meta["max_doc_id"]),
+            )
+        ]
+        self.log.append(
+            self.spark.createDataFrame(rows, _LOG_DDL),
+            branch=MAIN,
+            summary_extra={"curate-day": day},
+        )
+        # -- housekeeping (crash-safe: heal() finishes it) ---------------
+        for t in appended:
+            t.fast_forward(MAIN, branch)
+            t.drop_branch(branch)
+        return {"day": day, "seq": seq, "relations": sorted(snap_ids)}
+
+    def _audit(
+        self, day: str, branch: str, deltas: dict[str, DataFrame | None]
+    ) -> None:
+        """O(delta) invariants over what was WRITTEN on the audit
+        branches (write-audit-publish — the same stance as
+        ``workflows.curate_publish``): no null keys in any appended
+        slice, and each census partial must sum to its own day's
+        postings rows (they are derived from the same delta, so a
+        mismatch means a torn or re-ordered write)."""
+        from iceberg_by_example_spark.sources.activity import (
+            rows_with_any_null,
+        )
+
+        def day_slice(name: str) -> DataFrame:
+            return (
+                self._table(name)
+                .read(branch=branch)
+                .filter(F.col("day") == day)
+            )
+
+        for name in _RELATIONS:
+            if deltas.get(name) is None:
+                continue
+            bad = rows_with_any_null(day_slice(name)).count()
+            if bad:
+                raise ValueError(
+                    f"audit failed: {bad} null-key rows in {name} "
+                    f"delta for day {day!r}"
+                )
+        for census, index, key in (
+            ("shingle_census", "shingle_index", "shingle"),
+            ("winnow_census", "winnow_index", "k"),
+        ):
+            if deltas.get(census) is None:
+                continue
+            got = day_slice(census).agg(
+                F.coalesce(F.sum("df"), F.lit(0)).alias("s")
+            ).collect()[0]["s"]
+            want = day_slice(index).count()
+            if int(got) != int(want):
+                raise ValueError(
+                    f"audit failed: {census} partial sums to {got} but "
+                    f"{index} delta has {want} rows for day {day!r}"
+                )
+
+    def commit_backfill(self, state, day: str = "backfill") -> dict:
+        """Land a freshly built ``CurateState`` (the nightly rebuild)
+        as day 0 of the store: the full indexes ARE the first
+        partition, the full censuses the first partials."""
+        if self.days():
+            raise ValueError(
+                "store already has a backfill; commit_day folds days "
+                "in, or use a fresh root for a new backfill"
+            )
+        deltas = {
+            name: getattr(state, name) for name in _RELATIONS
+        }
+        return self._commit(
+            day,
+            deltas,
+            meta={
+                "w2": state.w2,
+                "keep_micro": state.keep_micro,
+                "max_doc_id": state.max_doc_id,
+            },
+        )
+
+    def commit_day(
+        self,
+        batch: DataFrame,
+        day_survivors: DataFrame,
+        day: str,
+    ) -> dict:
+        """Fold one ingest day into the store: O(batch) deltas only —
+        the batch's fingerprints/postings/winnow keys/bench shingles
+        (``curate_day_deltas``, the SAME derivation
+        ``advance_curate_state`` folds in memory), the day's census
+        partials derived from its own postings delta, and the day's
+        survivor source masses. The standing index bytes are never
+        rewritten; the whole day publishes in one pointer append."""
+        from iceberg_by_example_spark.operators.pipeline import (
+            curate_day_deltas,
+        )
+
+        if day in self.days():
+            # checked here as well as in _commit: a re-ingest of a
+            # committed day must read as the re-publish guard, not as
+            # a monotone-watermark violation (the watermark already
+            # advanced past this batch when the day first landed)
+            raise ValueError(
+                f"day {day!r} is already committed — a re-ingest must "
+                "not double-count; read_state(as_of=...) reproduces it"
+            )
+        _, prev_meta = self._resolve(None, None)
+        bounds = batch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            raise ValueError("empty ingest batch")
+        if bounds["lo"] <= prev_meta["max_doc_id"]:
+            raise ValueError(
+                f"monotone-id contract violated: batch doc_id "
+                f"{bounds['lo']} <= committed max_doc_id "
+                f"{prev_meta['max_doc_id']}"
+            )
+        deltas = curate_day_deltas(batch)
+        has_winnow = "winnow_index" in self._committed_relations()
+        if not has_winnow:
+            deltas["winnow_index"] = None
+        deltas["shingle_census"] = (
+            deltas["shingle_index"]
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        deltas["winnow_census"] = (
+            deltas["winnow_index"]
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            if has_winnow
+            else None
+        )
+        deltas["source_stats"] = day_survivors.groupBy("source").agg(
+            F.sum("n_tokens").alias("source_tokens")
+        )
+        return self._commit(
+            day,
+            deltas,
+            meta={
+                "w2": prev_meta["w2"],
+                "keep_micro": prev_meta["keep_micro"],
+                "max_doc_id": max(
+                    prev_meta["max_doc_id"], int(bounds["hi"])
+                ),
+            },
+        )
+
+    # -- reads ---------------------------------------------------------------
+
+    def _committed_relations(self) -> set:
+        return {
+            r["relation"]
+            for r in self._log_rows()
+            if r["relation"] != _META_RELATION
+        }
+
+    def _resolve(
+        self, as_of: str | None, log_snapshot_id: str | None
+    ) -> tuple[dict, dict]:
+        """(relation → pinned snapshot_id ACROSS all days ≤ target,
+        meta of the target day). Each relation table accumulates day
+        partitions, so the state at day D is the relation's snapshot
+        AS COMMITTED FOR day D — which already contains every earlier
+        day's partitions (appends carry files forward)."""
+        rows = self._log_rows(log_snapshot_id)
+        if not rows:
+            raise ValueError(f"no committed state under {self.root}")
+        by_seq: dict[int, list] = {}
+        for r in rows:
+            by_seq.setdefault(r["seq"], []).append(r)
+        if as_of is None:
+            target = max(by_seq)
+        else:
+            hits = [
+                s for s, rs in by_seq.items() if rs[0]["day"] == as_of
+            ]
+            if not hits:
+                raise ValueError(
+                    f"day {as_of!r} not committed; have {self.days()}"
+                )
+            target = hits[0]
+        snaps: dict[str, str] = {}
+        meta: dict = {}
+        for r in by_seq[target]:
+            if r["relation"] == _META_RELATION:
+                meta = {
+                    "w2": [int(v) for v in json.loads(r["w2"])],
+                    "keep_micro": int(r["keep_micro"]),
+                    "max_doc_id": int(r["max_doc_id"]),
+                    "day": r["day"],
+                    "seq": int(r["seq"]),
+                }
+            else:
+                snaps[r["relation"]] = r["snapshot_id"]
+        return snaps, meta
+
+    def read_state(
+        self,
+        as_of: str | None = None,
+        log_snapshot_id: str | None = None,
+    ):
+        """The ``CurateState`` as of a committed day (default: the
+        latest). Relations resolve through the pointer's PINNED
+        snapshot ids, so concurrent/torn appends are invisible; the
+        read-side merges are exactly the write-side's inverses —
+        ``distinct`` over the keyed sets (a fingerprint re-ingested on
+        a later day appears in two partitions), ``SUM(df)`` over the
+        census partials, ``SUM(source_tokens)`` over the mass
+        partials. ``log_snapshot_id`` resolves the POINTER itself at a
+        historic snapshot (``VERSION AS OF`` on the log table) — the
+        same answer as ``as_of`` for any day committed then."""
+        from iceberg_by_example_spark.operators.pipeline import (
+            CurateState,
+        )
+
+        snaps, meta = self._resolve(as_of, log_snapshot_id)
+
+        def rel(name: str) -> DataFrame | None:
+            if name not in snaps:
+                return None
+            return (
+                self._table(name)
+                .read(snapshot_id=snaps[name])
+                .drop("day")
+            )
+
+        fp = rel("fp_index").distinct()
+        vocab = rel("bench_vocab").distinct()
+        sc = (
+            rel("shingle_census")
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+        )
+        wi = rel("winnow_index")
+        wc = rel("winnow_census")
+        if wc is not None:
+            wc = wc.groupBy("k").agg(F.sum("df").alias("df"))
+        stats = (
+            rel("source_stats")
+            .groupBy("source")
+            .agg(F.sum("source_tokens").alias("source_tokens"))
+        )
+        return (
+            CurateState(
+                fp_index=fp,
+                shingle_index=rel("shingle_index"),
+                shingle_census=sc,
+                bench_vocab=vocab,
+                w2=meta["w2"],
+                keep_micro=meta["keep_micro"],
+                source_stats=stats,
+                max_doc_id=meta["max_doc_id"],
+                winnow_index=wi,
+                winnow_census=wc,
+            ),
+            meta,
+        )

@@ -1,0 +1,363 @@
+"""Atomic versioned curation-state store (tables/curate_store.py).
+
+The r15 pins, per the round-14 verdict's top item:
+
+- a day's advance is ONE publish (the pointer append) — a failure
+  injected between index writes leaves the previous state readable
+  and the torn branches discarded;
+- a multi-day chain through the ON-DISK store equals both the full
+  recompute over all slices and the in-memory advance chain
+  (isolating serialization drift);
+- time-travel (``as_of`` / ``log_snapshot_id``) reproduces a past
+  day's state exactly, and re-running a day's ingest from it
+  reproduces that day's decisions;
+- the per-day commit writes O(batch) bytes — the standing index is
+  never rewritten.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for r, _d, names in os.walk(root):
+        for n in names:
+            total += os.path.getsize(os.path.join(r, n))
+    return total
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Four monotone doc_id slices of the sf0.001 documents table:
+    OLD (70%) + three ingest days, plus the stored model constants."""
+    from iceberg_by_example_spark.sources.tpch import load_table
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[int(len(ids) * p)] for p in (0.7, 0.8, 0.9)]
+    old = docs.filter(F.col("doc_id") < cuts[0])
+    d1 = docs.filter(
+        (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+    )
+    d2 = docs.filter(
+        (F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])
+    )
+    d3 = docs.filter(F.col("doc_id") >= cuts[2])
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    return dict(
+        docs=docs, old=old, days=[d1, d2, d3], w2=w2,
+        keep_micro=keep_micro,
+    )
+
+
+def _state_rows(st):
+    """Canonical row-set form of every relation of a CurateState."""
+
+    def rows(df):
+        return sorted(map(tuple, df.collect())) if df is not None else None
+
+    return {
+        "fp_index": rows(st.fp_index),
+        "shingle_index": rows(st.shingle_index),
+        "shingle_census": rows(st.shingle_census),
+        "bench_vocab": rows(st.bench_vocab),
+        "source_stats": rows(st.source_stats),
+        "winnow_index": rows(st.winnow_index),
+        "winnow_census": rows(st.winnow_census),
+        "max_doc_id": st.max_doc_id,
+        "w2": list(st.w2),
+        "keep_micro": st.keep_micro,
+    }
+
+
+def test_store_multiday_chain_equals_fresh_and_memory(
+    spark, sf_dir, corpus, tmp_path
+):
+    """The inductive soak (r14 VERDICT #3): chain THREE ingest days
+    through the on-disk store — read_state → ingest → commit_day →
+    read_state — and pin (a) each day's survivor set to the full
+    recompute's cross-slice over everything ingested so far, (b) the
+    final stored state to a fresh ``build_curate_state`` over all
+    four slices, and (c) the final stored state to the in-memory
+    ``advance_curate_state`` chain (no disk round-trip), isolating
+    serialization drift. Also pins the commit-size shape: each day's
+    on-disk delta is O(batch) bytes, never an index rewrite."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        advance_curate_state,
+        build_curate_state,
+        curate_survivors_for,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, days = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store.commit_backfill(st0, day="day0")
+    bytes_after = [_dir_bytes(store.root)]
+
+    mem_state = st0
+    cum = old
+    for i, day in enumerate(days, start=1):
+        disk_state, meta = store.read_state()
+        surv = pipeline_curate_ingest_day(
+            spark, disk_state, day, return_survivors=True
+        )
+        # (a) cross-slice: the day's survivors through the STORED
+        # state equal the full-chain survivors over everything
+        # ingested so far, restricted to the day's ids
+        cum = cum.unionByName(day)
+        want = curate_survivors_for(spark, cum, w2, keep_micro)
+        day_ids = {r["doc_id"] for r in day.select("doc_id").collect()}
+        want_day = {
+            r["doc_id"]
+            for r in want.collect()
+            if r["doc_id"] in day_ids
+        }
+        got_day = {r["doc_id"] for r in surv.collect()}
+        assert got_day == want_day, f"day {i} survivor drift"
+        store.commit_day(day, surv, day=f"day{i}")
+        bytes_after.append(_dir_bytes(store.root))
+        # the in-memory twin chain advances from the SAME survivors
+        mem_state = advance_curate_state(spark, mem_state, day, surv)
+
+    final, meta = store.read_state()
+    fresh = build_curate_state(
+        spark, corpus["docs"], w2, keep_micro
+    )
+    got, want_fresh, want_mem = (
+        _state_rows(final),
+        _state_rows(fresh),
+        _state_rows(mem_state),
+    )
+    # (c) store == in-memory chain, relation for relation (pure
+    # serialization-drift isolation: same decisions, same deltas)
+    assert got == want_mem
+    # (b) store == fresh rebuild over all four slices; source_stats
+    # rides the same retroactive-decontamination caveat the
+    # single-step pin guards (advance_curate_state docstring) —
+    # asserted last so a data-contingent flip reads as itself
+    for k in (
+        "fp_index", "shingle_index", "shingle_census", "bench_vocab",
+        "winnow_index", "winnow_census", "max_doc_id", "w2",
+        "keep_micro",
+    ):
+        assert got[k] == want_fresh[k], k
+    assert got["source_stats"] == want_fresh["source_stats"]
+
+    # commit-size shape: each day's on-disk delta is a small fraction
+    # of the standing state (no O(index) rewrite), and later days do
+    # not grow with days elapsed
+    backfill_bytes = bytes_after[0]
+    deltas = [
+        bytes_after[i] - bytes_after[i - 1]
+        for i in range(1, len(bytes_after))
+    ]
+    for i, d in enumerate(deltas, start=1):
+        assert d < 0.5 * backfill_bytes, (
+            f"day {i} rewrote {d} bytes vs backfill {backfill_bytes}"
+        )
+    assert max(deltas) < 3 * max(min(deltas), 1), (
+        f"per-day bytes grew with days elapsed: {deltas}"
+    )
+
+
+def test_store_torn_commit_leaves_previous_state_readable(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """The atomicity pin (r14 VERDICT #1's done-criterion): inject a
+    failure BETWEEN index writes — after some relation deltas landed
+    on their audit branches but before the pointer append — and
+    assert the previous state is exactly readable, the day is not
+    committed, the torn branches are discarded, and a retry of the
+    same day succeeds cleanly."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store.commit_backfill(st0, day="day0")
+    before = _state_rows(store.read_state()[0])
+
+    surv = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], day, return_survivors=True
+    )
+
+    real_append = VersionedTable.append
+    calls = {"n": 0}
+
+    def failing_append(self, df, branch=None, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # mid-commit: after 2 relation deltas
+            raise RuntimeError("injected crash between index writes")
+        return real_append(self, df, branch=branch, **kw)
+
+    monkeypatch.setattr(VersionedTable, "append", failing_append)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.commit_day(day, surv, day="day1")
+    monkeypatch.setattr(VersionedTable, "append", real_append)
+
+    # previous state exactly readable; the torn day never published
+    assert store.days() == ["day0"]
+    assert _state_rows(store.read_state()[0]) == before
+    # the in-commit abort dropped the day branches
+    for name in ("fp_index", "shingle_index"):
+        t = VersionedTable.load(spark, os.path.join(store.root, name))
+        assert not any(
+            b.startswith("ingest_day1") for b in t.branches()
+        )
+    # retry of the same day succeeds and publishes exactly once
+    report = store.commit_day(day, surv, day="day1")
+    assert report["day"] == "day1"
+    assert store.days() == ["day0", "day1"]
+    # duplicate-day re-ingest is rejected (the re-publish guard)
+    with pytest.raises(ValueError, match="already committed"):
+        store.commit_day(day, surv, day="day1")
+
+
+def test_store_time_travel_reproduces_past_decisions(
+    spark, corpus, tmp_path
+):
+    """Rollback semantics: reading the state AS OF day N-1 and
+    re-running day N's ingest against it reproduces day N's original
+    survivor decisions exactly — and resolving the POINTER at a
+    historic snapshot (``log_snapshot_id``, the engine's VERSION AS
+    OF applied to the state log) gives the same state as
+    ``as_of``."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    s0, _ = store.read_state()
+    surv1 = pipeline_curate_ingest_day(
+        spark, s0, d1, return_survivors=True
+    )
+    ids1 = {r["doc_id"] for r in surv1.collect()}
+    store.commit_day(d1, surv1, day="day1")
+
+    s1, _ = store.read_state()
+    surv2 = pipeline_curate_ingest_day(
+        spark, s1, d2, return_survivors=True
+    )
+    ids2 = {r["doc_id"] for r in surv2.collect()}
+    store.commit_day(d2, surv2, day="day2")
+
+    # time-travel to day1 and replay day2's ingest: identical decisions
+    s1_tt, meta1 = store.read_state(as_of="day1")
+    replay = pipeline_curate_ingest_day(
+        spark, s1_tt, d2, return_survivors=True
+    )
+    assert {r["doc_id"] for r in replay.collect()} == ids2
+    assert meta1["day"] == "day1"
+
+    # and to day0, replaying day1
+    s0_tt, _ = store.read_state(as_of="day0")
+    replay1 = pipeline_curate_ingest_day(
+        spark, s0_tt, d1, return_survivors=True
+    )
+    assert {r["doc_id"] for r in replay1.collect()} == ids1
+
+    # VERSION AS OF on the pointer itself: the log snapshot whose
+    # summary carries day1 resolves to the same state as as_of="day1"
+    log = store.log
+    snaps = {}
+    for s in log._snapshots():
+        d = (s.summary or {}).get("curate-day")
+        if d:
+            snaps[d] = s.snapshot_id
+    s1_vs, meta_vs = store.read_state(
+        log_snapshot_id=snaps["day1"]
+    )
+    assert _state_rows(s1_vs) == _state_rows(s1_tt)
+    assert meta_vs["day"] == "day1"
+
+
+def test_store_heal_finishes_published_housekeeping(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """The OTHER torn order: a crash AFTER the pointer append but
+    before the relation fast_forwards. Readers are unaffected (they
+    pin snapshot ids); ``heal`` — run implicitly by the next commit —
+    must finish the fast_forwards so the next day's branches carry
+    every published partition."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    surv1 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d1, return_survivors=True
+    )
+
+    real_ff = VersionedTable.fast_forward
+
+    def failing_ff(self, to_branch, from_branch):
+        raise RuntimeError("injected crash before housekeeping")
+
+    monkeypatch.setattr(VersionedTable, "fast_forward", failing_ff)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.commit_day(d1, surv1, day="day1")
+    monkeypatch.setattr(VersionedTable, "fast_forward", real_ff)
+
+    # published (the pointer moved) even though housekeeping died
+    assert store.days() == ["day0", "day1"]
+    after_crash = _state_rows(store.read_state()[0])
+
+    # the next commit heals first, then lands day2 on a main that
+    # carries day1 — nothing lost, nothing doubled
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    store.commit_day(d2, surv2, day="day2")
+    assert store.days() == ["day0", "day1", "day2"]
+    assert _state_rows(store.read_state(as_of="day1")[0]) == after_crash
+    # day2's state contains day1's fp partition (union survived heal)
+    s2, _ = store.read_state()
+    n_fp_all = s2.fp_index.count()
+    s1, _ = store.read_state(as_of="day1")
+    assert n_fp_all >= s1.fp_index.count()
