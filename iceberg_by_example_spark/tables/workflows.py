@@ -281,6 +281,71 @@ def curate_ingest_day(
     )
 
 
+def curate_cycle_day(
+    spark: SparkSession,
+    store,
+    batch: DataFrame,
+    location: str,
+    day: str,
+    wap_branch: str = "curate_audit",
+) -> dict:
+    """One full day of the steady-state loop against the VERSIONED
+    state store (``tables.curate_store.CurateStateStore``): probe
+    yesterday's committed state, gate the batch through the
+    incremental pipeline, publish the day's pack manifest through the
+    WAP gate, then publish the state advance as ONE pointer commit —
+    the r15 shape where the state refresh is itself an atomic,
+    rollback-able snapshot commit instead of a parquet rewrite.
+
+    The gates run ONCE: survivors come from
+    ``pipeline_curate_ingest_day(return_survivors=True)`` and feed
+    both the pack tail (``curate_pack_day`` — the same definition the
+    non-store ingest uses) and the state advance, so manifest and
+    state can never disagree about the day's decisions.
+
+    Two governance tables, two commits (manifest, then state). A
+    fully committed day re-run fails FAST (the guard below). A crash
+    BETWEEN the two commits leaves the manifest published and the
+    state unadvanced; re-running the whole day then fails the
+    manifest's duplicate-key audit BY DESIGN (no silent
+    double-publish), and ``store.commit_day`` alone completes the
+    cycle — recovery is explicit. Cross-table atomicity would need a
+    multi-table catalog transaction, which this engine (like
+    Iceberg's HadoopCatalog) does not claim; each table individually
+    is torn-proof."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        curate_pack_day,
+        pipeline_curate_ingest_day,
+    )
+
+    if day in store.days():
+        # fail as the re-publish guard, not as the monotone-watermark
+        # violation the already-advanced state would otherwise raise
+        # mid-ingest: the day's packs and state are both committed —
+        # read_state(as_of=day) reproduces them
+        raise ValueError(
+            f"day {day!r} is already committed to the state store — "
+            "a re-run must not double-publish"
+        )
+    state, _meta = store.read_state()
+    surv = pipeline_curate_ingest_day(
+        spark, state, batch, return_survivors=True
+    )
+    manifest = curate_pack_day(surv, state)
+    report = curate_publish(
+        spark,
+        sf_dir="",  # unused: the manifest is supplied
+        location=location,
+        run_label=day,
+        wap_branch=wap_branch,
+        manifest=manifest,
+    )
+    state_report = None
+    if report["published"]:
+        state_report = store.commit_day(batch, surv, day=day)
+    return {"manifest": report, "state": state_report}
+
+
 def curate_backfill(
     spark: SparkSession,
     sf_dir: str,
@@ -288,6 +353,7 @@ def curate_backfill(
     run_label: str = "backfill",
     wap_branch: str = "curate_audit",
     state_dir: str | None = None,
+    state_store=None,
 ) -> tuple:
     """The nightly backfill as ONE workflow: train the quality filter
     (``batch_trained_filter`` — the stored constants every later
@@ -297,6 +363,14 @@ def curate_backfill(
     ingests probe, and land the full pack manifest through
     write-audit-publish. Returns ``(state, report)`` — hand the state
     to ``curate_ingest_day`` for every following day.
+
+    Pass ``state_store`` (a ``CurateStateStore``) to land the state
+    in the VERSIONED governance layer instead of bare parquet: the
+    backfill becomes the store's day 0 (one atomic pointer publish),
+    and each following day runs ``curate_cycle_day`` — the returned
+    state is read back from the store, so it is materialized AND
+    rollback-able. ``state_dir`` remains the plain-parquet form the
+    bench demo owns; ``state_store`` wins when both are given.
 
     The returned state is MATERIALIZED, never a lazy plan over the
     corpus (r14 review fix — a lazy state would re-run the full
@@ -337,7 +411,10 @@ def curate_backfill(
         state = build_curate_state(
             spark, docs, w2, keep_micro, survivors=surv
         )
-        if state_dir is not None:
+        if state_store is not None:
+            state_store.commit_backfill(state, day=run_label)
+            state, _ = state_store.read_state()
+        elif state_dir is not None:
             write_curate_state(state, state_dir)
             state, _ = read_curate_state(spark, state_dir)
         else:

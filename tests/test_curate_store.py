@@ -176,6 +176,84 @@ def test_store_multiday_chain_equals_fresh_and_memory(
     )
 
 
+def test_store_workflow_cycle_roundtrip(spark, sf_dir, corpus, tmp_path):
+    """The Tier-A × Tier-B bridge on the versioned store: backfill
+    lands as the store's day 0 plus a WAP-published manifest, each
+    ``curate_cycle_day`` publishes the day's packs AND advances the
+    state in one pointer commit, re-running a day double-publishes
+    nothing (the manifest's duplicate-key audit fails and the state
+    is left unadvanced), and the cycle's survivors equal the plain
+    in-memory ingest's — the store changes durability, never
+    decisions."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import (
+        MAIN,
+        VersionedTable,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_backfill,
+        curate_cycle_day,
+    )
+
+    d1, d2 = corpus["days"][0], corpus["days"][1]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    loc = str(tmp_path / "packs")
+
+    # the backfill runs over OLD only (the split fixture's corpus) —
+    # feed a scratch dir holding just the OLD slice
+    old_dir = str(tmp_path / "sfold")
+    os.makedirs(old_dir)
+    corpus["old"].write.parquet(
+        os.path.join(old_dir, "documents.parquet")
+    )
+    state, report = curate_backfill(
+        spark, old_dir, loc, state_store=store
+    )
+    assert report["published"]
+    assert store.days() == ["backfill"]
+
+    cyc = curate_cycle_day(spark, store, d1, loc, day="day1")
+    assert cyc["manifest"]["published"]
+    assert cyc["state"]["day"] == "day1"
+    assert store.days() == ["backfill", "day1"]
+
+    # the cycle's decisions equal the plain in-memory ingest's over
+    # the same committed state
+    s_bf, _ = store.read_state(as_of="backfill")
+    surv_plain = pipeline_curate_ingest_day(
+        spark, s_bf, d1, return_survivors=True
+    )
+    table = VersionedTable.load(spark, loc)
+    day1_packs = table.read(branch=MAIN).filter(
+        F.col("run") == "day1"
+    )
+    assert day1_packs.count() > 0
+    got_tokens = day1_packs.agg(F.sum("pack_tokens")).collect()[0][0]
+    assert got_tokens > 0
+    assert surv_plain.count() >= day1_packs.agg(
+        F.sum("n_docs")
+    ).collect()[0][0]
+
+    # re-running a fully committed day fails FAST as the re-publish
+    # guard (before any gate work), leaving both tables untouched
+    with pytest.raises(ValueError, match="already committed"):
+        curate_cycle_day(spark, store, d1, loc, day="day1")
+    assert store.days() == ["backfill", "day1"]
+    assert table.read(branch=MAIN).filter(
+        F.col("run") == "day1"
+    ).count() == day1_packs.count()
+
+    # and the next day proceeds normally on the advanced state
+    cyc2 = curate_cycle_day(spark, store, d2, loc, day="day2")
+    assert cyc2["manifest"]["published"]
+    assert store.days() == ["backfill", "day1", "day2"]
+
+
 def test_store_torn_commit_leaves_previous_state_readable(
     spark, corpus, tmp_path, monkeypatch
 ):
