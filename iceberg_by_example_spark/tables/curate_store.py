@@ -383,6 +383,87 @@ class CurateStateStore:
             },
         )
 
+    def compact(self) -> dict:
+        """The maintenance half of the LSM trade the store makes: the
+        read-side-merge relations accumulate one partial partition per
+        day (censuses, source masses) and one duplicate-able partition
+        per day (fingerprints, bench vocabulary re-ingested on later
+        days), so their row counts grow O(days × day-distinct keys).
+        ``compact`` rewrites each as its already-aggregated /
+        deduplicated form in ONE ``replace`` snapshot per relation,
+        published — like a day — through a single pointer append
+        (relation ids carried forward for the untouched postings/key
+        indexes, meta unchanged, day label ``compact<seq>``).
+
+        Correctness is definitional: ``read_state`` aggregates partials
+        lazily, so replacing them with their aggregate changes no
+        relation's row set — pinned by pytest (state equal before and
+        after, history still time-travels to pre-compaction days).
+        Cost is O(index) READ once, by choice, exactly like
+        ``rewrite_data_files`` — a periodic maintenance job, never on
+        the daily commit path."""
+        self.heal()
+        snaps, meta = self._resolve(None, None)
+        day = f"compact{meta['seq'] + 1}"
+        branch = f"ingest_{day}"
+        specs = {
+            "shingle_census": lambda df: df.groupBy("shingle").agg(
+                F.sum("df").alias("df")
+            ),
+            "winnow_census": lambda df: df.groupBy("k").agg(
+                F.sum("df").alias("df")
+            ),
+            "source_stats": lambda df: df.groupBy("source").agg(
+                F.sum("source_tokens").alias("source_tokens")
+            ),
+            "fp_index": lambda df: df.distinct(),
+            "bench_vocab": lambda df: df.distinct(),
+        }
+        new_snaps = dict(snaps)
+        compacted: list[str] = []
+        touched: list[VersionedTable] = []
+        try:
+            for name, agg in specs.items():
+                if name not in snaps:
+                    continue
+                t = self._table(name)
+                cur = t.read(snapshot_id=snaps[name]).drop("day")
+                t.create_branch(branch, from_branch=MAIN)
+                touched.append(t)
+                snap = t.replace(
+                    agg(cur).select("*", F.lit(day).alias("day")),
+                    branch=branch,
+                )
+                new_snaps[name] = snap.snapshot_id
+                compacted.append(name)
+        except Exception:
+            for t in touched:
+                t.drop_branch(branch)
+            raise
+        rows = [
+            (meta["seq"] + 1, day, name, sid, None, None, None)
+            for name, sid in sorted(new_snaps.items())
+        ] + [
+            (
+                meta["seq"] + 1,
+                day,
+                _META_RELATION,
+                None,
+                json.dumps(meta["w2"]),
+                int(meta["keep_micro"]),
+                int(meta["max_doc_id"]),
+            )
+        ]
+        self.log.append(
+            self.spark.createDataFrame(rows, _LOG_DDL),
+            branch=MAIN,
+            summary_extra={"curate-day": day},
+        )
+        for t in touched:
+            t.fast_forward(MAIN, branch)
+            t.drop_branch(branch)
+        return {"day": day, "compacted": compacted}
+
     # -- reads ---------------------------------------------------------------
 
     def _committed_relations(self) -> set:
@@ -462,9 +543,19 @@ class CurateStateStore:
                 .drop("day")
             )
 
+        from iceberg_by_example_spark.util import detach
+
         fp = rel("fp_index").distinct()
         vocab = rel("bench_vocab").distinct()
-        sc = (
+        # the census SUM over the day partials is materialized ONCE
+        # per read_state (detach): the ingest consumes the census
+        # several times (hot filter, extra_hot, probe), and each lazy
+        # consumption would repay the keys-only aggregation shuffle.
+        # The aggregation is O(census keys) keys-only rows; compact()
+        # bounds the partial tail, and at production scale the census
+        # table lives bucketed on its key (the winnow_index_table
+        # pattern) so even this exchange disappears.
+        sc = detach(
             rel("shingle_census")
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
@@ -472,7 +563,9 @@ class CurateStateStore:
         wi = rel("winnow_index")
         wc = rel("winnow_census")
         if wc is not None:
-            wc = wc.groupBy("k").agg(F.sum("df").alias("df"))
+            wc = detach(
+                wc.groupBy("k").agg(F.sum("df").alias("df"))
+            )
         stats = (
             rel("source_stats")
             .groupBy("source")

@@ -851,6 +851,32 @@ class VersionedTable:
             expected_parent_id=cur.snapshot_id,
         )
 
+    def replace(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        summary_extra: dict | None = None,
+    ) -> Snapshot:
+        """INSERT OVERWRITE semantics (Iceberg's ``replace``
+        operation): ONE commit whose file list is exactly the new
+        data — the old rows stay readable through every earlier
+        snapshot (time travel is unaffected) and reclaimable only by
+        ``expire_snapshots`` + ``remove_orphan_files``, exactly like
+        any other rewrite. The compaction primitive for
+        read-side-merge layouts (e.g. the curation store's census
+        partials): rewrite the accumulated partial rows as their
+        aggregate in a single snapshot-isolated swap."""
+        branch = self._resolve_write_branch(branch)
+        new_files = self._write_data(df)
+        cur = self._current(branch)
+        return self._commit(
+            branch,
+            "replace",
+            new_files,
+            {"added-files": len(new_files), **(summary_extra or {})},
+            expected_parent_id=cur.snapshot_id,
+        )
+
     def _merge_schema(self, df: DataFrame) -> None:
         """Schema evolution: add ``df``'s new columns (as nullable) to
         the declared DDL. Type changes are rejected — same stance as

@@ -384,6 +384,73 @@ def test_store_time_travel_reproduces_past_decisions(
     assert meta_vs["day"] == "day1"
 
 
+def test_store_compact_preserves_state_and_shrinks_partials(
+    spark, corpus, tmp_path
+):
+    """The LSM maintenance half: censuses/masses accumulate one
+    partial partition per day, fingerprints/vocab one duplicate-able
+    partition per day; ``compact`` rewrites each as its aggregate in
+    one replace snapshot per relation + one pointer publish. Pins:
+    the resolved state is IDENTICAL before and after (read-side
+    aggregation means compaction is definitionally invisible), the
+    stored partial rows shrink to the aggregate's count, pre-
+    compaction days still time-travel, and the next day commits on
+    the compacted base exactly as it would have."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import MAIN
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    for i, day in enumerate((d1, d2), start=1):
+        surv = pipeline_curate_ingest_day(
+            spark, store.read_state()[0], day, return_survivors=True
+        )
+        store.commit_day(day, surv, day=f"day{i}")
+
+    before = _state_rows(store.read_state()[0])
+    day1_before = _state_rows(store.read_state(as_of="day1")[0])
+    census_tbl = store._table("shingle_census")
+    pre_rows = census_tbl.read(branch=MAIN).count()
+
+    rep = store.compact()
+    assert {"shingle_census", "source_stats", "fp_index",
+            "bench_vocab"} <= set(rep["compacted"])
+    assert store.days()[-1] == rep["day"]
+
+    after = _state_rows(store.read_state()[0])
+    assert after == before
+    post_rows = census_tbl.read(branch=MAIN).count()
+    agg_rows = len(before["shingle_census"])
+    assert post_rows == agg_rows
+    assert post_rows <= pre_rows
+    assert pre_rows > agg_rows  # non-vacuous: partials had accumulated
+
+    # pre-compaction history still time-travels
+    assert _state_rows(store.read_state(as_of="day1")[0]) == day1_before
+
+    # the next day lands on the compacted base as if nothing happened
+    surv3 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d3, return_survivors=True
+    )
+    store.commit_day(d3, surv3, day="day3")
+    assert store.days()[-1] == "day3"
+    s3, _ = store.read_state()
+    assert s3.max_doc_id == max(
+        r["doc_id"] for r in d3.select("doc_id").collect()
+    )
+
+
 def test_store_heal_finishes_published_housekeeping(
     spark, corpus, tmp_path, monkeypatch
 ):
