@@ -384,6 +384,44 @@ def test_store_time_travel_reproduces_past_decisions(
     assert meta_vs["day"] == "day1"
 
 
+def test_store_commits_ignore_ambient_wap_session(
+    spark, corpus, tmp_path
+):
+    """Governance interplay: the store's appends/reads pass explicit
+    branches or pinned snapshot ids everywhere, so an ambient
+    ``spark.wap.branch`` session (e.g. the manifest publish the daily
+    workflow wraps around the same spark session) must NEVER reroute
+    a state commit onto a WAP branch or a state read onto someone
+    else's audit branch."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import wap_session
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    with wap_session(spark, "someone_elses_audit"):
+        store.commit_backfill(
+            build_curate_state(spark, old, w2, keep_micro), day="day0"
+        )
+        surv = pipeline_curate_ingest_day(
+            spark, store.read_state()[0], day, return_survivors=True
+        )
+        store.commit_day(day, surv, day="day1")
+        inside = _state_rows(store.read_state()[0])
+    # identical outside the WAP session: nothing landed on (or was
+    # read from) the ambient branch
+    outside = _state_rows(store.read_state()[0])
+    assert outside == inside
+    assert store.days() == ["day0", "day1"]
+
+
 def test_store_compact_preserves_state_and_shrinks_partials(
     spark, corpus, tmp_path
 ):
