@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,7 @@ _RELATIONS = (
     "winnow_census",
 )
 _META_RELATION = "_meta"
+_COMPACT_LABEL = re.compile(r"compact\d+")
 
 _LOG_DDL = (
     "seq bigint, day string, relation string, snapshot_id string, "
@@ -190,6 +192,16 @@ class CurateStateStore:
         appends on the ``ingest_<day>`` branches, O(delta) audits on
         the branches, then ONE ``state_log`` append that makes the
         whole day visible atomically, then housekeeping."""
+        if not day:
+            raise ValueError("day label must be non-empty")
+        if _COMPACT_LABEL.fullmatch(day):
+            # ``compact()`` stamps its pointer rows ``compact<seq>``
+            # (its own append, not this path); a user day reusing that
+            # spelling would collide with a later compaction's label
+            # and make ``as_of`` ambiguous
+            raise ValueError(
+                f"day label {day!r} is reserved for compaction commits"
+            )
         if day in self.days():
             raise ValueError(
                 f"day {day!r} is already committed — a re-ingest must "
@@ -197,7 +209,20 @@ class CurateStateStore:
             )
         self.heal()
         branch = f"ingest_{day}"
-        snap_ids: dict[str, str] = {}
+        # a relation with no delta this day CARRIES its previous pin
+        # forward into the pointer rows (the compact() stance):
+        # _resolve reads only the target seq's rows, so omitting the
+        # relation would silently sever the standing index from every
+        # read at or after this day
+        snap_ids: dict[str, str] = (
+            {
+                k: v
+                for k, v in self._resolve(None, None)[0].items()
+                if deltas.get(k) is None
+            }
+            if self.days()
+            else {}
+        )
         appended: list[VersionedTable] = []
         try:
             for name in _RELATIONS:
@@ -245,7 +270,16 @@ class CurateStateStore:
         for t in appended:
             t.fast_forward(MAIN, branch)
             t.drop_branch(branch)
-        return {"day": day, "seq": seq, "relations": sorted(snap_ids)}
+        return {
+            "day": day,
+            "seq": seq,
+            "relations": sorted(
+                n for n in snap_ids if deltas.get(n) is not None
+            ),
+            "carried": sorted(
+                n for n in snap_ids if deltas.get(n) is None
+            ),
+        }
 
     def _audit(
         self, day: str, branch: str, deltas: dict[str, DataFrame | None]
@@ -463,6 +497,47 @@ class CurateStateStore:
             t.fast_forward(MAIN, branch)
             t.drop_branch(branch)
         return {"day": day, "compacted": compacted}
+
+    def maintain(self) -> dict:
+        """Storage GC for the store — the maintenance trio
+        (``expire_snapshots`` → ``remove_orphan_files`` →
+        ``rewrite_manifests``, the reference's C4/C1/C3 sequence,
+        LT:158-163) applied to every relation table and the pointer
+        log. ``heal()`` promises that a torn commit's appended files
+        'become unreferenced and ``remove_orphan_files`` can reclaim
+        them later' — this is the later: heal drops the torn
+        branches, expiry (``retain_last=0`` — every committed day's
+        pin is a main ancestor, so the live set protects ALL history
+        the pointer can reach; the timestamp tail would only shield
+        dangling garbage) removes the now-unreachable snapshots, and
+        orphan GC deletes their data files.
+
+        What it does NOT reclaim, by design: pre-compaction partials.
+        ``compact()`` rewrites a relation, but the replaced files stay
+        referenced by every earlier day's pinned snapshot — main
+        ancestors, hence live. Reclaiming them needs a retention
+        policy that truncates the pointer's own history (drops old
+        days from the log and their branches' ancestry), which this
+        store intentionally does not offer yet: every committed day
+        stays reproducible."""
+        report = {"healed": self.heal(), "tables": {}}
+        names = list(_RELATIONS) + ["state_log"]
+        for name in names:
+            loc = self._loc(name)
+            if not os.path.exists(
+                os.path.join(loc, "_meta", "table.json")
+            ):
+                continue
+            t = VersionedTable.load(self.spark, loc)
+            expired = t.expire_snapshots(retain_last=0)
+            orphans = t.remove_orphan_files()
+            manifests = t.rewrite_manifests()
+            report["tables"][name] = {
+                "expired_snapshots": len(expired),
+                "orphan_files_removed": len(orphans),
+                "manifest_files_removed": manifests,
+            }
+        return report
 
     # -- reads ---------------------------------------------------------------
 

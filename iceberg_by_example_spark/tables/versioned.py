@@ -2132,9 +2132,18 @@ class VersionedTable:
         strictly older than it (Iceberg's contract: the timestamp bounds
         what MAY expire; branch ancestors and the retained tail survive
         regardless of age). ``older_than`` accepts epoch millis or a
-        ``datetime``. Returns expired ids."""
+        ``datetime``. Returns expired ids.
+
+        ``retain_last=0`` is allowed (stricter than Iceberg's ≥1,
+        which exists to protect the current snapshot — here branch
+        heads and their ancestry are in the live set regardless): it
+        retains NO timestamp tail, so dangling snapshots (dropped
+        audit branches) expire even when they are the newest — the
+        form storage GC of a torn write-audit-publish commit needs."""
         import datetime as _dt
 
+        if retain_last < 0:
+            raise ValueError("retain_last must be >= 0")
         if isinstance(older_than, _dt.datetime):
             older_than = older_than.timestamp() * 1000
         snaps = self._snapshots()
@@ -2145,10 +2154,12 @@ class VersionedTable:
             while cur is not None and cur not in live:
                 live.add(cur)
                 cur = by_id[cur].parent_id if by_id[cur].parent_id in by_id else None
+        # [-0:] would slice the WHOLE list — retain_last=0 means an
+        # EMPTY tail, not everything
         recent = {
             s.snapshot_id
             for s in sorted(snaps, key=lambda s: s.timestamp_ms)[-retain_last:]
-        }
+        } if retain_last else set()
         keep = live | recent
         if older_than is not None:
             keep |= {

@@ -544,3 +544,183 @@ def test_store_heal_finishes_published_housekeeping(
     n_fp_all = s2.fp_index.count()
     s1, _ = store.read_state(as_of="day1")
     assert n_fp_all >= s1.fp_index.count()
+
+
+def test_store_maintain_reclaims_torn_commit_garbage(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """``heal()`` promises a torn commit's appended files 'become
+    unreferenced and remove_orphan_files can reclaim them later';
+    ``maintain()`` is the later. Inject the same mid-commit crash the
+    atomicity pin uses, then GC: the dangling snapshots expire, their
+    data files are deleted (store bytes shrink), every committed
+    day's read is untouched, a second maintain is a no-op, and the
+    store still commits cleanly on the GC'd base."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store.commit_backfill(st0, day="day0")
+    before = _state_rows(store.read_state()[0])
+
+    surv = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], day, return_survivors=True
+    )
+
+    real_append = VersionedTable.append
+    calls = {"n": 0}
+
+    def failing_append(self, df, branch=None, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # after 2 relation deltas landed
+            raise RuntimeError("injected crash between index writes")
+        return real_append(self, df, branch=branch, **kw)
+
+    monkeypatch.setattr(VersionedTable, "append", failing_append)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.commit_day(day, surv, day="day1")
+    monkeypatch.setattr(VersionedTable, "append", real_append)
+
+    bytes_before = _dir_bytes(store.root)
+    report = store.maintain()
+    expired = sum(
+        r["expired_snapshots"] for r in report["tables"].values()
+    )
+    orphaned = sum(
+        r["orphan_files_removed"] for r in report["tables"].values()
+    )
+    assert expired >= 2  # the two landed-then-aborted relation deltas
+    assert orphaned >= 1
+    assert _dir_bytes(store.root) < bytes_before
+    # committed history untouched: latest and as_of both still exact
+    assert store.days() == ["day0"]
+    assert _state_rows(store.read_state()[0]) == before
+    assert _state_rows(store.read_state(as_of="day0")[0]) == before
+    # idempotent: a second pass finds nothing to GC
+    again = store.maintain()
+    assert (
+        sum(r["expired_snapshots"] for r in again["tables"].values())
+        == 0
+    )
+    assert (
+        sum(
+            r["orphan_files_removed"]
+            for r in again["tables"].values()
+        )
+        == 0
+    )
+    # the GC'd base still takes the day's retry
+    store.commit_day(day, surv, day="day1")
+    assert store.days() == ["day0", "day1"]
+
+
+def test_store_commit_carries_forward_missing_relation_pins(
+    spark, corpus, tmp_path
+):
+    """A relation with NO delta on a later day must keep resolving at
+    that day: ``_commit`` carries the previous pin forward into the
+    pointer rows (the ``compact()`` stance) — ``_resolve`` reads only
+    the target seq's rows, so omitting the relation would silently
+    sever the standing index from every read at or after the day."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old = corpus["old"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store.commit_backfill(st0, day="day0")
+    before = _state_rows(store.read_state()[0])
+
+    meta = store._resolve(None, None)[1]
+    report = store._commit(
+        "day1",
+        {"fp_index": spark.createDataFrame(
+            [("not-a-real-fp",)], "fp string"
+        )},
+        meta={
+            "w2": meta["w2"],
+            "keep_micro": meta["keep_micro"],
+            "max_doc_id": meta["max_doc_id"],
+        },
+    )
+    assert report["relations"] == ["fp_index"]
+    assert set(report["carried"]) == {
+        "bench_vocab",
+        "shingle_census",
+        "shingle_index",
+        "source_stats",
+        "winnow_census",
+        "winnow_index",
+    }
+    after = _state_rows(store.read_state()[0])
+    # the delta landed on top of the standing fingerprints...
+    assert ("not-a-real-fp",) in set(after["fp_index"])
+    assert len(after["fp_index"]) == len(before["fp_index"]) + 1
+    # ...and every delta-less relation still serves the carried pin
+    for rel in (
+        "shingle_index",
+        "shingle_census",
+        "bench_vocab",
+        "source_stats",
+        "winnow_index",
+        "winnow_census",
+    ):
+        assert after[rel] == before[rel]
+    # as_of day1 resolves all seven relations, none severed
+    snaps, _ = store._resolve("day1", None)
+    assert len(snaps) == 7
+
+
+def test_store_rejects_reserved_and_empty_day_labels(
+    spark, corpus, tmp_path
+):
+    """``compact()`` stamps its pointer rows ``compact<seq>`` through
+    its own append path; a user day reusing that spelling would
+    collide with a later compaction's label and make ``as_of``
+    ambiguous — the commit path reserves it (and an empty label)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store.commit_backfill(st0, day="day0")
+    surv = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], day, return_survivors=True
+    )
+    with pytest.raises(ValueError, match="reserved for compaction"):
+        store.commit_day(day, surv, day="compact1")
+    with pytest.raises(ValueError, match="non-empty"):
+        store.commit_day(day, surv, day="")
+    # nothing landed: the guard fires before any branch is cut
+    assert store.days() == ["day0"]
+    for rel in ("fp_index", "shingle_index"):
+        from iceberg_by_example_spark.tables.versioned import (
+            VersionedTable,
+        )
+
+        t = VersionedTable.load(spark, os.path.join(store.root, rel))
+        assert not [b for b in t.branches() if b.startswith("ingest_c")]

@@ -1637,3 +1637,35 @@ def test_curate_backfill_then_ingest_day_roundtrip(
         tuple(r)
         for r in table.read().filter(F.col("run") == "night0").collect()
     } == want_full
+
+
+def test_expire_snapshots_retain_zero_drops_dangling_tail(spark, tmp_path):
+    """``retain_last=0`` retains NO timestamp tail: a dangling
+    snapshot (a dropped audit branch's append) expires even as the
+    table's newest — the storage-GC form a torn write-audit-publish
+    commit needs. Branch ancestry stays live regardless. (Guards the
+    ``[-0:]`` slicing edge, which would have kept EVERYTHING.)"""
+    import pytest
+
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "rz"), schema="id bigint"
+    )
+    t.append(spark.range(0, 1))
+    keep = t.append(spark.range(1, 2))
+    t.create_branch("wap")
+    torn = t.append(spark.range(2, 3), branch="wap")
+    t.drop_branch("wap")
+
+    with pytest.raises(ValueError, match="retain_last"):
+        t.expire_snapshots(retain_last=-1)
+    expired = t.expire_snapshots(retain_last=0)
+    assert expired == [torn.snapshot_id]
+    # main's full ancestry survived — history still reads
+    assert t.read().count() == 2
+    assert t.read(snapshot_id=keep.snapshot_id).count() == 2
+    # the expired append's data files are orphans now, and reclaimable
+    orphans = t.remove_orphan_files()
+    assert orphans
+    assert t.read().count() == 2
