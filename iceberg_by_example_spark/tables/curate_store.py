@@ -69,6 +69,23 @@ _RELATIONS = (
 _META_RELATION = "_meta"
 _COMPACT_LABEL = re.compile(r"compact\d+")
 
+# the standing relations the daily gates JOIN against (not just
+# aggregate): relation -> (bucket column, distinct-at-write). These
+# get a BUCKETED probe mirror so the index side of the fingerprint
+# anti-join and the postings/winnow probes carries no Exchange and no
+# per-day Sort — the ``winnow_index_table`` trick applied to the
+# store (the censuses/masses stay read-side SUMs over the partials;
+# they are keys-only aggregates, not join probes).
+_MIRROR_SPECS = {
+    "fp_index": ("fp", True),
+    "shingle_index": ("shingle", False),
+    "winnow_index": ("k", False),
+}
+# test-scale bucket count (matches WINNOW_INDEX_BUCKETS); a production
+# deployment sizes this once at backfill: index bytes / target
+# partition size, fixed thereafter so every refresh co-locates
+MIRROR_BUCKETS = 8
+
 _LOG_DDL = (
     "seq bigint, day string, relation string, snapshot_id string, "
     "w2 string, keep_micro bigint, max_doc_id bigint"
@@ -539,6 +556,128 @@ class CurateStateStore:
             }
         return report
 
+    # -- bucketed probe mirror ------------------------------------------------
+
+    def _mirror_dir(self) -> str:
+        return os.path.join(self.root, "_mirror")
+
+    def _mirror_db(self) -> str:
+        import hashlib
+
+        return (
+            "curate_mirror_"
+            + hashlib.md5(self.root.encode()).hexdigest()[:10]
+        )
+
+    def _ensure_mirror_db(self) -> str:
+        db = self._mirror_db()
+        if not self.spark.catalog.databaseExists(db):
+            os.makedirs(self._mirror_dir(), exist_ok=True)
+            self.spark.sql(
+                f"CREATE DATABASE {db} "
+                f"LOCATION '{self._mirror_dir()}'"
+            )
+        return db
+
+    def refresh_probe_mirror(self) -> dict:
+        """Rewrite the join-probed standing relations (fingerprints,
+        shingle postings, winnow keys) as tables BUCKETED on their
+        probe key — the pay-once-shuffle-never form: with the mirror
+        fresh, the daily gates' fingerprint anti-join and postings/
+        winnow probe joins carry NO index-side Exchange and no
+        per-day Sort (the buckets are written pre-sorted); only the
+        O(batch) side shuffles. O(index) read+write ONCE, by choice —
+        a periodic maintenance job exactly like ``compact()``, never
+        on the daily commit path.
+
+        The mirror is stamped with the pointer seq it covers;
+        ``read_state`` serves it ONLY while it is current (a later
+        ``commit_day`` silently falls back to the plain pinned reads,
+        which stay correct — the mirror is a physical-layout
+        optimization, never a correctness dependency). Tables are
+        EXTERNAL (files under ``<root>/_mirror``) and re-registered
+        from the stamp when a fresh session's catalog lacks them."""
+        import shutil
+
+        snaps, meta = self._resolve(None, None)
+        seq = meta["seq"]
+        db = self._ensure_mirror_db()
+        loc = self._mirror_dir()
+        stamp_tables: dict[str, dict] = {}
+        for name, (col, dedup) in _MIRROR_SPECS.items():
+            if name not in snaps:
+                continue
+            df = (
+                self._table(name)
+                .read(snapshot_id=snaps[name])
+                .drop("day")
+            )
+            if dedup:
+                df = df.distinct()
+            tbl = f"{name}_seq{seq}"
+            full = f"{db}.{tbl}"
+            tdir = os.path.join(loc, tbl)
+            if self.spark.catalog.tableExists(full):
+                self.spark.sql(f"DROP TABLE {full}")
+            shutil.rmtree(tdir, ignore_errors=True)
+            (
+                df.write.bucketBy(MIRROR_BUCKETS, col)
+                .sortBy(col)
+                .option("path", tdir)
+                .saveAsTable(full)
+            )
+            stamp_tables[name] = {
+                "table": full,
+                "dir": tdir,
+                "bucket_col": col,
+                "n_buckets": MIRROR_BUCKETS,
+                "ddl": _ddl_of(df),
+            }
+        # retire superseded mirrors (external tables: drop the catalog
+        # entry AND the files)
+        keep = {os.path.basename(i["dir"]) for i in stamp_tables.values()}
+        for entry in os.listdir(loc):
+            if entry == "_STAMP" or entry in keep:
+                continue
+            if self.spark.catalog.tableExists(f"{db}.{entry}"):
+                self.spark.sql(f"DROP TABLE {db}.{entry}")
+            shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
+        tmp = os.path.join(loc, "_STAMP.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq, "tables": stamp_tables}, f)
+        os.replace(tmp, os.path.join(loc, "_STAMP"))
+        return {"seq": seq, "mirrored": sorted(stamp_tables)}
+
+    def _mirror_tables(self, meta: dict) -> dict:
+        """relation → bucketed DataFrame, ONLY when the stamped
+        mirror covers exactly the requested seq; {} otherwise (the
+        caller falls back to the plain pinned reads)."""
+        path = os.path.join(self._mirror_dir(), "_STAMP")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            stamp = json.load(f)
+        if stamp["seq"] != meta["seq"]:
+            return {}
+        out: dict[str, DataFrame] = {}
+        for name, info in stamp["tables"].items():
+            full = info["table"]
+            if not self.spark.catalog.tableExists(full):
+                # fresh session: re-register the external bucketed
+                # table over the stamped files (bucket ids live in
+                # the file names; the spec lives in this DDL)
+                self._ensure_mirror_db()
+                self.spark.sql(
+                    f"CREATE TABLE {full} ({info['ddl']}) "
+                    f"USING PARQUET "
+                    f"CLUSTERED BY ({info['bucket_col']}) "
+                    f"SORTED BY ({info['bucket_col']}) "
+                    f"INTO {info['n_buckets']} BUCKETS "
+                    f"LOCATION '{info['dir']}'"
+                )
+            out[name] = self.spark.table(full)
+        return out
+
     # -- reads ---------------------------------------------------------------
 
     def _committed_relations(self) -> set:
@@ -592,6 +731,7 @@ class CurateStateStore:
         self,
         as_of: str | None = None,
         log_snapshot_id: str | None = None,
+        prefer_mirror: bool = True,
     ):
         """The ``CurateState`` as of a committed day (default: the
         latest). Relations resolve through the pointer's PINNED
@@ -602,12 +742,20 @@ class CurateStateStore:
         census partials, ``SUM(source_tokens)`` over the mass
         partials. ``log_snapshot_id`` resolves the POINTER itself at a
         historic snapshot (``VERSION AS OF`` on the log table) — the
-        same answer as ``as_of`` for any day committed then."""
+        same answer as ``as_of`` for any day committed then.
+
+        When a ``refresh_probe_mirror`` stamp covers exactly the
+        requested seq (and ``prefer_mirror``), the join-probed
+        relations are served from their BUCKETED mirror tables — same
+        rows, exchange-free probe plans; any staleness (a day
+        committed after the refresh) silently falls back to the plain
+        pinned reads."""
         from iceberg_by_example_spark.operators.pipeline import (
             CurateState,
         )
 
         snaps, meta = self._resolve(as_of, log_snapshot_id)
+        mirror = self._mirror_tables(meta) if prefer_mirror else {}
 
         def rel(name: str) -> DataFrame | None:
             if name not in snaps:
@@ -620,7 +768,11 @@ class CurateStateStore:
 
         from iceberg_by_example_spark.util import detach
 
-        fp = rel("fp_index").distinct()
+        fp = (
+            mirror["fp_index"]
+            if "fp_index" in mirror
+            else rel("fp_index").distinct()
+        )
         vocab = rel("bench_vocab").distinct()
         # the census SUM over the day partials is materialized ONCE
         # per read_state (detach): the ingest consumes the census
@@ -635,7 +787,11 @@ class CurateStateStore:
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
         )
-        wi = rel("winnow_index")
+        wi = (
+            mirror["winnow_index"]
+            if "winnow_index" in mirror
+            else rel("winnow_index")
+        )
         wc = rel("winnow_census")
         if wc is not None:
             wc = detach(
@@ -649,7 +805,11 @@ class CurateStateStore:
         return (
             CurateState(
                 fp_index=fp,
-                shingle_index=rel("shingle_index"),
+                shingle_index=(
+                    mirror["shingle_index"]
+                    if "shingle_index" in mirror
+                    else rel("shingle_index")
+                ),
                 shingle_census=sc,
                 bench_vocab=vocab,
                 w2=meta["w2"],

@@ -724,3 +724,128 @@ def test_store_rejects_reserved_and_empty_day_labels(
 
         t = VersionedTable.load(spark, os.path.join(store.root, rel))
         assert not [b for b in t.branches() if b.startswith("ingest_c")]
+
+
+def test_store_probe_mirror_bucketed_exchange_free_and_stale_safe(
+    spark, corpus, tmp_path
+):
+    """The bucketed probe mirror (``refresh_probe_mirror``): same
+    rows as the plain pinned reads, exchange-free probe plans while
+    the stamp covers the requested seq, SILENT fallback the moment a
+    later day commits (the mirror is a physical-layout optimization,
+    never a correctness dependency), and re-registration of the
+    external bucketed tables when the session catalog lacks them."""
+    from iceberg_by_example_spark.functions.text import fingerprint
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    surv1 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d1, return_survivors=True
+    )
+    store.commit_day(d1, surv1, day="day1")
+
+    refreshed = store.refresh_probe_mirror()
+    assert refreshed["mirrored"] == [
+        "fp_index",
+        "shingle_index",
+        "winnow_index",
+    ]
+
+    plain = store.read_state(prefer_mirror=False)[0]
+    mirrored = store.read_state()[0]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for relname in ("fp_index", "shingle_index", "winnow_index"):
+        assert rows(getattr(mirrored, relname)) == rows(
+            getattr(plain, relname)
+        ), relname
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the fingerprint anti-join: index side reads its buckets,
+        # only the O(batch) side exchanges (plan read BEFORE
+        # executing — AQE bookkeeping double-counts after)
+        probe = d2.select(
+            fingerprint("text").alias("fp"), "doc_id"
+        ).join(mirrored.fp_index, "fp", "left_anti")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1
+        # decisions are layout-independent: full gate chain equal
+        s_m = {
+            r["doc_id"]
+            for r in pipeline_curate_ingest_day(
+                spark, mirrored, d2, return_survivors=True
+            ).select("doc_id").collect()
+        }
+        s_p = {
+            r["doc_id"]
+            for r in pipeline_curate_ingest_day(
+                spark, plain, d2, return_survivors=True
+            ).select("doc_id").collect()
+        }
+        assert s_m == s_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # staleness: a later commit silently falls back to plain reads
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    store.commit_day(d2, surv2, day="day2")
+    stale = store.read_state()[0]
+    fp_plan = (
+        stale.fp_index._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_seq" not in fp_plan  # no mirror table scan
+    d2_fps = {
+        r["fp"]
+        for r in d2.select(fingerprint("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert d2_fps <= {r["fp"] for r in stale.fp_index.collect()}
+    # as_of the day the stamp covers → the mirror serves again (a
+    # BARE scan shows Bucketed: false — DisableUnnecessaryBucketedScan
+    # — so bucket exploitation is asserted on join plans only)
+    again = store.read_state(as_of="day1")[0]
+    ap = again.fp_index._jdf.queryExecution().executedPlan().toString()
+    assert "fp_index_seq" in ap
+    # fresh-session catalog: drop the entries (files stay — the
+    # tables are external); read_state re-registers from the stamp
+    db = store._mirror_db()
+    for t in (
+        "fp_index_seq1",
+        "shingle_index_seq1",
+        "winnow_index_seq1",
+    ):
+        spark.sql(f"DROP TABLE {db}.{t}")
+    re_read = store.read_state(as_of="day1")[0]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        reprobe = d2.select(
+            fingerprint("text").alias("fp"), "doc_id"
+        ).join(re_read.fp_index, "fp", "left_anti")
+        rp = (
+            reprobe._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in rp
+        assert rp.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows(re_read.fp_index) == rows(plain.fp_index)
