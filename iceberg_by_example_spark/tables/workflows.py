@@ -354,6 +354,7 @@ def curate_backfill(
     wap_branch: str = "curate_audit",
     state_dir: str | None = None,
     state_store=None,
+    refresh_mirror: bool = False,
 ) -> tuple:
     """The nightly backfill as ONE workflow: train the quality filter
     (``batch_trained_filter`` — the stored constants every later
@@ -371,6 +372,11 @@ def curate_backfill(
     state is read back from the store, so it is materialized AND
     rollback-able. ``state_dir`` remains the plain-parquet form the
     bench demo owns; ``state_store`` wins when both are given.
+    ``refresh_mirror=True`` additionally rewrites the store's
+    bucketed probe mirror in the same nightly window
+    (``refresh_probe_mirror`` — the O(index) maintenance job), so the
+    returned state's join probes run exchange-free until the next
+    day commits.
 
     The returned state is MATERIALIZED, never a lazy plan over the
     corpus (r14 review fix — a lazy state would re-run the full
@@ -413,6 +419,12 @@ def curate_backfill(
         )
         if state_store is not None:
             state_store.commit_backfill(state, day=run_label)
+            if refresh_mirror:
+                # the backfill window is where a production pipeline
+                # refreshes the bucketed probe mirror (an O(index)
+                # rewrite, like compaction): the state handed to the
+                # following days' ingests then probes exchange-free
+                state_store.refresh_probe_mirror()
             state, _ = state_store.read_state()
         elif state_dir is not None:
             write_curate_state(state, state_dir)

@@ -849,3 +849,37 @@ def test_store_probe_mirror_bucketed_exchange_free_and_stale_safe(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert rows(re_read.fp_index) == rows(plain.fp_index)
+
+
+def test_backfill_refresh_mirror_serves_bucketed_state(
+    spark, sf_dir, tmp_path
+):
+    """``curate_backfill(state_store=..., refresh_mirror=True)``
+    refreshes the bucketed probe mirror in the same nightly window
+    and hands back a state whose join-probed relations read from the
+    mirror tables."""
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_backfill,
+    )
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    state, report = curate_backfill(
+        spark,
+        sf_dir,
+        str(tmp_path / "packs"),
+        state_store=store,
+        refresh_mirror=True,
+    )
+    assert report["published"]
+    plan = (
+        state.fp_index._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "fp_index_seq0" in plan  # served from the mirror
+    # and the mirror rows equal the plain pinned read
+    plain = store.read_state(prefer_mirror=False)[0]
+    assert sorted(r["fp"] for r in state.fp_index.collect()) == sorted(
+        r["fp"] for r in plain.fp_index.collect()
+    )
