@@ -1634,6 +1634,7 @@ def incremental_jaccard_pairs(
     min_jaccard: float = CLUSTER_JACCARD,
     census: DataFrame | None = None,
     broadcast_candidates: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Batch-vs-standing-index exact-jaccard near-dup pairs — the
     incremental form of ``jaccard_pairs_for`` the curation ingest
@@ -1700,8 +1701,14 @@ def incremental_jaccard_pairs(
     # probe join (only its shuffle exchange was reused) just to build
     # the semi-join input. persist() over detach() deliberately: the
     # probe subtree stays inside the returned plan (the bucketed-index
-    # pytest asserts its exchanges), and ContextCleaner reclaims the
-    # blocks once the frame is unreachable.
+    # pytest asserts its exchanges). The cache entry is NOT
+    # self-reclaiming — the session CacheManager holds a strong
+    # reference, so ContextCleaner never collects it — which is why
+    # ``cache_registry`` exists: a caller that owns the day boundary
+    # passes a list, this frame is appended, and the caller
+    # unpersists once its outputs are materialized (the curate
+    # pipeline/workflows do; the bench clears lingering blocks via
+    # drop_pinned_blocks between queries).
     common = (
         n.join(o, pair_cond)
         .groupBy(
@@ -1713,6 +1720,8 @@ def incremental_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(common)
     # hot arrays only for docs that actually appear in a candidate
     # pair (r14 review #2 follow-up): the semi join bounds the
     # collect_set aggregation to O(candidate docs x their hot

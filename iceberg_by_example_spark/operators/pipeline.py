@@ -1470,6 +1470,7 @@ def _ingest_gates(
     state: CurateState,
     b: DataFrame,
     span_gate: bool,
+    cache_registry: list | None = None,
 ) -> dict:
     """Every gate relation of the daily ingest, built ONCE and shared
     by ``pipeline_curate_ingest_day`` (the decisions) and
@@ -1517,6 +1518,7 @@ def _ingest_gates(
         bsized, state.shingle_index,
         df_cap=NGRAM_DF_CAP, min_jaccard=CLUSTER_JACCARD,
         census=state.shingle_census,
+        cache_registry=cache_registry,
     )
     # the batch self-pairs treat the STANDING index's hot shingles as
     # hot too (extra_hot): candidates over them are skipped exactly as
@@ -1617,6 +1619,7 @@ def pipeline_curate_ingest_day(
     batch: DataFrame,
     return_survivors: bool = False,
     span_gate: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The INCREMENTAL composed curation — what actually runs daily
     once the backfill exists: today's batch flows through the same
@@ -1682,6 +1685,20 @@ def pipeline_curate_ingest_day(
     from iceberg_by_example_spark.functions.text import token_count
     from iceberg_by_example_spark.util import detach
 
+    # cache lifetime (r15 review): the gates' candidate-pair persist
+    # (incremental_jaccard_pairs) is a CacheManager entry that never
+    # self-reclaims. Ownership: a caller passing ``cache_registry``
+    # owns the unpersist (the workflows do, after their publishes
+    # materialize); without one, the survivors path unpersists in the
+    # finally (detach materialized everything first), and the pack
+    # path leaves the entry for the caller's materialization (the
+    # bench clears it via drop_pinned_blocks between queries).
+    own_cache: list | None = (
+        [] if cache_registry is None and return_survivors else None
+    )
+    gate_cache = (
+        cache_registry if cache_registry is not None else own_cache
+    )
     b = batch.persist()
     surv = None
     try:
@@ -1697,7 +1714,9 @@ def pipeline_curate_ingest_day(
                 "dedup decisions only equal the full recompute when new "
                 "docs get new ids; re-id the batch or run the backfill"
             )
-        g = _ingest_gates(spark, state, b, span_gate)
+        g = _ingest_gates(
+            spark, state, b, span_gate, cache_registry=gate_cache
+        )
         surv = (
             b.select(
                 "doc_id", "source", token_count("text").alias("n_tokens")
@@ -1722,6 +1741,9 @@ def pipeline_curate_ingest_day(
         if surv is not None:
             surv.unpersist()
         b.unpersist()
+        if own_cache is not None:
+            for df in own_cache:
+                df.unpersist()
 
 
 def curate_pack_day(surv: DataFrame, state: CurateState) -> DataFrame:
@@ -1796,6 +1818,9 @@ def pipeline_curate_ingest_report(
             "(or rebuild the gates with span_gate=False)"
         )
     own = gates is None
+    # own gates → own their candidate-pair cache too: the report is
+    # detach-materialized in-function, so the finally can release it
+    own_gate_cache: list = []
     b = batch.persist() if own else batch
     try:
         if own:
@@ -1811,7 +1836,7 @@ def pipeline_curate_ingest_report(
                     f"<= standing max_doc_id {state.max_doc_id}"
                 )
         g = gates if gates is not None else _ingest_gates(
-            spark, state, b, span_gate
+            spark, state, b, span_gate, cache_registry=own_gate_cache
         )
 
         def flag(df, name):
@@ -1877,6 +1902,8 @@ def pipeline_curate_ingest_report(
     finally:
         if own:
             b.unpersist()
+        for df in own_gate_cache:
+            df.unpersist()
 
 
 # Demo split for the (spark, sf_dir)-shaped bench/probe form of the

@@ -151,18 +151,20 @@ class CurateStateStore:
         )
         return df.collect()  # O(days × relations) — metadata-sized
 
-    def days(self) -> list[str]:
-        """Committed day labels, in commit order."""
-        rows = sorted(self._log_rows(), key=lambda r: r["seq"])
+    def days(self, rows: list | None = None) -> list[str]:
+        """Committed day labels, in commit order. ``rows`` lets the
+        single-writer commit path reuse one ``_log_rows()`` collect
+        (each collect is a separate driver job)."""
+        rows = self._log_rows() if rows is None else rows
         out: list[str] = []
-        for r in rows:
+        for r in sorted(rows, key=lambda r: r["seq"]):
             if r["day"] not in out:
                 out.append(r["day"])
         return out
 
     # -- recovery ------------------------------------------------------------
 
-    def heal(self) -> dict:
+    def heal(self, rows: list | None = None) -> dict:
         """Make the store consistent after any crash, in either order
         the torn commit left it:
 
@@ -178,7 +180,7 @@ class CurateStateStore:
         day's branch MUST be cut from a main that already carries
         every published day, or the new snapshot would silently lose
         the lagging day's rows."""
-        published = set(self.days())
+        published = set(self.days(rows))
         report = {"finished": [], "discarded": []}
         for name in _RELATIONS:
             loc = self._loc(name)
@@ -199,16 +201,56 @@ class CurateStateStore:
 
     # -- commits -------------------------------------------------------------
 
+    def _publish(
+        self,
+        seq: int,
+        day: str,
+        snap_ids: dict[str, str],
+        meta: dict,
+        touched: list["VersionedTable"],
+        branch: str,
+    ) -> None:
+        """The atomic-publish tail every commit path shares (daily
+        ``_commit`` and ``compact``): build the pointer rows, make the
+        whole day visible in ONE ``state_log`` append, then housekeep
+        the audit branches (crash-safe: ``heal()`` finishes it)."""
+        rows = [
+            (seq, day, name, sid, None, None, None)
+            for name, sid in sorted(snap_ids.items())
+        ] + [
+            (
+                seq,
+                day,
+                _META_RELATION,
+                None,
+                json.dumps(meta["w2"]),
+                int(meta["keep_micro"]),
+                int(meta["max_doc_id"]),
+            )
+        ]
+        self.log.append(
+            self.spark.createDataFrame(rows, _LOG_DDL),
+            branch=MAIN,
+            summary_extra={"curate-day": day},
+        )
+        for t in touched:
+            t.fast_forward(MAIN, branch)
+            t.drop_branch(branch)
+
     def _commit(
         self,
         day: str,
         deltas: dict[str, DataFrame | None],
         meta: dict,
+        log_rows: list | None = None,
     ) -> dict:
         """The shared write-audit-publish protocol: per-relation delta
         appends on the ``ingest_<day>`` branches, O(delta) audits on
         the branches, then ONE ``state_log`` append that makes the
-        whole day visible atomically, then housekeeping."""
+        whole day visible atomically, then housekeeping. ``log_rows``
+        lets a caller that already collected the pointer log pass it
+        through — the store is single-writer, so one collect per
+        commit serves every derived check."""
         if not day:
             raise ValueError("day label must be non-empty")
         if _COMPACT_LABEL.fullmatch(day):
@@ -219,12 +261,16 @@ class CurateStateStore:
             raise ValueError(
                 f"day label {day!r} is reserved for compaction commits"
             )
-        if day in self.days():
+        log_rows = (
+            self._log_rows() if log_rows is None else log_rows
+        )
+        committed_days = self.days(log_rows)
+        if day in committed_days:
             raise ValueError(
                 f"day {day!r} is already committed — a re-ingest must "
                 "not double-count; read_state(as_of=...) reproduces it"
             )
-        self.heal()
+        self.heal(log_rows)
         branch = f"ingest_{day}"
         # a relation with no delta this day CARRIES its previous pin
         # forward into the pointer rows (the compact() stance):
@@ -234,10 +280,12 @@ class CurateStateStore:
         snap_ids: dict[str, str] = (
             {
                 k: v
-                for k, v in self._resolve(None, None)[0].items()
+                for k, v in self._resolve(
+                    None, None, rows=log_rows
+                )[0].items()
                 if deltas.get(k) is None
             }
-            if self.days()
+            if committed_days
             else {}
         )
         appended: list[VersionedTable] = []
@@ -262,31 +310,8 @@ class CurateStateStore:
             for t in appended:
                 t.drop_branch(branch)
             raise
-        # -- the publish: one atomic pointer append ---------------------
-        seq = len(self.days())
-        rows = [
-            (seq, day, name, sid, None, None, None)
-            for name, sid in sorted(snap_ids.items())
-        ] + [
-            (
-                seq,
-                day,
-                _META_RELATION,
-                None,
-                json.dumps(meta["w2"]),
-                int(meta["keep_micro"]),
-                int(meta["max_doc_id"]),
-            )
-        ]
-        self.log.append(
-            self.spark.createDataFrame(rows, _LOG_DDL),
-            branch=MAIN,
-            summary_extra={"curate-day": day},
-        )
-        # -- housekeeping (crash-safe: heal() finishes it) ---------------
-        for t in appended:
-            t.fast_forward(MAIN, branch)
-            t.drop_branch(branch)
+        seq = len(committed_days)
+        self._publish(seq, day, snap_ids, meta, appended, branch)
         return {
             "day": day,
             "seq": seq,
@@ -377,12 +402,20 @@ class CurateStateStore:
         ``advance_curate_state`` folds in memory), the day's census
         partials derived from its own postings delta, and the day's
         survivor source masses. The standing index bytes are never
-        rewritten; the whole day publishes in one pointer append."""
+        rewritten; the whole day publishes in one pointer append.
+
+        The batch is persisted for the commit's duration: the deltas
+        are 4+ independent plans over it (fingerprints, postings,
+        winnow keys, bench shingles — the latter three re-shingling
+        the text), plus the bounds agg and the audits; unpersisted,
+        each would re-scan and re-tokenize the full batch (the same
+        discipline ``pipeline_curate_ingest_day`` applies)."""
         from iceberg_by_example_spark.operators.pipeline import (
             curate_day_deltas,
         )
 
-        if day in self.days():
+        log_rows = self._log_rows()
+        if day in self.days(log_rows):
             # checked here as well as in _commit: a re-ingest of a
             # committed day must read as the re-publish guard, not as
             # a monotone-watermark violation (the watermark already
@@ -391,48 +424,56 @@ class CurateStateStore:
                 f"day {day!r} is already committed — a re-ingest must "
                 "not double-count; read_state(as_of=...) reproduces it"
             )
-        _, prev_meta = self._resolve(None, None)
-        bounds = batch.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            raise ValueError("empty ingest batch")
-        if bounds["lo"] <= prev_meta["max_doc_id"]:
-            raise ValueError(
-                f"monotone-id contract violated: batch doc_id "
-                f"{bounds['lo']} <= committed max_doc_id "
-                f"{prev_meta['max_doc_id']}"
+        _, prev_meta = self._resolve(None, None, rows=log_rows)
+        b = batch.persist()
+        try:
+            bounds = b.agg(
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            ).collect()[0]
+            if bounds["lo"] is None:
+                raise ValueError("empty ingest batch")
+            if bounds["lo"] <= prev_meta["max_doc_id"]:
+                raise ValueError(
+                    f"monotone-id contract violated: batch doc_id "
+                    f"{bounds['lo']} <= committed max_doc_id "
+                    f"{prev_meta['max_doc_id']}"
+                )
+            deltas = curate_day_deltas(b)
+            has_winnow = "winnow_index" in self._committed_relations(
+                log_rows
             )
-        deltas = curate_day_deltas(batch)
-        has_winnow = "winnow_index" in self._committed_relations()
-        if not has_winnow:
-            deltas["winnow_index"] = None
-        deltas["shingle_census"] = (
-            deltas["shingle_index"]
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-        )
-        deltas["winnow_census"] = (
-            deltas["winnow_index"]
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("df"))
-            if has_winnow
-            else None
-        )
-        deltas["source_stats"] = day_survivors.groupBy("source").agg(
-            F.sum("n_tokens").alias("source_tokens")
-        )
-        return self._commit(
-            day,
-            deltas,
-            meta={
-                "w2": prev_meta["w2"],
-                "keep_micro": prev_meta["keep_micro"],
-                "max_doc_id": max(
-                    prev_meta["max_doc_id"], int(bounds["hi"])
-                ),
-            },
-        )
+            if not has_winnow:
+                deltas["winnow_index"] = None
+            deltas["shingle_census"] = (
+                deltas["shingle_index"]
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            deltas["winnow_census"] = (
+                deltas["winnow_index"]
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("df"))
+                if has_winnow
+                else None
+            )
+            deltas["source_stats"] = day_survivors.groupBy(
+                "source"
+            ).agg(F.sum("n_tokens").alias("source_tokens"))
+            return self._commit(
+                day,
+                deltas,
+                meta={
+                    "w2": prev_meta["w2"],
+                    "keep_micro": prev_meta["keep_micro"],
+                    "max_doc_id": max(
+                        prev_meta["max_doc_id"], int(bounds["hi"])
+                    ),
+                },
+                log_rows=log_rows,
+            )
+        finally:
+            b.unpersist()
 
     def compact(self) -> dict:
         """The maintenance half of the LSM trade the store makes: the
@@ -491,28 +532,9 @@ class CurateStateStore:
             for t in touched:
                 t.drop_branch(branch)
             raise
-        rows = [
-            (meta["seq"] + 1, day, name, sid, None, None, None)
-            for name, sid in sorted(new_snaps.items())
-        ] + [
-            (
-                meta["seq"] + 1,
-                day,
-                _META_RELATION,
-                None,
-                json.dumps(meta["w2"]),
-                int(meta["keep_micro"]),
-                int(meta["max_doc_id"]),
-            )
-        ]
-        self.log.append(
-            self.spark.createDataFrame(rows, _LOG_DDL),
-            branch=MAIN,
-            summary_extra={"curate-day": day},
+        self._publish(
+            meta["seq"] + 1, day, new_snaps, meta, touched, branch
         )
-        for t in touched:
-            t.fast_forward(MAIN, branch)
-            t.drop_branch(branch)
         return {"day": day, "compacted": compacted}
 
     def maintain(self) -> dict:
@@ -596,11 +618,21 @@ class CurateStateStore:
         which stay correct — the mirror is a physical-layout
         optimization, never a correctness dependency). Tables are
         EXTERNAL (files under ``<root>/_mirror``) and re-registered
-        from the stamp when a fresh session's catalog lacks them."""
+        from the stamp when a fresh session's catalog lacks them.
+
+        Write-then-swap, never in place: each refresh writes to
+        NONCE'd table dirs, the stamp swaps atomically (os.replace)
+        only after every table landed, and superseded dirs retire
+        LAST — a crash anywhere mid-refresh leaves the previous stamp
+        pointing at intact tables (or, before any refresh completed,
+        no stamp at all), never a current-looking stamp over gutted
+        dirs that would serve an EMPTY standing index into the dedup
+        gates."""
         import shutil
 
         snaps, meta = self._resolve(None, None)
         seq = meta["seq"]
+        nonce = os.urandom(4).hex()
         db = self._ensure_mirror_db()
         loc = self._mirror_dir()
         stamp_tables: dict[str, dict] = {}
@@ -614,12 +646,9 @@ class CurateStateStore:
             )
             if dedup:
                 df = df.distinct()
-            tbl = f"{name}_seq{seq}"
+            tbl = f"{name}_seq{seq}_{nonce}"
             full = f"{db}.{tbl}"
             tdir = os.path.join(loc, tbl)
-            if self.spark.catalog.tableExists(full):
-                self.spark.sql(f"DROP TABLE {full}")
-            shutil.rmtree(tdir, ignore_errors=True)
             (
                 df.write.bucketBy(MIRROR_BUCKETS, col)
                 .sortBy(col)
@@ -633,31 +662,41 @@ class CurateStateStore:
                 "n_buckets": MIRROR_BUCKETS,
                 "ddl": _ddl_of(df),
             }
-        # retire superseded mirrors (external tables: drop the catalog
-        # entry AND the files)
-        keep = {os.path.basename(i["dir"]) for i in stamp_tables.values()}
-        for entry in os.listdir(loc):
-            if entry == "_STAMP" or entry in keep:
-                continue
-            if self.spark.catalog.tableExists(f"{db}.{entry}"):
-                self.spark.sql(f"DROP TABLE {db}.{entry}")
-            shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
+        # the swap: the new mirror becomes visible in ONE rename
         tmp = os.path.join(loc, "_STAMP.tmp")
         with open(tmp, "w") as f:
             json.dump({"seq": seq, "tables": stamp_tables}, f)
         os.replace(tmp, os.path.join(loc, "_STAMP"))
+        # retire superseded mirrors LAST (external tables: drop the
+        # catalog entry AND the files); a crash here leaves only
+        # unreferenced leftovers, reclaimed by the next refresh
+        keep = {os.path.basename(i["dir"]) for i in stamp_tables.values()}
+        for entry in sorted(os.listdir(loc)):
+            if entry.startswith("_STAMP") or entry in keep:
+                continue
+            if self.spark.catalog.tableExists(f"{db}.{entry}"):
+                self.spark.sql(f"DROP TABLE {db}.{entry}")
+            shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
         return {"seq": seq, "mirrored": sorted(stamp_tables)}
 
     def _mirror_tables(self, meta: dict) -> dict:
         """relation → bucketed DataFrame, ONLY when the stamped
-        mirror covers exactly the requested seq; {} otherwise (the
-        caller falls back to the plain pinned reads)."""
+        mirror covers exactly the requested seq AND every stamped
+        table dir is present on disk; {} otherwise (the caller falls
+        back to the plain pinned reads — a manually deleted or
+        torn-retired dir must degrade to the plain path, never to an
+        empty re-registered table silently serving an empty index)."""
         path = os.path.join(self._mirror_dir(), "_STAMP")
         if not os.path.exists(path):
             return {}
         with open(path) as f:
             stamp = json.load(f)
         if stamp["seq"] != meta["seq"]:
+            return {}
+        if any(
+            not os.path.isdir(info["dir"])
+            for info in stamp["tables"].values()
+        ):
             return {}
         out: dict[str, DataFrame] = {}
         for name, info in stamp["tables"].items():
@@ -680,22 +719,28 @@ class CurateStateStore:
 
     # -- reads ---------------------------------------------------------------
 
-    def _committed_relations(self) -> set:
+    def _committed_relations(self, rows: list | None = None) -> set:
         return {
             r["relation"]
-            for r in self._log_rows()
+            for r in (self._log_rows() if rows is None else rows)
             if r["relation"] != _META_RELATION
         }
 
     def _resolve(
-        self, as_of: str | None, log_snapshot_id: str | None
+        self,
+        as_of: str | None,
+        log_snapshot_id: str | None,
+        rows: list | None = None,
     ) -> tuple[dict, dict]:
         """(relation → pinned snapshot_id ACROSS all days ≤ target,
         meta of the target day). Each relation table accumulates day
         partitions, so the state at day D is the relation's snapshot
         AS COMMITTED FOR day D — which already contains every earlier
-        day's partitions (appends carry files forward)."""
-        rows = self._log_rows(log_snapshot_id)
+        day's partitions (appends carry files forward). ``rows``
+        reuses a caller's ``_log_rows()`` collect (only valid without
+        ``log_snapshot_id``)."""
+        if rows is None or log_snapshot_id is not None:
+            rows = self._log_rows(log_snapshot_id)
         if not rows:
             raise ValueError(f"no committed state under {self.root}")
         by_seq: dict[int, list] = {}

@@ -270,15 +270,26 @@ def curate_ingest_day(
         pipeline_curate_ingest_day,
     )
 
-    manifest = pipeline_curate_ingest_day(spark, state, batch)
-    return curate_publish(
-        spark,
-        sf_dir="",  # unused: the manifest is supplied
-        location=location,
-        run_label=run_label,
-        wap_branch=wap_branch,
-        manifest=manifest,
-    )
+    # day-boundary cache ownership (r15 review): the gates' candidate
+    # pair persist lives until the publish below has materialized the
+    # manifest, then is released — a long-lived session running one
+    # ingest per day must not accumulate one cached relation per day
+    gate_cache: list = []
+    try:
+        manifest = pipeline_curate_ingest_day(
+            spark, state, batch, cache_registry=gate_cache
+        )
+        return curate_publish(
+            spark,
+            sf_dir="",  # unused: the manifest is supplied
+            location=location,
+            run_label=run_label,
+            wap_branch=wap_branch,
+            manifest=manifest,
+        )
+    finally:
+        for df in gate_cache:
+            df.unpersist()
 
 
 def curate_cycle_day(

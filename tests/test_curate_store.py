@@ -828,13 +828,12 @@ def test_store_probe_mirror_bucketed_exchange_free_and_stale_safe(
     assert "fp_index_seq" in ap
     # fresh-session catalog: drop the entries (files stay — the
     # tables are external); read_state re-registers from the stamp
-    db = store._mirror_db()
-    for t in (
-        "fp_index_seq1",
-        "shingle_index_seq1",
-        "winnow_index_seq1",
-    ):
-        spark.sql(f"DROP TABLE {db}.{t}")
+    import json as _json
+
+    with open(os.path.join(store._mirror_dir(), "_STAMP")) as f:
+        stamped = _json.load(f)["tables"]
+    for info in stamped.values():
+        spark.sql(f"DROP TABLE {info['table']}")
     re_read = store.read_state(as_of="day1")[0]
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -883,3 +882,110 @@ def test_backfill_refresh_mirror_serves_bucketed_state(
     assert sorted(r["fp"] for r in state.fp_index.collect()) == sorted(
         r["fp"] for r in plain.fp_index.collect()
     )
+
+
+def test_ingest_releases_candidate_pair_cache(spark, corpus):
+    """The gates' candidate-pair persist (incremental_jaccard_pairs)
+    is a CacheManager entry that never self-reclaims (strong ref —
+    ContextCleaner can't collect it). Ownership contract: the
+    survivors path releases it in its own finally (detach
+    materialized everything first); a caller passing cache_registry
+    owns the unpersist."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    surv = pipeline_curate_ingest_day(
+        spark, state, day, return_survivors=True
+    )
+    surv.count()
+    assert cm.isEmpty(), "candidate-pair persist leaked"
+    # explicit registry: the caller owns the lifetime
+    reg: list = []
+    surv2 = pipeline_curate_ingest_day(
+        spark, state, day, return_survivors=True, cache_registry=reg
+    )
+    surv2.count()
+    assert len(reg) == 1 and not cm.isEmpty()
+    for df in reg:
+        df.unpersist()
+    assert cm.isEmpty()
+
+
+def test_mirror_refresh_crash_leaves_previous_mirror_intact(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Write-then-swap (r15 review #1): a crash mid-refresh must
+    leave the PREVIOUS stamp pointing at intact tables — never a
+    current-looking stamp over gutted dirs that would serve an EMPTY
+    standing index into the dedup gates. And a stamped dir that goes
+    missing anyway degrades to the PLAIN pinned reads, not to an
+    empty re-registered table."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old = corpus["old"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    store.refresh_probe_mirror()
+
+    def rows(df):
+        return sorted(r["fp"] for r in df.collect())
+
+    want = rows(store.read_state(prefer_mirror=False)[0].fp_index)
+    assert rows(store.read_state()[0].fp_index) == want
+
+    real_save = DataFrameWriter.saveAsTable
+    calls = {"n": 0}
+
+    def failing_save(self, name, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after the first relation landed
+            raise RuntimeError("injected crash mid-refresh")
+        return real_save(self, name, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "saveAsTable", failing_save)
+    with pytest.raises(RuntimeError, match="mid-refresh"):
+        store.refresh_probe_mirror()
+    monkeypatch.setattr(DataFrameWriter, "saveAsTable", real_save)
+
+    # previous stamp + tables intact: the mirror still serves, with
+    # the SAME rows — not an empty index
+    st = store.read_state()[0]
+    plan = st.fp_index._jdf.queryExecution().executedPlan().toString()
+    assert "fp_index_seq0" in plan
+    assert rows(st.fp_index) == want and len(want) > 0
+    # a retry completes and retires the torn leftovers
+    store.refresh_probe_mirror()
+    assert rows(store.read_state()[0].fp_index) == want
+
+    # a stamped dir that disappears → plain fallback, never empty
+    with open(os.path.join(store._mirror_dir(), "_STAMP")) as f:
+        stamped = _json.load(f)["tables"]
+    info = stamped["fp_index"]
+    spark.sql(f"DROP TABLE IF EXISTS {info['table']}")
+    shutil.rmtree(info["dir"])
+    st2 = store.read_state()[0]
+    p2 = st2.fp_index._jdf.queryExecution().executedPlan().toString()
+    assert "fp_index_seq" not in p2  # plain path, no mirror scan
+    assert rows(st2.fp_index) == want
