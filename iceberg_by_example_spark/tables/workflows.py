@@ -463,3 +463,29 @@ def curate_backfill(
         if surv is not None:
             surv.unpersist()
         docs.unpersist()
+
+
+def curate_maintain(store) -> dict:
+    """The store's nightly maintenance window as ONE workflow — the
+    W4 ``maintain`` shape applied to the curation state store
+    (``tables.curate_store.CurateStateStore``), in dependency order:
+
+    1. ``compact()`` — rewrite the read-side-merge relations as their
+       aggregates (bounds the per-day partial tail; one pointer
+       publish, past days still time-travel);
+    2. ``refresh_probe_mirror()`` — rewrite the join-probed relations
+       bucketed on their probe key AT the compacted seq, so the next
+       day's gates probe exchange-free;
+    3. ``maintain()`` — snapshot expiry + orphan/manifest GC,
+       reclaiming any torn-commit leftovers and the manifests the
+       compaction's replace just unreferenced.
+
+    Each step is individually crash-safe (pointer publish / stamp
+    swap / idempotent GC), so the composite needs no transaction: a
+    crash between steps leaves a consistent store and the next
+    nightly run completes the remainder. O(index) by design — the
+    periodic job, never the daily commit path."""
+    report = {"compact": store.compact()}
+    report["mirror"] = store.refresh_probe_mirror()
+    report["gc"] = store.maintain()
+    return report

@@ -989,3 +989,63 @@ def test_mirror_refresh_crash_leaves_previous_mirror_intact(
     p2 = st2.fp_index._jdf.queryExecution().executedPlan().toString()
     assert "fp_index_seq" not in p2  # plain path, no mirror scan
     assert rows(st2.fp_index) == want
+
+
+def test_curate_maintain_composite_nightly_window(
+    spark, corpus, tmp_path
+):
+    """``workflows.curate_maintain``: compact → mirror refresh → GC
+    as one nightly window. State identical before/after, the mirror
+    serves the compacted seq, the GC is clean, and the next day
+    commits on the maintained base."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_maintain,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    surv1 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d1, return_survivors=True
+    )
+    store.commit_day(d1, surv1, day="day1")
+    before = _state_rows(store.read_state(prefer_mirror=False)[0])
+
+    report = curate_maintain(store)
+    assert report["compact"]["day"] == "compact2"
+    assert report["mirror"]["seq"] == 2
+    # state identical through the whole window, and the mirror serves
+    # the compacted seq
+    st = store.read_state()[0]
+    plan = st.fp_index._jdf.queryExecution().executedPlan().toString()
+    assert "fp_index_seq2" in plan
+    assert _state_rows(st) == before
+    assert _state_rows(store.read_state(prefer_mirror=False)[0]) == (
+        before
+    )
+    # the next day commits on the maintained base and falls back to
+    # plain reads (mirror now stale) without losing anything
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    store.commit_day(d2, surv2, day="day2")
+    after = store.read_state()[0]
+    d2_ids = {r["doc_id"] for r in d2.select("doc_id").collect()}
+    got = {
+        r["doc_id"]
+        for r in after.shingle_index.select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert d2_ids <= got
