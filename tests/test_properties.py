@@ -517,3 +517,151 @@ def test_winnow_guarantee_vs_strided_alignment_property(
         assert strided == {(1, 2)}, (run_len, off_a, off_b)
     else:
         assert strided == set(), (run_len, off_a, off_b)
+
+
+# -- curation state store: random chains equal the Python fold ----------
+
+_FPS = st.sets(st.sampled_from(list("abcdefgh")), max_size=5)
+_SRC = st.sampled_from(["s1", "s2"])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_store_random_chain_equals_python_fold(
+    spark, tmp_path_factory, data
+):
+    """The store's LSM/pointer mechanics against an in-Python model,
+    over ARBITRARY delta sequences: N days of random fingerprint /
+    postings / mass deltas (later days may omit a relation — the
+    carried-pin path), compaction at random points, then every
+    committed day's ``read_state`` must equal the model's fold at
+    that day — fp = distinct union, postings = concat, census =
+    per-key counts over the concat, masses = per-source sums. The
+    soak pins one realistic chain; this pins the commit/resolve/
+    compact machinery itself on adversarial shapes."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    loc = str(tmp_path_factory.mktemp("storeprop") / "s")
+    store = CurateStateStore(spark, loc)
+
+    n_days = data.draw(st.integers(min_value=1, max_value=3), "n_days")
+    model_days = []  # per-day cumulative snapshots
+    cum = {"fp": set(), "postings": [], "mass": {}, "vocab": set()}
+    next_doc = 0
+
+    for i in range(n_days):
+        day = f"d{i}"
+        first = i == 0
+        fps = data.draw(_FPS, f"fps{i}")
+        n_post = data.draw(
+            st.integers(min_value=1 if first else 0, max_value=4),
+            f"npost{i}",
+        )
+        postings = []
+        for _ in range(n_post):
+            sh = data.draw(
+                st.integers(min_value=0, max_value=3), f"sh{i}"
+            )
+            postings.append((next_doc, 1, sh))
+            next_doc += 1
+        masses = {
+            s: data.draw(
+                st.integers(min_value=1, max_value=50), f"m{i}{s}"
+            )
+            for s in data.draw(
+                st.sets(_SRC, min_size=1 if first else 0), f"srcs{i}"
+            )
+        }
+        # later days may omit a relation entirely → the pointer must
+        # carry the previous pin forward
+        deltas = {
+            "fp_index": (
+                spark.createDataFrame(
+                    [(f,) for f in sorted(fps)], "fp string"
+                )
+                if fps or first
+                else None
+            ),
+            "shingle_index": (
+                spark.createDataFrame(
+                    postings, "doc_id bigint, n_sh bigint, shingle bigint"
+                )
+                if postings or first
+                else None
+            ),
+            "bench_vocab": (
+                spark.createDataFrame([(99,)], "shingle bigint")
+                if first
+                else None
+            ),
+            "source_stats": (
+                spark.createDataFrame(
+                    list(masses.items()),
+                    "source string, source_tokens bigint",
+                )
+                if masses or first
+                else None
+            ),
+        }
+        if deltas["shingle_index"] is not None:
+            deltas["shingle_census"] = (
+                deltas["shingle_index"]
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+        else:
+            deltas["shingle_census"] = None
+        store._commit(
+            day,
+            deltas,
+            meta={"w2": [0, 0], "keep_micro": 0, "max_doc_id": next_doc},
+        )
+        cum["fp"] |= fps
+        cum["postings"].extend(postings)
+        for s, m in masses.items():
+            cum["mass"][s] = cum["mass"].get(s, 0) + m
+        if first:
+            cum["vocab"].add(99)
+        model_days.append(
+            (day, {k: (set(v) if isinstance(v, set) else
+                       list(v) if isinstance(v, list) else dict(v))
+                   for k, v in cum.items()})
+        )
+        if data.draw(st.booleans(), f"compact{i}"):
+            store.compact()
+
+    for day, want in model_days:
+        st_state, _meta = store.read_state(
+            as_of=day, prefer_mirror=False
+        )
+        assert {
+            r["fp"] for r in st_state.fp_index.collect()
+        } == want["fp"], f"fp@{day}"
+        got_post = sorted(
+            tuple(r) for r in st_state.shingle_index.collect()
+        )
+        assert got_post == sorted(want["postings"]), f"postings@{day}"
+        from collections import Counter
+
+        want_census = Counter(sh for _, _, sh in want["postings"])
+        got_census = {
+            r["shingle"]: r["df"]
+            for r in st_state.shingle_census.collect()
+        }
+        assert got_census == dict(want_census), f"census@{day}"
+        got_mass = {
+            r["source"]: r["source_tokens"]
+            for r in st_state.source_stats.collect()
+        }
+        assert got_mass == want["mass"], f"mass@{day}"
+        assert {
+            r["shingle"] for r in st_state.bench_vocab.collect()
+        } == want["vocab"], f"vocab@{day}"
