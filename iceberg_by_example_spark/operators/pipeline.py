@@ -1685,21 +1685,21 @@ def pipeline_curate_ingest_day(
     from iceberg_by_example_spark.functions.text import token_count
     from iceberg_by_example_spark.util import detach
 
-    # cache lifetime (r15 review): the gates' candidate-pair persist
-    # (incremental_jaccard_pairs) is a CacheManager entry that never
-    # self-reclaims. Ownership: a caller passing ``cache_registry``
-    # owns the unpersist (the workflows do, after their publishes
-    # materialize); without one, the survivors path unpersists in the
-    # finally (detach materialized everything first), and the pack
-    # path leaves the entry for the caller's materialization (the
-    # bench clears it via drop_pinned_blocks between queries).
-    own_cache: list | None = (
-        [] if cache_registry is None and return_survivors else None
-    )
+    # cache lifetime (r15 review, both passes): the gates' candidate-
+    # pair persist (incremental_jaccard_pairs) is a CacheManager entry
+    # that never self-reclaims. BOTH return modes now materialize
+    # their result in-function (detach), so the finally releases every
+    # cache this call created — no mode leaks. A caller passing
+    # ``cache_registry`` takes the ownership instead (the workflows
+    # release after their publishes). The batch persist is guarded by
+    # is_cached: persist isn't refcounted, so re-persisting a
+    # caller-cached batch would DROP the caller's cache on exit.
+    own_cache: list | None = [] if cache_registry is None else None
     gate_cache = (
         cache_registry if cache_registry is not None else own_cache
     )
-    b = batch.persist()
+    own_b = not batch.is_cached
+    b = batch.persist() if own_b else batch
     surv = None
     try:
         # the guard agg runs over the PERSISTED frame — it warms the
@@ -1736,11 +1736,19 @@ def pipeline_curate_ingest_day(
             # the full recompute's cross-slice) — detached so the
             # finally's unpersist can't force a recompute downstream
             return detach(surv)
-        return curate_pack_day(surv, state)
+        # the manifest is ALSO materialized here (r15 review #3):
+        # returned lazy, the caller's materialization ran AFTER the
+        # finally had unpersisted surv/b, re-executing the gate chain
+        # over an uncached batch — several full batch scans +
+        # tokenizations per day repaid for nothing. Detached, the
+        # whole chain executes exactly once while every cache below
+        # is warm, and the finally can release them all.
+        return detach(curate_pack_day(surv, state))
     finally:
         if surv is not None:
             surv.unpersist()
-        b.unpersist()
+        if own_b:
+            b.unpersist()
         if own_cache is not None:
             for df in own_cache:
                 df.unpersist()
@@ -1821,7 +1829,11 @@ def pipeline_curate_ingest_report(
     # own gates → own their candidate-pair cache too: the report is
     # detach-materialized in-function, so the finally can release it
     own_gate_cache: list = []
-    b = batch.persist() if own else batch
+    # is_cached guard (r15 review): never re-persist a caller-cached
+    # batch — persist isn't refcounted, so the finally would drop the
+    # caller's cache
+    own_b = own and not batch.is_cached
+    b = batch.persist() if own_b else batch
     try:
         if own:
             # with caller gates the caller already ran the ingest's
@@ -1900,7 +1912,7 @@ def pipeline_curate_ingest_report(
             )
         )
     finally:
-        if own:
+        if own_b:
             b.unpersist()
         for df in own_gate_cache:
             df.unpersist()

@@ -425,7 +425,11 @@ class CurateStateStore:
                 "not double-count; read_state(as_of=...) reproduces it"
             )
         _, prev_meta = self._resolve(None, None, rows=log_rows)
-        b = batch.persist()
+        # is_cached guard (r15 review): persist isn't refcounted — a
+        # caller that persisted the batch for its own pre-checks must
+        # not have its cache dropped by this commit's finally
+        own_b = not batch.is_cached
+        b = batch.persist() if own_b else batch
         try:
             bounds = b.agg(
                 F.min("doc_id").alias("lo"),
@@ -473,7 +477,8 @@ class CurateStateStore:
                 log_rows=log_rows,
             )
         finally:
-            b.unpersist()
+            if own_b:
+                b.unpersist()
 
     def compact(self) -> dict:
         """The maintenance half of the LSM trade the store makes: the

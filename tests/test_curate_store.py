@@ -908,6 +908,12 @@ def test_ingest_releases_candidate_pair_cache(spark, corpus):
     )
     surv.count()
     assert cm.isEmpty(), "candidate-pair persist leaked"
+    # pack mode too (r15 review follow-up): the manifest is
+    # detach-materialized in-function, so the default call leaks
+    # nothing either
+    manifest = pipeline_curate_ingest_day(spark, state, day)
+    manifest.count()
+    assert cm.isEmpty(), "pack-mode candidate-pair persist leaked"
     # explicit registry: the caller owns the lifetime
     reg: list = []
     surv2 = pipeline_curate_ingest_day(
@@ -917,6 +923,18 @@ def test_ingest_releases_candidate_pair_cache(spark, corpus):
     assert len(reg) == 1 and not cm.isEmpty()
     for df in reg:
         df.unpersist()
+    assert cm.isEmpty()
+    # a caller-persisted batch survives the call (is_cached guard:
+    # persist isn't refcounted, a blind re-persist would drop it)
+    day_p = day.persist()
+    try:
+        day_p.count()
+        pipeline_curate_ingest_day(
+            spark, state, day_p, return_survivors=True
+        ).count()
+        assert day_p.is_cached
+    finally:
+        day_p.unpersist()
     assert cm.isEmpty()
 
 
@@ -1049,3 +1067,35 @@ def test_curate_maintain_composite_nightly_window(
         .collect()
     }
     assert d2_ids <= got
+
+
+def test_commit_day_preserves_caller_batch_cache(
+    spark, corpus, tmp_path
+):
+    """``commit_day`` must not drop a caller's cache of the batch
+    (r15 review #2): persist isn't refcounted, so its internal
+    persist is guarded by ``is_cached``."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, day = corpus["old"], corpus["days"][0]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    day_p = day.persist()
+    try:
+        surv = pipeline_curate_ingest_day(
+            spark, store.read_state()[0], day_p, return_survivors=True
+        )
+        store.commit_day(day_p, surv, day="day1")
+        assert day_p.is_cached, "commit_day dropped the caller's cache"
+    finally:
+        day_p.unpersist()
+    assert store.days() == ["day0", "day1"]
