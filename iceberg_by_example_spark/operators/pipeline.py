@@ -1327,8 +1327,9 @@ class CurateState:
     is a FIXED external eval suite's shingles, MBs by definition; the
     testdata's 3% hash carve stands in for it and grows with the
     corpus, a test-scale artifact — a deployment whose vocabulary
-    somehow outgrew broadcast would drop the hint and shuffle the
-    same keys),
+    somehow outgrew broadcast caps it with the ingest's
+    ``decon_vocab_buckets=2**k`` fixed-bucket model, or fails loudly
+    via ``decon_vocab_max_broadcast``),
     ``w2``/``keep_micro`` (the stored LR filter: feature-width weights
     + the tuned cutoff, exactly ``batch_trained_filter``'s constants),
     ``source_stats`` (per-source survivor token masses feeding the
@@ -1471,13 +1472,34 @@ def _ingest_gates(
     b: DataFrame,
     span_gate: bool,
     cache_registry: list | None = None,
+    decon_vocab_buckets: int | None = None,
+    decon_vocab_max_broadcast: int | None = None,
 ) -> dict:
     """Every gate relation of the daily ingest, built ONCE and shared
     by ``pipeline_curate_ingest_day`` (the decisions) and
     ``pipeline_curate_ingest_report`` (the first-failure accounting) —
     the two can never drift. Keys: heur / exact_win (keep-side ids),
     nd_losers / day_bench / contaminated / span_hits (drop-side ids),
-    lr_keep (keep-side ids). ``b`` must already be persisted."""
+    lr_keep (keep-side ids). ``b`` must already be persisted.
+
+    The decon gate broadcasts the benchmark vocabulary under the
+    fixed-size-eval-suite contract (MBs by definition — the
+    ``CurateState.bench_vocab`` docstring owns it). Two bounds for a
+    deployment that cannot trust the contract (r15 verdict #6):
+
+    - ``decon_vocab_buckets=2**k`` — the DSIR trick
+      (``pipeline_dsir_weights``): hash BOTH sides' shingles into a
+      fixed 2^k-bucket model before the join, so the broadcast is
+      ≤ 2^k rows NO MATTER how the vocabulary grows. Hash collisions
+      can only ADD shared grams (false contamination flags, never
+      missed ones — the safe direction for decontamination); at
+      2^20 buckets the collision mass is negligible and the flagged
+      set is pinned equal to the exact form by pytest.
+    - ``decon_vocab_max_broadcast=N`` — the loud guard: count the
+      union vocabulary (one keys-only job) and raise if it exceeds N
+      instead of handing an over-sized broadcast to the session.
+      Opt-in because the count is an extra eager job per day; the
+      bucketed form needs no guard."""
     from iceberg_by_example_spark.functions.text import fingerprint
     from iceberg_by_example_spark.operators.dedup import (
         _pairs_from_postings,
@@ -1574,6 +1596,33 @@ def _ingest_gates(
     train = day_sh.filter(
         F.col("bucket") >= DECON_BENCH_BUCKET
     ).select("doc_id", F.explode("sh").alias("shingle"))
+    if (
+        decon_vocab_max_broadcast is not None
+        and decon_vocab_buckets is None
+    ):
+        n_vocab = vocab.count()
+        if n_vocab > decon_vocab_max_broadcast:
+            raise ValueError(
+                f"benchmark vocabulary has {n_vocab} shingles > "
+                f"decon_vocab_max_broadcast={decon_vocab_max_broadcast} "
+                "— the fixed-size-eval-suite contract no longer holds; "
+                "pass decon_vocab_buckets=2**k to switch the decon "
+                "gate to the fixed-size bucketed model"
+            )
+    if decon_vocab_buckets is not None:
+        # fixed 2^k-bucket model: broadcast size is capped by
+        # construction; distinct-bucket counting can only flag MORE
+        # (collisions add shared grams), never miss contamination
+        def to_bucket(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "shingle",
+                F.pmod(
+                    F.xxhash64("shingle"), F.lit(decon_vocab_buckets)
+                ),
+            )
+
+        vocab = to_bucket(vocab).distinct()
+        train = to_bucket(train)
     contaminated = (
         _decon_hits(train, vocab)
         .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
@@ -1620,6 +1669,8 @@ def pipeline_curate_ingest_day(
     return_survivors: bool = False,
     span_gate: bool = False,
     cache_registry: list | None = None,
+    decon_vocab_buckets: int | None = None,
+    decon_vocab_max_broadcast: int | None = None,
 ) -> DataFrame:
     """The INCREMENTAL composed curation — what actually runs daily
     once the backfill exists: today's batch flows through the same
@@ -1715,7 +1766,13 @@ def pipeline_curate_ingest_day(
                 "docs get new ids; re-id the batch or run the backfill"
             )
         g = _ingest_gates(
-            spark, state, b, span_gate, cache_registry=gate_cache
+            spark,
+            state,
+            b,
+            span_gate,
+            cache_registry=gate_cache,
+            decon_vocab_buckets=decon_vocab_buckets,
+            decon_vocab_max_broadcast=decon_vocab_max_broadcast,
         )
         surv = (
             b.select(
@@ -1782,6 +1839,7 @@ def pipeline_curate_ingest_report(
     batch: DataFrame,
     span_gate: bool = False,
     gates: dict | None = None,
+    mirror_stale_days: int | None = None,
 ) -> DataFrame:
     """First-failure drop accounting for the DAILY ingest — the
     observability report a production pipeline publishes next to each
@@ -1803,7 +1861,14 @@ def pipeline_curate_ingest_report(
     A caller publishing the day manifest AND its report should compute
     ``_ingest_gates`` once over its own persisted batch and pass the
     dict as ``gates`` (span_gate must match) — otherwise this function
-    rebuilds them, doubling the day's probe work."""
+    rebuilds them, doubling the day's probe work.
+
+    ``mirror_stale_days`` (r15 verdict #7) threads the store's mirror
+    staleness counter (``read_state``'s ``meta["mirror"]["stale_days"]``)
+    into the published report as a constant column — the day's record
+    of whether its probes ran on the bucketed mirror (0) or how many
+    commits behind the mirror had fallen. Omitted (None, the default),
+    the column is absent and the report schema is unchanged."""
     if gates is not None and span_gate and gates.get("span_hits") is None:
         raise ValueError(
             "gates were built with span_gate=False but the report was "
@@ -1901,16 +1966,20 @@ def pipeline_curate_ingest_report(
         total = counts.agg(F.sum("n_docs").alias("n"))
         from iceberg_by_example_spark.util import detach
 
-        return detach(
-            counts.crossJoin(F.broadcast(total)).select(
-                "stage",
-                stage_idx.alias("stage_idx"),
-                "n_docs",
-                (F.col("n_docs") / F.col("n").cast("double")).alias(
-                    "pct_of_batch"
-                ),
-            )
+        report = counts.crossJoin(F.broadcast(total)).select(
+            "stage",
+            stage_idx.alias("stage_idx"),
+            "n_docs",
+            (F.col("n_docs") / F.col("n").cast("double")).alias(
+                "pct_of_batch"
+            ),
         )
+        if mirror_stale_days is not None:
+            report = report.withColumn(
+                "mirror_stale_days",
+                F.lit(int(mirror_stale_days)).cast("bigint"),
+            )
+        return detach(report)
     finally:
         if own_b:
             b.unpersist()

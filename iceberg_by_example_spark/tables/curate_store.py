@@ -151,6 +151,21 @@ class CurateStateStore:
         )
         return df.collect()  # O(days × relations) — metadata-sized
 
+    def _log_state(self) -> tuple[str, list]:
+        """One ATOMIC observation of the pointer log: (head snapshot
+        id, the rows as of exactly that head). The commit paths derive
+        everything — duplicate-day check, carried pins, next seq —
+        from these rows and then publish with
+        ``expected_parent_id=head``, so a concurrent writer landing in
+        between fails this writer's publish loudly
+        (``CommitConflictError``) instead of interleaving a duplicate
+        seq. Reading ``branch=MAIN`` separately from the head would
+        leave a window where the rows belong to a newer head than the
+        CAS checks."""
+        log = self.log
+        head = log.current_snapshot_id()
+        return head, log.read(snapshot_id=head).collect()
+
     def days(self, rows: list | None = None) -> list[str]:
         """Committed day labels, in commit order. ``rows`` lets the
         single-writer commit path reuse one ``_log_rows()`` collect
@@ -164,23 +179,71 @@ class CurateStateStore:
 
     # -- recovery ------------------------------------------------------------
 
-    def heal(self, rows: list | None = None) -> dict:
+    @staticmethod
+    def _branch_day(branch: str) -> str | None:
+        """Day label an audit branch belongs to, or None for foreign
+        branches. Commit attempts nonce their branch names
+        (``ingest_<day>__<8hex>``) so two writers racing the same day
+        never collide on a branch; pre-nonce names (``ingest_<day>``)
+        still parse for stores written by earlier rounds."""
+        if not branch.startswith("ingest_"):
+            return None
+        rest = branch[len("ingest_") :]
+        m = re.fullmatch(r"(.+)__[0-9a-f]{8}", rest)
+        return m.group(1) if m else rest
+
+    @staticmethod
+    def _is_ancestor(t: "VersionedTable", anc_id: str, head_id: str) -> bool:
+        """True when ``anc_id`` is reachable walking parents from
+        ``head_id`` (inclusive) — metadata-only, O(snapshots)."""
+        by_id = {s.snapshot_id: s for s in t._snapshots()}
+        cur = head_id
+        while cur is not None:
+            if cur == anc_id:
+                return True
+            nxt = by_id[cur].parent_id if cur in by_id else None
+            cur = nxt if nxt in by_id else None
+        return False
+
+    def heal(
+        self, rows: list | None = None, discard_unpublished: bool = True
+    ) -> dict:
         """Make the store consistent after any crash, in either order
         the torn commit left it:
 
-        - an ``ingest_<day>`` branch whose day IS in the pointer log
-          was published but not housekept → finish the fast_forward
-          and drop the branch (readers were never affected — they pin
-          snapshot ids);
-        - a branch whose day is NOT in the log is a torn, unpublished
-          commit → drop it; the appended files become unreferenced
-          and ``remove_orphan_files`` can reclaim them later.
+        - a branch whose head is exactly a published day's pin was
+          published but not housekept → finish the fast_forward (only
+          when main doesn't already carry the pin) and drop the branch
+          (readers were never affected — they pin snapshot ids). The
+          pin check matters twice over: ``fast_forward`` is a blind
+          ref move, so forwarding main to a STALE same-day attempt
+          would silently drop the published rows from every branch cut
+          later — and a head that IS the pin can only be the published
+          writer's own completed branch (snapshot ids are unique), so
+          dropping it can never hit an in-flight attempt.
+        - any other ``ingest_*`` branch is garbage — a torn,
+          unpublished commit or a CAS-losing duplicate attempt — and
+          is dropped ONLY when ``discard_unpublished`` (the
+          ``maintain()`` hygiene pass); the appended files become
+          unreferenced and ``remove_orphan_files`` reclaims them. The
+          COMMIT paths pass ``discard_unpublished=False``: a torn
+          branch is indistinguishable from a concurrent writer's
+          in-flight one, and discarding the latter would corrupt that
+          writer mid-append — leaving it alone costs nothing (branches
+          never affect main or the pins) and makes the double-fire
+          race resolve deterministically at the pointer CAS.
 
         Called automatically at the start of every commit — a new
         day's branch MUST be cut from a main that already carries
         every published day, or the new snapshot would silently lose
         the lagging day's rows."""
+        rows = self._log_rows() if rows is None else rows
         published = set(self.days(rows))
+        pins = {
+            (r["relation"], r["day"]): r["snapshot_id"]
+            for r in rows
+            if r["relation"] != _META_RELATION
+        }
         report = {"finished": [], "discarded": []}
         for name in _RELATIONS:
             loc = self._loc(name)
@@ -188,15 +251,26 @@ class CurateStateStore:
                 continue
             t = VersionedTable.load(self.spark, loc)
             for branch in list(t.branches()):
-                if not branch.startswith("ingest_"):
+                day = self._branch_day(branch)
+                if day is None:
                     continue
-                day = branch[len("ingest_") :]
-                if day in published:
-                    t.fast_forward(MAIN, branch)
-                    report["finished"].append(f"{name}:{day}")
-                else:
+                pin = pins.get((name, day))
+                if (
+                    day in published
+                    and pin is not None
+                    and t.current_snapshot_id(branch) == pin
+                ):
+                    if not self._is_ancestor(
+                        t, pin, t.current_snapshot_id(MAIN)
+                    ):
+                        t.fast_forward(MAIN, branch)
+                        report["finished"].append(f"{name}:{day}")
+                    else:
+                        report["discarded"].append(f"{name}:{day}")
+                    t.drop_branch(branch)
+                elif discard_unpublished:
                     report["discarded"].append(f"{name}:{day}")
-                t.drop_branch(branch)
+                    t.drop_branch(branch)
         return report
 
     # -- commits -------------------------------------------------------------
@@ -209,11 +283,19 @@ class CurateStateStore:
         meta: dict,
         touched: list["VersionedTable"],
         branch: str,
+        expected_log_parent: str | None = None,
     ) -> None:
         """The atomic-publish tail every commit path shares (daily
         ``_commit`` and ``compact``): build the pointer rows, make the
         whole day visible in ONE ``state_log`` append, then housekeep
-        the audit branches (crash-safe: ``heal()`` finishes it)."""
+        the audit branches (crash-safe: ``heal()`` finishes it).
+
+        ``expected_log_parent`` CASes the pointer append on the log
+        head the commit derived its rows from: the store's contract is
+        single-writer, but a double-fired scheduler violating it now
+        raises ``CommitConflictError`` here — before anything becomes
+        visible — instead of landing a duplicate seq that would make
+        ``_resolve``'s day lookup ambiguous forever."""
         rows = [
             (seq, day, name, sid, None, None, None)
             for name, sid in sorted(snap_ids.items())
@@ -228,11 +310,24 @@ class CurateStateStore:
                 int(meta["max_doc_id"]),
             )
         ]
-        self.log.append(
-            self.spark.createDataFrame(rows, _LOG_DDL),
-            branch=MAIN,
-            summary_extra={"curate-day": day},
-        )
+        try:
+            self.log.append(
+                self.spark.createDataFrame(rows, _LOG_DDL),
+                branch=MAIN,
+                summary_extra={"curate-day": day},
+                expected_parent_id=expected_log_parent,
+            )
+        except Exception:
+            # the pointer never moved (CAS lost to a concurrent writer,
+            # or the append itself failed): nothing became visible —
+            # drop this attempt's branches so the winner's state is the
+            # only one; the data files are orphan-GC fodder. A failure
+            # AFTER the append must NOT take this path: the day is
+            # published, and ``heal`` needs the branches to finish the
+            # fast_forwards.
+            for t in touched:
+                t.drop_branch(branch)
+            raise
         for t in touched:
             t.fast_forward(MAIN, branch)
             t.drop_branch(branch)
@@ -242,15 +337,16 @@ class CurateStateStore:
         day: str,
         deltas: dict[str, DataFrame | None],
         meta: dict,
-        log_rows: list | None = None,
+        log_state: tuple[str, list] | None = None,
     ) -> dict:
         """The shared write-audit-publish protocol: per-relation delta
-        appends on the ``ingest_<day>`` branches, O(delta) audits on
-        the branches, then ONE ``state_log`` append that makes the
-        whole day visible atomically, then housekeeping. ``log_rows``
-        lets a caller that already collected the pointer log pass it
-        through — the store is single-writer, so one collect per
-        commit serves every derived check."""
+        appends on the nonce'd ``ingest_<day>__<hex>`` branches,
+        O(delta) audits on the branches, then ONE ``state_log`` append
+        that makes the whole day visible atomically (CAS'd on the
+        observed log head), then housekeeping. ``log_state`` lets a
+        caller that already observed the log pass its
+        ``_log_state()`` through — the store is single-writer, so one
+        observation per commit serves every derived check AND the CAS."""
         if not day:
             raise ValueError("day label must be non-empty")
         if _COMPACT_LABEL.fullmatch(day):
@@ -261,8 +357,8 @@ class CurateStateStore:
             raise ValueError(
                 f"day label {day!r} is reserved for compaction commits"
             )
-        log_rows = (
-            self._log_rows() if log_rows is None else log_rows
+        log_head, log_rows = (
+            self._log_state() if log_state is None else log_state
         )
         committed_days = self.days(log_rows)
         if day in committed_days:
@@ -270,8 +366,12 @@ class CurateStateStore:
                 f"day {day!r} is already committed — a re-ingest must "
                 "not double-count; read_state(as_of=...) reproduces it"
             )
-        self.heal(log_rows)
-        branch = f"ingest_{day}"
+        self.heal(log_rows, discard_unpublished=False)
+        # nonce'd branch names: two writers racing the same day never
+        # collide on a branch, so the loser is caught by the pointer
+        # CAS below (loud, isolated) instead of corrupting the
+        # winner's in-flight appends
+        branch = f"ingest_{day}__{os.urandom(4).hex()}"
         # a relation with no delta this day CARRIES its previous pin
         # forward into the pointer rows (the compact() stance):
         # _resolve reads only the target seq's rows, so omitting the
@@ -310,8 +410,21 @@ class CurateStateStore:
             for t in appended:
                 t.drop_branch(branch)
             raise
-        seq = len(committed_days)
-        self._publish(seq, day, snap_ids, meta, appended, branch)
+        # max+1, not len(days): retention (``maintain(retain_days=)``)
+        # expires old pointer rows, and a reused seq would tie or
+        # shadow a retained day in ``_resolve``'s max-seq lookup
+        seq = (
+            max(int(r["seq"]) for r in log_rows) + 1 if log_rows else 0
+        )
+        self._publish(
+            seq,
+            day,
+            snap_ids,
+            meta,
+            appended,
+            branch,
+            expected_log_parent=log_head,
+        )
         return {
             "day": day,
             "seq": seq,
@@ -414,7 +527,7 @@ class CurateStateStore:
             curate_day_deltas,
         )
 
-        log_rows = self._log_rows()
+        log_head, log_rows = self._log_state()
         if day in self.days(log_rows):
             # checked here as well as in _commit: a re-ingest of a
             # committed day must read as the re-publish guard, not as
@@ -474,7 +587,7 @@ class CurateStateStore:
                         prev_meta["max_doc_id"], int(bounds["hi"])
                     ),
                 },
-                log_rows=log_rows,
+                log_state=(log_head, log_rows),
             )
         finally:
             if own_b:
@@ -499,10 +612,11 @@ class CurateStateStore:
         Cost is O(index) READ once, by choice, exactly like
         ``rewrite_data_files`` — a periodic maintenance job, never on
         the daily commit path."""
-        self.heal()
-        snaps, meta = self._resolve(None, None)
+        log_head, log_rows = self._log_state()
+        self.heal(log_rows, discard_unpublished=False)
+        snaps, meta = self._resolve(None, None, rows=log_rows)
         day = f"compact{meta['seq'] + 1}"
-        branch = f"ingest_{day}"
+        branch = f"ingest_{day}__{os.urandom(4).hex()}"
         specs = {
             "shingle_census": lambda df: df.groupBy("shingle").agg(
                 F.sum("df").alias("df")
@@ -538,11 +652,17 @@ class CurateStateStore:
                 t.drop_branch(branch)
             raise
         self._publish(
-            meta["seq"] + 1, day, new_snaps, meta, touched, branch
+            meta["seq"] + 1,
+            day,
+            new_snaps,
+            meta,
+            touched,
+            branch,
+            expected_log_parent=log_head,
         )
         return {"day": day, "compacted": compacted}
 
-    def maintain(self) -> dict:
+    def maintain(self, retain_days: int | None = None) -> dict:
         """Storage GC for the store — the maintenance trio
         (``expire_snapshots`` → ``remove_orphan_files`` →
         ``rewrite_manifests``, the reference's C4/C1/C3 sequence,
@@ -556,15 +676,26 @@ class CurateStateStore:
         dangling garbage) removes the now-unreachable snapshots, and
         orphan GC deletes their data files.
 
-        What it does NOT reclaim, by design: pre-compaction partials.
-        ``compact()`` rewrites a relation, but the replaced files stay
-        referenced by every earlier day's pinned snapshot — main
-        ancestors, hence live. Reclaiming them needs a retention
-        policy that truncates the pointer's own history (drops old
-        days from the log and their branches' ancestry), which this
-        store intentionally does not offer yet: every committed day
-        stays reproducible."""
+        ``retain_days=N`` adds the retention horizon (the reference's
+        ``expire_snapshots(retain_last => …)`` semantic, LT:161-162,
+        applied to the pointer log): keep the newest N pointer entries
+        (ingest days and compactions alike), expire everything older —
+        the rows leave the log, the log's own history truncates to the
+        post-delete snapshot, and each relation's history truncates to
+        its oldest RETAINED pin (``expire_history_before``) so the
+        files only expired days pinned — pre-compaction partials above
+        all — become orphans the GC trio below reclaims. Without it
+        the store grows monotonically forever (every day stays
+        reproducible); with it the steady state is bounded: O(index)
+        live bytes + N days of deltas. ``read_state(as_of=)`` inside
+        the horizon is bit-identical; outside it raises the clean
+        day-not-committed error (and historic ``log_snapshot_id``
+        reads the clean unknown-snapshot error), never a missing-file
+        crash. Idempotent, and the next ``commit_day`` lands on the
+        retained base (seq numbering is max+1, never reused)."""
         report = {"healed": self.heal(), "tables": {}}
+        if retain_days is not None:
+            report["retention"] = self._retain(retain_days)
         names = list(_RELATIONS) + ["state_log"]
         for name in names:
             loc = self._loc(name)
@@ -582,6 +713,52 @@ class CurateStateStore:
                 "manifest_files_removed": manifests,
             }
         return report
+
+    def _retain(self, retain_days: int) -> dict:
+        """The pointer-history half of ``maintain(retain_days=)``:
+        delete the expired rows from the log (one CoW snapshot),
+        truncate the log's own history to it, then truncate each
+        relation's history to its oldest retained pin. File
+        reclamation itself is left to the GC trio that runs right
+        after — this method only makes the right snapshots expire.
+
+        Carried pins are why the truncation point is per-relation and
+        computed from the RETAINED rows, not the cutoff day: a
+        relation with no delta for many days carries an old snapshot
+        id forward, and truncating before the cutoff day's seq would
+        sever that still-pinned history."""
+        if retain_days < 1:
+            raise ValueError("retain_days must be >= 1")
+        _head, rows = self._log_state()
+        seqs = sorted({int(r["seq"]) for r in rows})
+        if len(seqs) <= retain_days:
+            return {"expired_days": [], "cutoff_seq": None}
+        cutoff = seqs[-retain_days]
+        expired_days = self.days(
+            [r for r in rows if int(r["seq"]) < cutoff]
+        )
+        retained = [r for r in rows if int(r["seq"]) >= cutoff]
+        self.log.delete(F.col("seq") < cutoff, branch=MAIN)
+        self.log.expire_history_before(self.log.current_snapshot_id())
+        expired_snaps: dict[str, int] = {}
+        for name in _RELATIONS:
+            pins = [
+                r
+                for r in retained
+                if r["relation"] == name and r["snapshot_id"] is not None
+            ]
+            if not pins:
+                continue
+            oldest = min(pins, key=lambda r: int(r["seq"]))
+            t = self._table(name)
+            expired_snaps[name] = len(
+                t.expire_history_before(oldest["snapshot_id"])
+            )
+        return {
+            "expired_days": expired_days,
+            "cutoff_seq": cutoff,
+            "expired_snapshots": expired_snaps,
+        }
 
     # -- bucketed probe mirror ------------------------------------------------
 
@@ -632,7 +809,13 @@ class CurateStateStore:
         pointing at intact tables (or, before any refresh completed,
         no stamp at all), never a current-looking stamp over gutted
         dirs that would serve an EMPTY standing index into the dedup
-        gates."""
+        gates. Retirement lags ONE generation (r15 ADVICE #1): the
+        generation a refresh supersedes survives until the NEXT
+        refresh, so a CurateState handle obtained from read_state
+        BEFORE this refresh keeps resolving its (now-superseded)
+        mirror tables for the rest of its natural lifetime instead of
+        failing mid-query on missing files; only generations two or
+        more refreshes old are reclaimed."""
         import shutil
 
         snaps, meta = self._resolve(None, None)
@@ -640,6 +823,21 @@ class CurateStateStore:
         nonce = os.urandom(4).hex()
         db = self._ensure_mirror_db()
         loc = self._mirror_dir()
+        # unconditional (r15 ADVICE #2): the catalog db can survive a
+        # deleted/recreated store root, in which case the
+        # databaseExists branch in _ensure_mirror_db never re-creates
+        # the directory and the stamp write below would FileNotFoundError
+        # in the no-mirrored-relations edge
+        os.makedirs(loc, exist_ok=True)
+        # the generation being superseded (kept through this refresh)
+        prev_keep: set[str] = set()
+        prev_path = os.path.join(loc, "_STAMP")
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev_keep = {
+                    os.path.basename(i["dir"])
+                    for i in json.load(f)["tables"].values()
+                }
         stamp_tables: dict[str, dict] = {}
         for name, (col, dedup) in _MIRROR_SPECS.items():
             if name not in snaps:
@@ -672,10 +870,14 @@ class CurateStateStore:
         with open(tmp, "w") as f:
             json.dump({"seq": seq, "tables": stamp_tables}, f)
         os.replace(tmp, os.path.join(loc, "_STAMP"))
-        # retire superseded mirrors LAST (external tables: drop the
-        # catalog entry AND the files); a crash here leaves only
+        # retire mirrors two+ generations old LAST (external tables:
+        # drop the catalog entry AND the files); the JUST-superseded
+        # generation survives until the next refresh so live state
+        # handles keep reading it; a crash here leaves only
         # unreferenced leftovers, reclaimed by the next refresh
-        keep = {os.path.basename(i["dir"]) for i in stamp_tables.values()}
+        keep = {
+            os.path.basename(i["dir"]) for i in stamp_tables.values()
+        } | prev_keep
         for entry in sorted(os.listdir(loc)):
             if entry.startswith("_STAMP") or entry in keep:
                 continue
@@ -684,18 +886,23 @@ class CurateStateStore:
             shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
         return {"seq": seq, "mirrored": sorted(stamp_tables)}
 
-    def _mirror_tables(self, meta: dict) -> dict:
+    def _mirror_stamp(self) -> dict | None:
+        """The current mirror stamp, or None before any refresh."""
+        path = os.path.join(self._mirror_dir(), "_STAMP")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _mirror_tables(self, meta: dict, stamp: dict | None) -> dict:
         """relation → bucketed DataFrame, ONLY when the stamped
         mirror covers exactly the requested seq AND every stamped
         table dir is present on disk; {} otherwise (the caller falls
         back to the plain pinned reads — a manually deleted or
         torn-retired dir must degrade to the plain path, never to an
         empty re-registered table silently serving an empty index)."""
-        path = os.path.join(self._mirror_dir(), "_STAMP")
-        if not os.path.exists(path):
+        if stamp is None:
             return {}
-        with open(path) as f:
-            stamp = json.load(f)
         if stamp["seq"] != meta["seq"]:
             return {}
         if any(
@@ -799,13 +1006,32 @@ class CurateStateStore:
         relations are served from their BUCKETED mirror tables — same
         rows, exchange-free probe plans; any staleness (a day
         committed after the refresh) silently falls back to the plain
-        pinned reads."""
+        pinned reads. Which layout served is OBSERVABLE (r15 verdict
+        #7): ``meta["mirror"]`` reports ``served`` (this read used the
+        bucketed mirror), ``stamp_seq`` (the seq the stamp covers, or
+        None before any refresh) and ``stale_days`` (pointer entries
+        committed since the stamp — 0 while the mirror serves, rising
+        until the next ``refresh_probe_mirror`` resets it) — the
+        counter a production scheduler alerts on when the nightly
+        mirror refresh silently stops keeping up with the days."""
         from iceberg_by_example_spark.operators.pipeline import (
             CurateState,
         )
 
         snaps, meta = self._resolve(as_of, log_snapshot_id)
-        mirror = self._mirror_tables(meta) if prefer_mirror else {}
+        stamp = self._mirror_stamp()
+        mirror = (
+            self._mirror_tables(meta, stamp) if prefer_mirror else {}
+        )
+        meta["mirror"] = {
+            "served": bool(mirror),
+            "stamp_seq": None if stamp is None else int(stamp["seq"]),
+            "stale_days": (
+                None
+                if stamp is None
+                else max(0, meta["seq"] - int(stamp["seq"]))
+            ),
+        }
 
         def rel(name: str) -> DataFrame | None:
             if name not in snaps:

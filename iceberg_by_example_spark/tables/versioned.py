@@ -357,6 +357,7 @@ class VersionedTable:
         summary: dict,
         delete_files: list[str] | None = None,
         expected_parent_id: str | None = None,
+        rebase_appends: bool = True,
     ) -> Snapshot:
         """``delete_files=None`` carries the parent's position-delete
         overlay forward (appends and CoW rewrites never invalidate it:
@@ -369,14 +370,19 @@ class VersionedTable:
         the meantime, appends REBASE (their added files are
         state-independent, so they re-parent onto the new head and keep
         its overlay — Iceberg's fast-append retry); every other
-        operation raises CommitConflictError for the caller to re-run."""
+        operation raises CommitConflictError for the caller to re-run.
+        ``rebase_appends=False`` turns the append rebase off: a moved
+        branch then raises like any other conflict — the
+        compare-and-swap form a POINTER append needs, where the rows
+        being appended were derived from the expected head and silently
+        re-parenting them would publish a stale decision."""
         with self._commit_lock():
             parent = self._current(branch)
             if (
                 expected_parent_id is not None
                 and parent.snapshot_id != expected_parent_id
             ):
-                if operation == "append":
+                if operation == "append" and rebase_appends:
                     base = self._snapshot_by_id(expected_parent_id)
                     base_files = set(base.files)
                     added = [f for f in files if f not in base_files]
@@ -830,6 +836,7 @@ class VersionedTable:
         branch: str | None = None,
         merge_schema: bool = False,
         summary_extra: dict | None = None,
+        expected_parent_id: str | None = None,
     ) -> Snapshot:
         """Append (reference S6, LT:64-67: DataFrameWriterV2.append with
         ``.option("mergeSchema","true")`` — pass ``merge_schema=True``
@@ -837,7 +844,16 @@ class VersionedTable:
         old files read NULL for them). ``summary_extra`` lands in the
         snapshot summary atomically with the commit (the streaming
         sink's exactly-once batch markers ride here, like Iceberg's
-        ``spark.sql.streaming`` snapshot properties)."""
+        ``spark.sql.streaming`` snapshot properties).
+
+        ``expected_parent_id`` makes the append a COMPARE-AND-SWAP on
+        the branch head: if the branch no longer points at that
+        snapshot the commit raises ``CommitConflictError`` instead of
+        rebasing — the form a pointer/log append needs, where the rows
+        were derived from the observed head and a concurrent writer
+        landing first must make THIS writer fail loudly (the curation
+        store's ``state_log`` publish). Without it, appends keep their
+        fast-append rebase-on-conflict behavior."""
         branch = self._resolve_write_branch(branch)
         if merge_schema:
             self._merge_schema(df)
@@ -848,7 +864,12 @@ class VersionedTable:
             "append",
             cur.files + new_files,
             {"added-files": len(new_files), **(summary_extra or {})},
-            expected_parent_id=cur.snapshot_id,
+            expected_parent_id=(
+                cur.snapshot_id
+                if expected_parent_id is None
+                else expected_parent_id
+            ),
+            rebase_appends=expected_parent_id is None,
         )
 
     def replace(
@@ -1751,6 +1772,14 @@ class VersionedTable:
             self._write_json("refs.json", refs)
             self._append_metadata_log(snapshot_id)
 
+    def current_snapshot_id(self, branch: str = MAIN) -> str:
+        """The snapshot id a branch (or tag) currently points at — the
+        observation half of an optimistic-concurrency round-trip: read
+        it, derive work from reads pinned AT it, then commit with
+        ``expected_parent_id=`` so a concurrent writer landing in
+        between fails this writer loudly instead of interleaving."""
+        return self._current(self._resolve_read_branch(branch)).snapshot_id
+
     def branches(self) -> dict[str, str]:
         return self._refs()
 
@@ -2172,6 +2201,53 @@ class VersionedTable:
             [d for d in raw if d["snapshot_id"] in keep],
         )
         return expired
+
+    def expire_history_before(self, snapshot_id: str) -> list[str]:
+        """Truncate history: expire every STRICT ancestor of
+        ``snapshot_id``, removing them from the snapshot list so their
+        exclusively-referenced files become ``remove_orphan_files``
+        fodder. This is the retention half Iceberg's
+        ``expire_snapshots`` performs on branch ancestry (history older
+        than the horizon stops being time-travelable) that
+        ``expire_snapshots`` here deliberately does NOT do (it protects
+        all branch ancestry) — callers that pin snapshots externally
+        (the curation store's pointer log) use this to drop history
+        older than their oldest retained pin.
+
+        ``snapshot_id`` itself and everything newer survive; reads
+        pinned AT or AFTER it are untouched (their file lists and files
+        remain). Reads pinned BEFORE it raise the clean
+        unknown-snapshot error afterwards, never a missing-file crash.
+        Refuses to truncate under a branch/tag that points INTO the
+        expired range (its head would dangle); a branch merely FORKED
+        from an expired ancestor keeps working — its head still lists
+        its files, only its lineage walk stops early, exactly like
+        Iceberg after expiry. Idempotent: re-running with the same
+        ``snapshot_id`` expires nothing further."""
+        with self._commit_lock():
+            by_id = {s.snapshot_id: s for s in self._snapshots()}
+            if snapshot_id not in by_id:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            doomed: set[str] = set()
+            cur = by_id[snapshot_id].parent_id
+            while cur in by_id:
+                doomed.add(cur)
+                cur = by_id[cur].parent_id
+            if not doomed:
+                return []
+            heads = {**self._refs(), **self._tags()}
+            hit = {n: sid for n, sid in heads.items() if sid in doomed}
+            if hit:
+                raise ValueError(
+                    "cannot expire history: refs point into it "
+                    f"({sorted(hit)}); drop or move them first"
+                )
+            raw = self._read_json("snapshots.json")
+            self._write_json(
+                "snapshots.json",
+                [d for d in raw if d["snapshot_id"] not in doomed],
+            )
+            return sorted(doomed)
 
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
         """Orphan GC (C1, LT:158/163): delete data files not referenced

@@ -167,6 +167,7 @@ def curate_publish(
     run_label: str = "run0",
     wap_branch: str = "curate_audit",
     manifest: DataFrame | None = None,
+    summary_extra: dict | None = None,
 ) -> dict:
     """The north-star pipeline meeting the reference's governance
     surface: run the composed curation job
@@ -192,7 +193,12 @@ def curate_publish(
     n_docs, pack_tokens, first_doc, last_doc) to publish a manifest
     computed elsewhere: the incremental daily ingest
     (``curate_ingest_day``) lands its day manifest through the same
-    governance gate instead of recomputing the corpus."""
+    governance gate instead of recomputing the corpus.
+    ``summary_extra`` rides the manifest append's snapshot summary —
+    atomic with the publish, which is what makes
+    ``curate_cycle_day(resume=True)``'s recovery possible: the day's
+    survivor masses become durable in the SAME commit that publishes
+    the packs."""
     from iceberg_by_example_spark.operators.pipeline import (
         pipeline_curate_corpus,
     )
@@ -216,7 +222,8 @@ def curate_publish(
     # when the failure happened before the branch was auto-created.
     try:
         with wap_session(spark, wap_branch):
-            table.append(manifest)  # routed to the WAP branch
+            # routed to the WAP branch by session conf
+            table.append(manifest, summary_extra=summary_extra)
             audited = table.read()  # ambient read of the same branch
             n_packs = audited.count()
             null_rows = rows_with_any_null(audited).count()
@@ -270,26 +277,55 @@ def curate_ingest_day(
         pipeline_curate_ingest_day,
     )
 
-    # day-boundary cache ownership (r15 review): the gates' candidate
-    # pair persist lives until the publish below has materialized the
-    # manifest, then is released — a long-lived session running one
-    # ingest per day must not accumulate one cached relation per day
-    gate_cache: list = []
-    try:
-        manifest = pipeline_curate_ingest_day(
-            spark, state, batch, cache_registry=gate_cache
-        )
-        return curate_publish(
-            spark,
-            sf_dir="",  # unused: the manifest is supplied
-            location=location,
-            run_label=run_label,
-            wap_branch=wap_branch,
-            manifest=manifest,
-        )
-    finally:
-        for df in gate_cache:
-            df.unpersist()
+    # cache ownership stays INSIDE the pipeline call (r15 ADVICE #3):
+    # it detach-materializes the manifest in-function, so its own-cache
+    # path already releases every gate cache at the right time — a
+    # caller-held registry would only extend the lifetime until after
+    # the publish, for nothing
+    manifest = pipeline_curate_ingest_day(spark, state, batch)
+    return curate_publish(
+        spark,
+        sf_dir="",  # unused: the manifest is supplied
+        location=location,
+        run_label=run_label,
+        wap_branch=wap_branch,
+        manifest=manifest,
+    )
+
+
+def _manifest_day_published(
+    spark: SparkSession, location: str, day: str
+) -> bool:
+    """True when the governance table at ``location`` already carries
+    ``day``'s packs on MAIN — the resume protocol's first question."""
+    if not os.path.exists(os.path.join(location, "_meta", "table.json")):
+        return False
+    table = VersionedTable.load(spark, location)
+    return (
+        table.read(branch=MAIN).filter(F.col("run") == day).limit(1).count()
+        > 0
+    )
+
+
+def _published_day_masses(table: VersionedTable, day: str) -> dict | None:
+    """The ``curate-source-masses`` recorded in the snapshot summary
+    of ``day``'s published manifest append, or None when the commit
+    predates the summary (then resume falls back to re-running the
+    gates). Walks MAIN's ancestry only: an audit-FAILED attempt for
+    the same day leaves a dangling snapshot carrying the same summary
+    keys, and its masses must never be trusted — it was never
+    published."""
+    import json
+
+    by_id = {s.snapshot_id: s for s in table._snapshots()}
+    cur = table.current_snapshot_id(MAIN)
+    while cur in by_id:
+        s = by_id[cur]
+        if s.summary.get("curate-day") == day:
+            raw = s.summary.get("curate-source-masses")
+            return None if raw is None else json.loads(raw)
+        cur = s.parent_id
+    return None
 
 
 def curate_cycle_day(
@@ -299,6 +335,7 @@ def curate_cycle_day(
     location: str,
     day: str,
     wap_branch: str = "curate_audit",
+    resume: bool = False,
 ) -> dict:
     """One full day of the steady-state loop against the VERSIONED
     state store (``tables.curate_store.CurateStateStore``): probe
@@ -312,24 +349,41 @@ def curate_cycle_day(
     ``pipeline_curate_ingest_day(return_survivors=True)`` and feed
     both the pack tail (``curate_pack_day`` — the same definition the
     non-store ingest uses) and the state advance, so manifest and
-    state can never disagree about the day's decisions.
+    state can never disagree about the day's decisions. The day's
+    per-source survivor token masses additionally ride the manifest
+    append's snapshot summary (bounded: one entry per source) — the
+    durable breadcrumb the resume path below recovers from.
 
     Two governance tables, two commits (manifest, then state). A
     fully committed day re-run fails FAST (the guard below). A crash
     BETWEEN the two commits leaves the manifest published and the
     state unadvanced; re-running the whole day then fails the
     manifest's duplicate-key audit BY DESIGN (no silent
-    double-publish), and ``store.commit_day`` alone completes the
-    cycle — recovery is explicit. Cross-table atomicity would need a
-    multi-table catalog transaction, which this engine (like
-    Iceberg's HadoopCatalog) does not claim; each table individually
-    is torn-proof."""
+    double-publish). ``resume=True`` turns that documented manual
+    recovery into one idempotent call — safe to invoke at ANY point
+    of the day's lifecycle:
+
+    - nothing landed yet → runs the normal full day;
+    - manifest published, state unadvanced (the crash window) →
+      completes ONLY the state half: the relation deltas come from
+      the batch (as every ``commit_day`` does) and the survivor
+      source masses from the published manifest commit's summary —
+      the gates do NOT re-run (``resumed_via='summary_masses'``); a
+      pre-breadcrumb manifest falls back to re-running the
+      deterministic gates (``resumed_via='recomputed_gates'``);
+    - both committed → a no-op report (``resumed_via='noop'``).
+
+    Cross-table atomicity would need a multi-table catalog
+    transaction, which this engine (like Iceberg's HadoopCatalog)
+    does not claim; each table individually is torn-proof and resume
+    closes the gap between them."""
     from iceberg_by_example_spark.operators.pipeline import (
         curate_pack_day,
         pipeline_curate_ingest_day,
     )
 
-    if day in store.days():
+    state_done = day in store.days()
+    if state_done and not resume:
         # fail as the re-publish guard, not as the monotone-watermark
         # violation the already-advanced state would otherwise raise
         # mid-ingest: the day's packs and state are both committed —
@@ -338,11 +392,58 @@ def curate_cycle_day(
             f"day {day!r} is already committed to the state store — "
             "a re-run must not double-publish"
         )
+    manifest_done = resume and _manifest_day_published(
+        spark, location, day
+    )
+    if state_done:
+        if not manifest_done:
+            raise ValueError(
+                f"day {day!r} has committed state but no published "
+                "manifest — the cycle commits manifest FIRST, so this "
+                "store was advanced outside curate_cycle_day; "
+                "reconcile manually"
+            )
+        return {"manifest": None, "state": None, "resumed_via": "noop"}
+    if manifest_done:
+        # the crash window: complete the state half only
+        table = VersionedTable.load(spark, location)
+        masses = _published_day_masses(table, day)
+        if masses is not None:
+            surv_masses = spark.createDataFrame(
+                [(s, int(n)) for s, n in sorted(masses.items())],
+                "source string, n_tokens bigint",
+            )
+            state_report = store.commit_day(batch, surv_masses, day=day)
+            via = "summary_masses"
+        else:
+            state, _meta = store.read_state()
+            surv = pipeline_curate_ingest_day(
+                spark, state, batch, return_survivors=True
+            )
+            state_report = store.commit_day(batch, surv, day=day)
+            via = "recomputed_gates"
+        return {
+            "manifest": None,
+            "state": state_report,
+            "resumed_via": via,
+        }
     state, _meta = store.read_state()
     surv = pipeline_curate_ingest_day(
         spark, state, batch, return_survivors=True
     )
     manifest = curate_pack_day(surv, state)
+    # the day's survivor masses, made durable WITH the publish: the
+    # same aggregate commit_day writes as the source_stats delta, so
+    # a summary-masses resume reproduces the state bit-identically.
+    # Bounded collect — one row per source, never per doc.
+    day_masses = {
+        r["source"]: int(r["t"])
+        for r in surv.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    import json
+
     report = curate_publish(
         spark,
         sf_dir="",  # unused: the manifest is supplied
@@ -350,6 +451,10 @@ def curate_cycle_day(
         run_label=day,
         wap_branch=wap_branch,
         manifest=manifest,
+        summary_extra={
+            "curate-day": day,
+            "curate-source-masses": json.dumps(day_masses),
+        },
     )
     state_report = None
     if report["published"]:
@@ -465,7 +570,7 @@ def curate_backfill(
         docs.unpersist()
 
 
-def curate_maintain(store) -> dict:
+def curate_maintain(store, retain_days: int | None = None) -> dict:
     """The store's nightly maintenance window as ONE workflow — the
     W4 ``maintain`` shape applied to the curation state store
     (``tables.curate_store.CurateStateStore``), in dependency order:
@@ -478,7 +583,11 @@ def curate_maintain(store) -> dict:
        day's gates probe exchange-free;
     3. ``maintain()`` — snapshot expiry + orphan/manifest GC,
        reclaiming any torn-commit leftovers and the manifests the
-       compaction's replace just unreferenced.
+       compaction's replace just unreferenced; ``retain_days=N``
+       additionally expires pointer history older than the newest N
+       entries (``CurateStateStore.maintain``'s retention horizon), so
+       the pre-compaction partials the step-1 rewrite superseded are
+       actually reclaimed and the store's steady state is bounded.
 
     Each step is individually crash-safe (pointer publish / stamp
     swap / idempotent GC), so the composite needs no transaction: a
@@ -487,5 +596,5 @@ def curate_maintain(store) -> dict:
     periodic job, never the daily commit path."""
     report = {"compact": store.compact()}
     report["mirror"] = store.refresh_probe_mirror()
-    report["gc"] = store.maintain()
+    report["gc"] = store.maintain(retain_days=retain_days)
     return report

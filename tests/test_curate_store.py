@@ -1099,3 +1099,392 @@ def test_commit_day_preserves_caller_batch_cache(
     finally:
         day_p.unpersist()
     assert store.days() == ["day0", "day1"]
+
+
+def test_store_pointer_cas_double_fire_loses_loudly(
+    spark, corpus, tmp_path
+):
+    """The r15 verdict's CAS item: the pointer append is a
+    compare-and-swap on the log head the commit derived its rows
+    from. A double-fired scheduler — the second fire working from a
+    STALE observation taken before the first fire published — must
+    raise ``CommitConflictError`` at the publish, before anything
+    becomes visible, instead of landing a duplicate seq. Exactly one
+    winner; the loser leaves no branches and no pointer rows; the
+    store state equals the winner's; a retry with a fresh
+    observation lands cleanly."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import (
+        CommitConflictError,
+        VersionedTable,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    surv = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d1, return_survivors=True
+    )
+
+    # both fires observe the log BEFORE either publishes
+    stale = store._log_state()
+    store.commit_day(d1, surv, day="day1")  # first fire wins
+    winner = _state_rows(store.read_state()[0])
+
+    real_log_state = CurateStateStore._log_state
+    CurateStateStore._log_state = lambda self: stale
+    try:
+        with pytest.raises(CommitConflictError):
+            store.commit_day(d1, surv, day="day1")
+    finally:
+        CurateStateStore._log_state = real_log_state
+
+    # the loser left nothing: one day1, unique seqs, winner's state
+    assert store.days() == ["day0", "day1"]
+    rows = store._log_rows()
+    assert len({r["seq"] for r in rows}) == len(
+        {(r["seq"], r["day"]) for r in rows}
+    )
+    assert _state_rows(store.read_state()[0]) == winner
+    for name in ("fp_index", "shingle_index"):
+        t = VersionedTable.load(spark, os.path.join(store.root, name))
+        assert not [b for b in t.branches() if b.startswith("ingest_")]
+    # a fresh observation retries cleanly onto the winner's base
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    report = store.commit_day(d2, surv2, day="day2")
+    assert report["seq"] == 2
+    assert store.days() == ["day0", "day1", "day2"]
+
+
+def test_store_threaded_double_fire_exactly_one_winner(
+    spark, corpus, tmp_path
+):
+    """Two genuinely concurrent commits of the SAME day (the
+    double-fired scheduler, threads sharing the session): exactly one
+    returns a report, the other raises loudly (the pointer CAS or the
+    duplicate-day guard, depending on where the race lands), and the
+    final store equals a single clean commit — no duplicate seq, no
+    leftover branches affecting reads, next day lands cleanly.
+    Deterministic because commit-path ``heal`` never discards another
+    writer's in-flight branches (finish-only) and branch names are
+    nonce'd, so the only contended edge is the CAS'd pointer append."""
+    import threading
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import (
+        CommitConflictError,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    surv = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d1, return_survivors=True
+    )
+
+    barrier = threading.Barrier(2)
+    results: dict = {}
+
+    def fire(tag: str) -> None:
+        barrier.wait()
+        try:
+            results[tag] = ("ok", store.commit_day(d1, surv, day="day1"))
+        except Exception as e:  # noqa: BLE001 — the loser's error IS the assertion
+            results[tag] = ("err", e)
+
+    threads = [
+        threading.Thread(target=fire, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    oks = [v for v in results.values() if v[0] == "ok"]
+    errs = [v for v in results.values() if v[0] == "err"]
+    assert len(oks) == 1 and len(errs) == 1, results
+    assert isinstance(errs[0][1], (CommitConflictError, ValueError)), errs
+    assert store.days() == ["day0", "day1"]
+    rows = store._log_rows()
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault(r["seq"], set()).add(r["day"])
+    assert all(len(days) == 1 for days in by_seq.values()), by_seq
+    # the surviving state is readable and day2 lands on it cleanly
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    report = store.commit_day(d2, surv2, day="day2")
+    assert report["seq"] == 2
+    assert store.days() == ["day0", "day1", "day2"]
+
+
+def test_store_retention_bounds_history_and_reclaims_bytes(
+    spark, corpus, tmp_path
+):
+    """``maintain(retain_days=N)`` (r15 verdict #1): expire pointer
+    entries older than the newest N, truncate the log's and each
+    relation's history to the oldest retained pin, and let the GC
+    trio reclaim what only the expired days pinned — the
+    pre-compaction partials above all. Pins: bytes SHRINK vs an
+    already-GC'd baseline; ``as_of`` inside the horizon is
+    bit-identical; outside it raises the clean day-not-committed
+    error and historic ``log_snapshot_id`` the clean unknown-snapshot
+    error (never a missing-file crash); the next commit lands on the
+    retained base with a never-reused seq; idempotent."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    for day, label in ((d1, "day1"), (d2, "day2")):
+        surv = pipeline_curate_ingest_day(
+            spark, store.read_state()[0], day, return_survivors=True
+        )
+        store.commit_day(day, surv, day=label)
+    old_log_snapshot = store.log.current_snapshot_id()
+    store.compact()  # seq 3, label compact3
+    inside_day2 = _state_rows(store.read_state(as_of="day2")[0])
+    inside_latest = _state_rows(store.read_state()[0])
+
+    # GC'd baseline first, so the shrink isolates RETENTION's effect
+    store.maintain()
+    bytes_before = _dir_bytes(store.root)
+
+    report = store.maintain(retain_days=2)
+    assert report["retention"]["expired_days"] == ["day0", "day1"]
+    assert report["retention"]["cutoff_seq"] == 2
+    bytes_after = _dir_bytes(store.root)
+    assert bytes_after < bytes_before, (bytes_before, bytes_after)
+
+    # inside the horizon: bit-identical
+    assert store.days() == ["day2", "compact3"]
+    assert _state_rows(store.read_state(as_of="day2")[0]) == inside_day2
+    assert _state_rows(store.read_state()[0]) == inside_latest
+    # outside: clean errors, not missing-file crashes
+    with pytest.raises(ValueError, match="not committed"):
+        store.read_state(as_of="day1")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        store.read_state(log_snapshot_id=old_log_snapshot)
+
+    # idempotent: nothing further expires
+    report2 = store.maintain(retain_days=2)
+    assert report2["retention"]["expired_days"] == []
+    assert _state_rows(store.read_state()[0]) == inside_latest
+
+    # the next commit lands on the retained base, seq never reused
+    surv3 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d3, return_survivors=True
+    )
+    report3 = store.commit_day(d3, surv3, day="day3")
+    assert report3["seq"] == 4
+    assert store.days() == ["day2", "compact3", "day3"]
+    # and the new day's state still carries every retained partition
+    s_new, _ = store.read_state()
+    s_old, _ = store.read_state(as_of="compact3")
+    assert s_new.fp_index.count() >= s_old.fp_index.count()
+
+
+def test_store_cycle_resume_completes_crashed_day(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """``curate_cycle_day(resume=True)`` (r15 verdict #4): inject a
+    crash BETWEEN the manifest publish and the state commit, then one
+    resume call completes the state half FROM THE PUBLISHED MANIFEST
+    (the survivor masses ride its snapshot summary — the gates do not
+    re-run) and the final state is identical to an uninterrupted
+    day's on a twin store. Also pins the no-op idempotency, the
+    fail-fast of a plain re-run, and the recomputed-gates fallback
+    for a manifest published without the breadcrumb."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        curate_pack_day,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+        curate_publish,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store1 = CurateStateStore(spark, str(tmp_path / "s1"))
+    store2 = CurateStateStore(spark, str(tmp_path / "s2"))
+    store1.commit_backfill(st0, day="day0")
+    store2.commit_backfill(st0, day="day0")
+    loc1 = str(tmp_path / "packs1")
+    loc2 = str(tmp_path / "packs2")
+
+    real_commit_day = CurateStateStore.commit_day
+
+    def failing_commit_day(self, *a, **kw):
+        raise RuntimeError("injected crash between the two commits")
+
+    monkeypatch.setattr(
+        CurateStateStore, "commit_day", failing_commit_day
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curate_cycle_day(spark, store1, d1, loc1, day="day1")
+    monkeypatch.setattr(CurateStateStore, "commit_day", real_commit_day)
+
+    # the crash window: manifest published, state unadvanced
+    assert store1.days() == ["day0"]
+    out = curate_cycle_day(
+        spark, store1, d1, loc1, day="day1", resume=True
+    )
+    assert out["resumed_via"] == "summary_masses"
+    assert out["state"]["day"] == "day1"
+    assert store1.days() == ["day0", "day1"]
+
+    # identical to an uninterrupted day on the twin store
+    out2 = curate_cycle_day(spark, store2, d1, loc2, day="day1")
+    assert out2["manifest"]["published"] and out2["state"] is not None
+    assert _state_rows(store1.read_state()[0]) == _state_rows(
+        store2.read_state()[0]
+    )
+
+    # idempotent: a further resume is a no-op; a plain re-run fails
+    out3 = curate_cycle_day(
+        spark, store1, d1, loc1, day="day1", resume=True
+    )
+    assert out3["resumed_via"] == "noop"
+    with pytest.raises(ValueError, match="already committed"):
+        curate_cycle_day(spark, store1, d1, loc1, day="day1")
+
+    # breadcrumb-less manifest (an older writer): resume falls back
+    # to re-running the deterministic gates — same final state
+    s1_state = store1.read_state()[0]
+    surv2 = pipeline_curate_ingest_day(
+        spark, s1_state, d2, return_survivors=True
+    )
+    manifest2 = curate_pack_day(surv2, s1_state)
+    curate_publish(
+        spark, sf_dir="", location=loc1, run_label="day2",
+        manifest=manifest2,
+    )
+    out4 = curate_cycle_day(
+        spark, store1, d2, loc1, day="day2", resume=True
+    )
+    assert out4["resumed_via"] == "recomputed_gates"
+    assert store1.days() == ["day0", "day1", "day2"]
+    curate_cycle_day(spark, store2, d2, loc2, day="day2")
+    assert _state_rows(store1.read_state()[0]) == _state_rows(
+        store2.read_state()[0]
+    )
+
+
+def test_mirror_staleness_counter_and_one_generation_retirement(
+    spark, corpus, tmp_path
+):
+    """r15 verdict #7 + ADVICE #1/#2: ``read_state`` reports which
+    layout served (``meta["mirror"]``: served / stamp_seq /
+    stale_days — 0 while the mirror serves, rising per commit,
+    reset by ``refresh_probe_mirror``), the ingest report can carry
+    the counter as a column (absent by default), and mirror
+    retirement lags one generation so a state handle obtained BEFORE
+    a refresh keeps reading its superseded tables until the refresh
+    after next."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+        pipeline_curate_ingest_report,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    store.refresh_probe_mirror()  # generation A @ seq 0
+
+    def gens():
+        return {
+            e
+            for e in os.listdir(store._mirror_dir())
+            if not e.startswith("_STAMP")
+        }
+
+    gen_a = gens()
+    st_a, meta_a = store.read_state()
+    assert meta_a["mirror"] == {
+        "served": True, "stamp_seq": 0, "stale_days": 0,
+    }
+    fp_a = sorted(r["fp"] for r in st_a.fp_index.collect())
+
+    # a post-refresh commit flips the counter (and the served flag)
+    surv1 = pipeline_curate_ingest_day(
+        spark, st_a, d1, return_survivors=True
+    )
+    store.commit_day(d1, surv1, day="day1")
+    st_stale, meta_stale = store.read_state()
+    assert meta_stale["mirror"] == {
+        "served": False, "stamp_seq": 0, "stale_days": 1,
+    }
+    # the report carries the counter as a column only when asked
+    report = pipeline_curate_ingest_report(
+        spark,
+        st_stale,
+        d2,
+        mirror_stale_days=meta_stale["mirror"]["stale_days"],
+    )
+    assert "mirror_stale_days" in report.columns
+    assert {r["mirror_stale_days"] for r in report.collect()} == {1}
+    plain = pipeline_curate_ingest_report(spark, st_stale, d2)
+    assert "mirror_stale_days" not in plain.columns
+
+    # refresh resets the counter — generation B; A survives ONE more
+    store.refresh_probe_mirror()
+    gen_b = gens() - gen_a
+    assert gen_a <= gens() and gen_b
+    _, meta_b = store.read_state()
+    assert meta_b["mirror"] == {
+        "served": True, "stamp_seq": 1, "stale_days": 0,
+    }
+    # the pre-refresh handle still reads its superseded tables
+    assert sorted(r["fp"] for r in st_a.fp_index.collect()) == fp_a
+
+    # the refresh after next retires generation A, keeps B
+    surv2 = pipeline_curate_ingest_day(
+        spark, store.read_state()[0], d2, return_survivors=True
+    )
+    store.commit_day(d2, surv2, day="day2")
+    store.refresh_probe_mirror()  # generation C
+    assert not (gen_a & gens()), "generation A outlived two refreshes"
+    assert gen_b <= gens()

@@ -4307,9 +4307,15 @@ def test_curate_ingest_report_first_failure_accounting(
     ).count()
     assert rows["kept"][1] == surv_n
 
-    # set-arithmetic recomputation in the ingest's gate order
+    # set-arithmetic recomputation in the ingest's gate order.
+    # Own the gates' candidate-pair cache locally (r15 ADVICE #4): the
+    # persist from incremental_jaccard_pairs never self-reclaims, and
+    # without a registry it would leak a CacheManager entry into the
+    # shared test session — released in the finally below, matching
+    # the production callers' ownership discipline.
     b = day.persist()
-    g = _ingest_gates(spark, state, b, span_gate)
+    gate_cache: list = []
+    g = _ingest_gates(spark, state, b, span_gate, cache_registry=gate_cache)
     metrics = {
         r["doc_id"]: (r["n_tokens"], r["ttr"], r["stop_ratio"])
         for r in _funnel_metrics(b).collect()
@@ -4345,6 +4351,8 @@ def test_curate_ingest_report_first_failure_accounting(
             st = "kept"
         want[st] = want.get(st, 0) + 1
     b.unpersist()
+    for df in gate_cache:
+        df.unpersist()
     assert {s: n for s, (_, n) in rows.items()} == want
     # indices follow the gate order and kept is last
     assert rows["kept"][0] == max(i for i, _ in rows.values())
@@ -4746,3 +4754,49 @@ def test_incremental_jaccard_candidate_paths_equal(spark):
     got_b, got_s = pairs(True), pairs(False)
     assert got_b == got_s
     assert got_b  # non-vacuous: the crafted corpus produces pairs
+
+
+def test_ingest_decon_vocab_bucketed_equality_and_guard(spark, sf_dir):
+    """r15 verdict #6 — the decon gate's broadcast is boundable two
+    ways: ``decon_vocab_buckets=2**k`` hashes both sides into a fixed
+    2^k-bucket model (the DSIR trick) whose flagged set equals the
+    exact form at 2^20 buckets (collision mass negligible at test
+    scale, and collisions could only ADD flags — the safe direction);
+    ``decon_vocab_max_broadcast=N`` fails loudly when the
+    fixed-size-eval-suite contract no longer holds, instead of
+    handing an oversized broadcast to the session."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    old, day, _ = _curate_day_split(spark, sf_dir)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    state = build_curate_state(spark, old, w2, keep_micro)
+
+    def surv_ids(**kw):
+        return {
+            r["doc_id"]
+            for r in pipeline_curate_ingest_day(
+                spark, state, day, return_survivors=True, **kw
+            )
+            .select("doc_id")
+            .collect()
+        }
+
+    exact = surv_ids()
+    assert surv_ids(decon_vocab_buckets=1 << 20) == exact
+    # the guard passes while the contract holds …
+    assert surv_ids(decon_vocab_max_broadcast=10_000_000) == exact
+    # … and fails loudly (before any broadcast) when it doesn't
+    with pytest.raises(ValueError, match="fixed-size-eval-suite"):
+        pipeline_curate_ingest_day(
+            spark,
+            state,
+            day,
+            return_survivors=True,
+            decon_vocab_max_broadcast=1,
+        )
