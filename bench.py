@@ -146,7 +146,6 @@ BPE_OOV_PROBE_CAP = 16
 
 def _load_extra_bench() -> None:
     from iceberg_by_example_spark.operators.dedup import (
-        dedup_incremental_winnow,
         dedup_source_overlap,
         dedup_threshold_sweep,
     )
@@ -181,7 +180,9 @@ def _load_extra_bench() -> None:
     # Every oracle-ready unregistered operator gets a bench row (the
     # registration queue should never hold a query without a perf
     # record — r10 verdict rule).
-    EXTRA_BENCH_FNS["dedup_incremental_winnow"] = dedup_incremental_winnow
+    # dedup_incremental_winnow graduated to the registry in r16
+    # (bench=True there — the r14 lm_perplexity/quality_score
+    # precedent), so its headline row now comes from QUERY_REGISTRY.
     EXTRA_BENCH_FNS["dedup_source_overlap"] = dedup_source_overlap
     EXTRA_BENCH_FNS["dedup_threshold_sweep"] = dedup_threshold_sweep
     EXTRA_BENCH_FNS["pipeline_global_shuffle"] = pipeline_global_shuffle

