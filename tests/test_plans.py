@@ -264,6 +264,12 @@ BENCH_EXCHANGE_SNAPSHOT = {
     # (the keep-first groupBy runs before the detach pin, so the
     # snapshot sees only the run-chaining side of the lineage)
     "dedup_incremental_exact": 1,
+    # r16 registration (the merge_upsert swap): result is detached —
+    # the winnow keys persist + census/pair shuffles all run eagerly
+    # behind the pin, so the snapshot sees only the checkpoint scan;
+    # the pair plan's shape is pinned by its DuckDB oracle and the
+    # incremental_winnow_pairs pytests.
+    "dedup_incremental_winnow": 0,
     "dedup_incremental_minhash": 1,  # source rides the sig projection (carry)
     "dedup_minhash_lsh": 1,
     "dedup_span_ngram": 5,
