@@ -745,3 +745,123 @@ def versioned_posdelete_compaction_counts(
         return spark.createDataFrame(rows, "stage string, cnt long")
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def _state_store_counts_oracle() -> str:
+    """DuckDB twin for ``versioned_state_store_counts``: the store's
+    SQL-expressible standing relations recomputed from the documents
+    table at both committed days. The winnow CTE chain is the SAME
+    shape ``_INCREMENTAL_WINNOW_ORACLE`` grades (selection is
+    position-window min over md5 span hashes); the fingerprint is the
+    md5-of-normalized-text twin; the day split is the Spark side's
+    exact ``CAST(percentile(doc_id, 0.9) AS BIGINT)`` — DuckDB's
+    QUANTILE_CONT uses the same p*(n-1) linear interpolation, floored
+    explicitly because ``::BIGINT`` ROUNDS where Spark's cast
+    truncates."""
+    from iceberg_by_example_spark.operators.dedup import (
+        SPAN_TOKENS,
+        WINNOW_W,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        CURATE_DEMO_SPLIT_PCT,
+    )
+
+    return f"""
+    WITH cut AS (
+      SELECT CAST(FLOOR(QUANTILE_CONT(doc_id, {CURATE_DEMO_SPLIT_PCT}))
+               AS BIGINT) AS t
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents),
+    tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {SPAN_TOKENS}),
+    hs AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {SPAN_TOKENS - 1}),
+               i -> MD5(ARRAY_TO_STRING(t[i:i+{SPAN_TOKENS - 1}], ' ')))
+               AS H
+      FROM tok),
+    sel AS (
+      SELECT DISTINCT doc_id, k FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, GREATEST(LEN(H) - {WINNOW_W - 1}, 1)),
+                 j -> LIST_MIN(H[j:j+{WINNOW_W - 1}]))) AS k
+        FROM hs))
+    SELECT 'day0' AS day, 'fp_index' AS relation,
+           CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS cnt
+    FROM fp f, cut WHERE f.doc_id < cut.t
+    UNION ALL
+    SELECT 'day1', 'fp_index', CAST(COUNT(DISTINCT fp) AS BIGINT)
+    FROM fp
+    UNION ALL
+    SELECT 'day0', 'winnow_index', CAST(COUNT(*) AS BIGINT)
+    FROM sel, cut WHERE sel.doc_id < cut.t
+    UNION ALL
+    SELECT 'day1', 'winnow_index', CAST(COUNT(*) AS BIGINT)
+    FROM sel
+    """
+
+
+def versioned_state_store_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation state store's governance path graded end to end:
+    land the standing state as the store's day 0 (one atomic pointer
+    publish), run one REAL incremental ingest day through the gates
+    and commit it (`commit_day` — O(batch) deltas on audit branches,
+    one pointer append), then read the SQL-expressible standing
+    relations through PINNED snapshots at BOTH days — `as_of="day0"`
+    must see only the backfill slice, the latest read the union, and
+    both must equal DuckDB's recomputation from the raw documents
+    table. Unregistered (queued for the next registry slot, the
+    `dedup_incremental_winnow` protocol); registration-ready —
+    ``_state_store_counts_oracle()`` is the DuckDB twin, pytest pins
+    row-identical output
+    (``test_state_store_counts_matches_duckdb_twin``).
+
+    Only the gate-independent relations are emitted: `fp_index`
+    indexes EVERY ingested doc's fingerprint and `winnow_index` every
+    doc's winnowed span keys, so both are pure functions of the
+    corpus the oracle can state; the survivor-dependent relations
+    (source masses) are pinned by the store pytests instead."""
+    import os
+    import tempfile
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        ensure_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table as _lt
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    state, t = ensure_curate_state(spark, sf_dir)
+    batch = _lt(spark, sf_dir, "documents").filter(F.col("doc_id") >= t)
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="state_store_counts_"), "store"
+    )
+    store = CurateStateStore(spark, root)
+    try:
+        store.commit_backfill(state, day="day0")
+        surv = pipeline_curate_ingest_day(
+            spark, store.read_state()[0], batch, return_survivors=True
+        )
+        store.commit_day(batch, surv, day="day1")
+        s0, _ = store.read_state(as_of="day0")
+        s1, _ = store.read_state()
+        rows = [
+            ("day0", "fp_index", s0.fp_index.count()),
+            ("day1", "fp_index", s1.fp_index.count()),
+            ("day0", "winnow_index", s0.winnow_index.count()),
+            ("day1", "winnow_index", s1.winnow_index.count()),
+        ]
+        return spark.createDataFrame(
+            rows, "day string, relation string, cnt long"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

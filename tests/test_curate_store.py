@@ -1488,3 +1488,35 @@ def test_mirror_staleness_counter_and_one_generation_retirement(
     store.refresh_probe_mirror()  # generation C
     assert not (gen_a & gens()), "generation A outlived two refreshes"
     assert gen_b <= gens()
+
+
+def test_state_store_counts_matches_duckdb_twin(spark):
+    """``versioned_state_store_counts`` (queued for the next registry
+    slot — the `dedup_incremental_winnow` protocol): the store's
+    gate-independent standing relations read through PINNED snapshots
+    at both committed days must equal DuckDB's recomputation from the
+    raw documents table, row-identical, at the grading sf."""
+    import duckdb
+
+    from iceberg_by_example_spark.tables.demo import (
+        _state_store_counts_oracle,
+        versioned_state_store_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        map(tuple, versioned_state_store_counts(spark, sf).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(_state_store_counts_oracle()).fetchall())
+    )
+    assert got == want and len(got) == 4
+    # pinned time travel is the point: day1 strictly grows both
+    by = {(d, r): c for d, r, c in got}
+    assert by[("day1", "fp_index")] > by[("day0", "fp_index")]
+    assert by[("day1", "winnow_index")] > by[("day0", "winnow_index")]
