@@ -638,7 +638,9 @@ def test_store_random_chain_equals_python_fold(
         if data.draw(st.booleans(), f"compact{i}"):
             store.compact()
 
-    for day, want in model_days:
+    from collections import Counter
+
+    def check(day, want):
         st_state, _meta = store.read_state(
             as_of=day, prefer_mirror=False
         )
@@ -649,8 +651,6 @@ def test_store_random_chain_equals_python_fold(
             tuple(r) for r in st_state.shingle_index.collect()
         )
         assert got_post == sorted(want["postings"]), f"postings@{day}"
-        from collections import Counter
-
         want_census = Counter(sh for _, _, sh in want["postings"])
         got_census = {
             r["shingle"]: r["df"]
@@ -665,3 +665,42 @@ def test_store_random_chain_equals_python_fold(
         assert {
             r["shingle"] for r in st_state.bench_vocab.collect()
         } == want["vocab"], f"vocab@{day}"
+
+    for day, want in model_days:
+        check(day, want)
+
+    # retention phase (r16): expire all but a random tail of the
+    # pointer entries, then the retained days must still equal the
+    # model EXACTLY, the expired days must fail with the clean
+    # day-not-committed error, and the next commit must fold onto the
+    # retained base with a never-reused seq.
+    entries = store.days()
+    k = data.draw(
+        st.integers(min_value=1, max_value=len(entries)), "retain"
+    )
+    store.maintain(retain_days=k)
+    assert store.days() == entries[-k:]
+    retained = set(entries[-k:])
+    for day, want in model_days:
+        if day in retained:
+            check(day, want)
+        else:
+            with pytest.raises(ValueError, match="not committed"):
+                store.read_state(as_of=day)
+    none_deltas = {
+        n: None
+        for n in (
+            "fp_index", "shingle_index", "shingle_census",
+            "bench_vocab", "source_stats",
+        )
+    }
+    store._commit(
+        "dz",
+        {**none_deltas, "fp_index": spark.createDataFrame(
+            [("zz",)], "fp string"
+        )},
+        meta={"w2": [0, 0], "keep_micro": 0, "max_doc_id": next_doc + 1},
+    )
+    last_want = dict(model_days[-1][1])
+    last_want["fp"] = set(last_want["fp"]) | {"zz"}
+    check("dz", last_want)
