@@ -570,7 +570,12 @@ def curate_backfill(
         docs.unpersist()
 
 
-def curate_maintain(store, retain_days: int | None = None) -> dict:
+def curate_maintain(
+    store,
+    retain_days: int | None = None,
+    manifest_table: VersionedTable | None = None,
+    manifest_retain_last: int = 3,
+) -> dict:
     """The store's nightly maintenance window as ONE workflow — the
     W4 ``maintain`` shape applied to the curation state store
     (``tables.curate_store.CurateStateStore``), in dependency order:
@@ -589,6 +594,25 @@ def curate_maintain(store, retain_days: int | None = None) -> dict:
        the pre-compaction partials the step-1 rewrite superseded are
        actually reclaimed and the store's steady state is bounded.
 
+    Pass ``manifest_table`` (the pack-manifest governance table the
+    daily cycle publishes into) to GC it in the same window: each
+    day's WAP publish appends a snapshot, so the manifest table's
+    snapshot history grows one per day forever without this. Every
+    published append is a main ancestor — structurally protected from
+    plain ``expire_snapshots`` — so the bound comes from
+    ``expire_history_before`` (truncate main ancestry to the newest
+    ``manifest_retain_last`` snapshots — the reference's
+    ``expire_snapshots(retain_last)`` semantic, which DOES truncate
+    ancestry), then ``expire_snapshots(retain_last=0)`` for dangling
+    audit-failed appends, then orphan + manifest GC. The manifest
+    ROWS (the training-data ledger) are untouched: appends share
+    files forward, so the current snapshot still lists every day's
+    packs — only time travel beyond the tail and orphaned bytes are
+    given up. Note ``curate_cycle_day(resume=True)``'s
+    summary-masses breadcrumb lives in snapshot metadata: resume for
+    a day whose publish snapshot left the retained tail falls back to
+    the recomputed-gates path (equally correct, just not O(1)).
+
     Each step is individually crash-safe (pointer publish / stamp
     swap / idempotent GC), so the composite needs no transaction: a
     crash between steps leaves a consistent store and the next
@@ -597,4 +621,35 @@ def curate_maintain(store, retain_days: int | None = None) -> dict:
     report = {"compact": store.compact()}
     report["mirror"] = store.refresh_probe_mirror()
     report["gc"] = store.maintain(retain_days=retain_days)
+    if manifest_table is not None:
+        if manifest_retain_last < 1:
+            raise ValueError("manifest_retain_last must be >= 1")
+        by_id = {
+            s.snapshot_id: s for s in manifest_table._snapshots()
+        }
+        chain: list[str] = []
+        cur = manifest_table.current_snapshot_id(MAIN)
+        while cur in by_id:
+            chain.append(cur)
+            nxt = by_id[cur].parent_id
+            cur = nxt if nxt in by_id else None
+        truncated = (
+            manifest_table.expire_history_before(
+                chain[manifest_retain_last - 1]
+            )
+            if len(chain) > manifest_retain_last
+            else []
+        )
+        report["manifest_gc"] = {
+            "history_truncated": len(truncated),
+            "expired_snapshots": len(
+                manifest_table.expire_snapshots(retain_last=0)
+            ),
+            "orphan_files_removed": len(
+                manifest_table.remove_orphan_files()
+            ),
+            "manifest_files_removed": (
+                manifest_table.rewrite_manifests()
+            ),
+        }
     return report

@@ -1520,3 +1520,59 @@ def test_state_store_counts_matches_duckdb_twin(spark):
     by = {(d, r): c for d, r, c in got}
     assert by[("day1", "fp_index")] > by[("day0", "fp_index")]
     assert by[("day1", "winnow_index")] > by[("day0", "winnow_index")]
+
+
+def test_curate_maintain_bounds_manifest_table_history(
+    spark, corpus, tmp_path
+):
+    """``curate_maintain(manifest_table=...)`` (r16): the daily WAP
+    publishes grow the pack-manifest table's snapshot history one per
+    day forever; the nightly window truncates it to the newest
+    ``manifest_retain_last`` main snapshots while the manifest ROWS —
+    the training-data ledger — stay complete (appends share files
+    forward), and the next day's cycle publishes cleanly on top."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+        curate_maintain,
+    )
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    loc = str(tmp_path / "packs")
+    curate_cycle_day(spark, store, d1, loc, day="day1")
+    curate_cycle_day(spark, store, d2, loc, day="day2")
+    table = VersionedTable.load(spark, loc)
+    snaps_before = len(table._snapshots())
+    rows_before = sorted(
+        map(tuple, table.read(branch="main").collect())
+    )
+    assert {r[0] for r in rows_before} == {"day1", "day2"}
+
+    report = curate_maintain(
+        store, manifest_table=table, manifest_retain_last=1
+    )
+    gc = report["manifest_gc"]
+    assert gc["history_truncated"] >= 1
+    assert len(table._snapshots()) < snaps_before
+    # the ledger is intact — every published day's packs still read
+    assert sorted(
+        map(tuple, table.read(branch="main").collect())
+    ) == rows_before
+
+    # the next day still cycles cleanly on the truncated table
+    out = curate_cycle_day(spark, store, d3, loc, day="day3")
+    assert out["manifest"]["published"] and out["state"] is not None
+    assert {
+        r["run"] for r in table.read(branch="main").collect()
+    } == {"day1", "day2", "day3"}
