@@ -1400,7 +1400,12 @@ def test_store_cycle_resume_completes_crashed_day(
     )
     assert out4["resumed_via"] == "recomputed_gates"
     assert store1.days() == ["day0", "day1", "day2"]
-    curate_cycle_day(spark, store2, d2, loc2, day="day2")
+    # resume=True is safe as an ALWAYS-ON flag: on a day where nothing
+    # landed yet it runs the normal full path (manifest + state)
+    out5 = curate_cycle_day(
+        spark, store2, d2, loc2, day="day2", resume=True
+    )
+    assert out5["manifest"]["published"] and out5["state"] is not None
     assert _state_rows(store1.read_state()[0]) == _state_rows(
         store2.read_state()[0]
     )
