@@ -806,6 +806,11 @@ def _state_store_counts_oracle() -> str:
     """
 
 
+@register(
+    "versioned_state_store_counts",
+    oracle=_state_store_counts_oracle(),
+    category="versioned",
+)
 def versioned_state_store_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -817,10 +822,9 @@ def versioned_state_store_counts(
     relations through PINNED snapshots at BOTH days — `as_of="day0"`
     must see only the backfill slice, the latest read the union, and
     both must equal DuckDB's recomputation from the raw documents
-    table. Unregistered (queued for the next registry slot, the
-    `dedup_incremental_winnow` protocol); registration-ready —
-    ``_state_store_counts_oracle()`` is the DuckDB twin, pytest pins
-    row-identical output
+    table. Registered r17 (accepting the 1-round window slide the r16
+    verdict budgeted); ``_state_store_counts_oracle()`` is the DuckDB
+    twin, pytest pins row-identical output
     (``test_state_store_counts_matches_duckdb_twin``).
 
     Only the gate-independent relations are emitted: `fp_index`
