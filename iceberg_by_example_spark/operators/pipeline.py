@@ -1611,23 +1611,43 @@ def _ingest_gates(
             )
     if decon_vocab_buckets is not None:
         # fixed 2^k-bucket model: broadcast size is capped by
-        # construction; distinct-bucket counting can only flag MORE
-        # (collisions add shared grams), never miss contamination
-        def to_bucket(df: DataFrame) -> DataFrame:
-            return df.withColumn(
-                "shingle",
-                F.pmod(
-                    F.xxhash64("shingle"), F.lit(decon_vocab_buckets)
-                ),
-            )
-
-        vocab = to_bucket(vocab).distinct()
-        train = to_bucket(train)
-    contaminated = (
-        _decon_hits(train, vocab)
-        .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
-        .select("doc_id")
-    )
+        # construction. The JOIN key is the bucket, but the per-doc
+        # hit COUNT is over the full-width 64-bit hash — a bucket
+        # collision can therefore only ADD shared grams (a non-vocab
+        # shingle landing in a vocab bucket), never MERGE two true
+        # hits of the same doc below the threshold (counting distinct
+        # buckets instead would: two hit-shingles colliding in 2^k is
+        # rare but real at corpus scale, and it flips a flag in the
+        # UNSAFE direction). Flags are a measured superset of the
+        # exact form's — equal at sf0.001, one extra flagged doc at
+        # sf0.1 (test_ingest_decon_vocab_bucketed_equality_sf01) —
+        # which is why the registered/bench form stays EXACT and this
+        # stays the production scale knob.
+        vocab = vocab.select(
+            F.pmod(
+                F.xxhash64("shingle"), F.lit(decon_vocab_buckets)
+            ).alias("shingle")
+        ).distinct()
+        train = train.select(
+            "doc_id", F.xxhash64("shingle").alias("h64")
+        ).select(
+            "doc_id",
+            "h64",
+            F.pmod("h64", F.lit(decon_vocab_buckets)).alias("shingle"),
+        )
+        contaminated = (
+            train.join(F.broadcast(vocab), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("h64").alias("shared_grams"))
+            .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
+            .select("doc_id")
+        )
+    else:
+        contaminated = (
+            _decon_hits(train, vocab)
+            .filter(F.col("shared_grams") >= DECON_MIN_SHARED)
+            .select("doc_id")
+        )
     lr_keep = (
         score_doc_stream(b, state.w2, state.keep_micro)
         .filter(F.col("keep") == 1)

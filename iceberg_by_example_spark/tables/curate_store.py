@@ -140,6 +140,70 @@ class CurateStateStore:
             partition_by="day",
         )
 
+    # -- attached governance tables ------------------------------------------
+
+    def _attached(self) -> dict[str, str]:
+        """name → absolute location of every governance table attached
+        to this store's commit protocol (the pack manifest above all).
+        Sidecar JSON, not pointer rows: ``heal`` must find the table
+        from the name ALONE after a crash, before any read resolves."""
+        path = os.path.join(self.root, "_attached.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def attach(self, name: str, location: str) -> None:
+        """Register an external ``VersionedTable`` as an attached
+        relation: its per-day appends ride the store's nonce'd audit
+        branches and its snapshot id rides the SAME pointer append as
+        the state relations — one commit makes state and governance
+        rows visible together (the cross-table-atomicity seam
+        ``commit_day(attached=...)`` uses). Idempotent for the same
+        location; ONE location per name forever — the registry is what
+        ``heal`` trusts after a crash, so a silent re-point would
+        orphan the old table's unfinished branches."""
+        if name in _RELATIONS or name == _META_RELATION:
+            raise ValueError(
+                f"attached name {name!r} collides with a state relation"
+            )
+        loc = os.path.abspath(location)
+        reg = self._attached()
+        if reg.get(name) == loc:
+            return
+        if name in reg:
+            raise ValueError(
+                f"attached table {name!r} is registered at "
+                f"{reg[name]!r}; refusing to re-point to {loc!r}"
+            )
+        reg[name] = loc
+        tmp = os.path.join(self.root, "_attached.json.tmp")
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, os.path.join(self.root, "_attached.json"))
+
+    def read_attached(
+        self, name: str, as_of: str | None = None
+    ) -> DataFrame:
+        """The attached table's rows AS PINNED by the pointer at
+        ``as_of`` (default latest) — consistent cross-table time
+        travel: the pack manifest exactly as of the same commit the
+        state was read at, something the two-commit design cannot
+        offer. Raises for a day committed before the table was
+        attached (no pin rode that append)."""
+        snaps, meta = self._resolve(as_of, None)
+        if name not in snaps:
+            raise ValueError(
+                f"no {name!r} pin at day {meta['day']!r} — the table "
+                "was attached after that commit"
+            )
+        reg = self._attached()
+        if name not in reg:
+            raise ValueError(f"{name!r} is not attached to this store")
+        t = VersionedTable.load(self.spark, reg[name])
+        return t.read(snapshot_id=snaps[name])
+
     # -- pointer log ---------------------------------------------------------
 
     def _log_rows(self, log_snapshot_id: str | None = None) -> list:
@@ -245,8 +309,14 @@ class CurateStateStore:
             if r["relation"] != _META_RELATION
         }
         report = {"finished": [], "discarded": []}
-        for name in _RELATIONS:
-            loc = self._loc(name)
+        # attached governance tables heal by the SAME rule: their
+        # pins ride the same pointer rows, their appends the same
+        # nonce'd branches — the registry sidecar is how a post-crash
+        # heal finds them from the name alone
+        named_locs = [(n, self._loc(n)) for n in _RELATIONS] + sorted(
+            self._attached().items()
+        )
+        for name, loc in named_locs:
             if not os.path.exists(os.path.join(loc, "_meta", "table.json")):
                 continue
             t = VersionedTable.load(self.spark, loc)
@@ -338,6 +408,7 @@ class CurateStateStore:
         deltas: dict[str, DataFrame | None],
         meta: dict,
         log_state: tuple[str, list] | None = None,
+        attached: dict | None = None,
     ) -> dict:
         """The shared write-audit-publish protocol: per-relation delta
         appends on the nonce'd ``ingest_<day>__<hex>`` branches,
@@ -346,7 +417,18 @@ class CurateStateStore:
         observed log head), then housekeeping. ``log_state`` lets a
         caller that already observed the log pass its
         ``_log_state()`` through — the store is single-writer, so one
-        observation per commit serves every derived check AND the CAS."""
+        observation per commit serves every derived check AND the CAS.
+
+        ``attached`` folds external governance tables into the SAME
+        atomic publish: name → ``(VersionedTable, delta_df,
+        audit_fn | None)``. Each delta appends on this commit's
+        nonce'd branch of ITS table, the audit (if any) gates on the
+        branch-scoped read, and the snapshot id rides the pointer
+        rows beside the state relations — so a crash at ANY point
+        leaves either nothing visible (pointer never moved; stray
+        branches are maintain() fodder) or the whole day visible
+        (``heal`` finishes the fast_forwards, readers pin snapshot
+        ids and never wait for them)."""
         if not day:
             raise ValueError("day label must be non-empty")
         if _COMPACT_LABEL.fullmatch(day):
@@ -403,6 +485,22 @@ class CurateStateStore:
                 )
                 snap_ids[name] = snap.snapshot_id
             self._audit(day, branch, deltas)
+            for name, (t, delta, audit_fn) in sorted(
+                (attached or {}).items()
+            ):
+                # registry FIRST: a crash after the branch append must
+                # leave heal able to find this table from the name
+                self.attach(name, t.location)
+                t.create_branch(branch, from_branch=MAIN)
+                appended.append(t)
+                snap = t.append(
+                    delta,
+                    branch=branch,
+                    summary_extra={"curate-day": day},
+                )
+                snap_ids[name] = snap.snapshot_id
+                if audit_fn is not None:
+                    audit_fn(t.read(branch=branch))
         except Exception:
             # torn commit: nothing was published (the pointer never
             # moved); drop the day branches so the previous state is
@@ -508,6 +606,7 @@ class CurateStateStore:
         batch: DataFrame,
         day_survivors: DataFrame,
         day: str,
+        attached: dict | None = None,
     ) -> dict:
         """Fold one ingest day into the store: O(batch) deltas only —
         the batch's fingerprints/postings/winnow keys/bench shingles
@@ -588,6 +687,7 @@ class CurateStateStore:
                     ),
                 },
                 log_state=(log_head, log_rows),
+                attached=attached,
             )
         finally:
             if own_b:
@@ -885,6 +985,28 @@ class CurateStateStore:
                 self.spark.sql(f"DROP TABLE {db}.{entry}")
             shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
         return {"seq": seq, "mirrored": sorted(stamp_tables)}
+
+    def mirror_staleness(self) -> dict:
+        """Cheap (driver-JSON only, no DataFrames) probe of how far
+        the bucketed probe mirror lags the pointer: ``stamp_seq`` (the
+        seq the stamp covers, None before any refresh), ``seq`` (the
+        current pointer seq) and ``stale_days`` (pointer entries
+        committed since the stamp — the counter a production
+        scheduler alerts on; None before any refresh). Same semantics
+        as ``read_state()``'s ``meta["mirror"]["stale_days"]`` without
+        constructing the state (no census materialization), so the
+        nightly maintenance window can report it for free."""
+        _, meta = self._resolve(None, None)
+        stamp = self._mirror_stamp()
+        return {
+            "stamp_seq": None if stamp is None else int(stamp["seq"]),
+            "seq": meta["seq"],
+            "stale_days": (
+                None
+                if stamp is None
+                else max(0, meta["seq"] - int(stamp["seq"]))
+            ),
+        }
 
     def _mirror_stamp(self) -> dict | None:
         """The current mirror stamp, or None before any refresh."""

@@ -328,6 +328,35 @@ def _published_day_masses(table: VersionedTable, day: str) -> dict | None:
     return None
 
 
+def _manifest_wap_audit(audited: DataFrame) -> None:
+    """``curate_publish``'s four manifest gates as a RAISING audit for
+    the atomic cycle: in single-commit mode a failed gate must abort
+    the WHOLE day (state included) before anything becomes visible,
+    not report ``published=False`` after half the day landed."""
+    n_packs = audited.count()
+    null_rows = rows_with_any_null(audited).count()
+    dup_keys = (
+        audited.groupBy("run", "shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    bad_packs = audited.filter(
+        (F.col("pack_tokens") <= 0) | (F.col("n_docs") <= 0)
+    ).count()
+    if not (
+        n_packs > 0
+        and null_rows == 0
+        and dup_keys == 0
+        and bad_packs == 0
+    ):
+        raise ValueError(
+            f"manifest WAP audit failed: packs={n_packs} "
+            f"null_rows={null_rows} dup_keys={dup_keys} "
+            f"bad_packs={bad_packs}"
+        )
+
+
 def curate_cycle_day(
     spark: SparkSession,
     store,
@@ -336,6 +365,7 @@ def curate_cycle_day(
     day: str,
     wap_branch: str = "curate_audit",
     resume: bool = False,
+    atomic: bool = False,
 ) -> dict:
     """One full day of the steady-state loop against the VERSIONED
     state store (``tables.curate_store.CurateStateStore``): probe
@@ -373,14 +403,75 @@ def curate_cycle_day(
       deterministic gates (``resumed_via='recomputed_gates'``);
     - both committed → a no-op report (``resumed_via='noop'``).
 
-    Cross-table atomicity would need a multi-table catalog
-    transaction, which this engine (like Iceberg's HadoopCatalog)
-    does not claim; each table individually is torn-proof and resume
-    closes the gap between them."""
+    In the default two-commit mode, cross-table atomicity would need
+    a multi-table catalog transaction; each table individually is
+    torn-proof and resume closes the gap between them.
+    ``atomic=True`` (r16 verdict #5) CLOSES that gap structurally by
+    folding the manifest publish INTO the store's pointer append
+    (``CurateStateStore.commit_day(attached=...)``): the manifest
+    delta appends on the commit's nonce'd branch of the manifest
+    table, the WAP gates run on the branch (a failed gate aborts the
+    WHOLE day — state included — with nothing visible), and the
+    manifest's snapshot id rides the same single ``state_log`` append
+    as the state relations. One commit, no crash window: resume
+    degenerates to noop-or-full-path, and
+    ``store.read_attached('pack_manifest', as_of=day)`` gives
+    consistent cross-table time travel the two-commit design cannot.
+    The trade: the manifest table binds to this store (one location
+    per store, enforced by the attach registry) and its published
+    appends become pointer-pinned — retention of the two moves
+    together. Mixed-mode leftovers stay loud: a manifest published by
+    a crashed two-commit run fails the atomic append's duplicate-key
+    audit rather than double-counting."""
     from iceberg_by_example_spark.operators.pipeline import (
         curate_pack_day,
         pipeline_curate_ingest_day,
     )
+
+    if atomic:
+        if day in store.days():
+            if resume:
+                # the single commit landed: at worst the fast_forward
+                # housekeeping is lagging, which readers never wait on
+                # (they pin snapshot ids) — finish it and report noop
+                store.heal()
+                return {
+                    "manifest": None,
+                    "state": None,
+                    "resumed_via": "noop",
+                }
+            raise ValueError(
+                f"day {day!r} is already committed to the state store "
+                "— a re-run must not double-publish"
+            )
+        state, _meta = store.read_state()
+        surv = pipeline_curate_ingest_day(
+            spark, state, batch, return_survivors=True
+        )
+        manifest = curate_pack_day(surv, state).select(
+            F.lit(day).alias("run"), "*"
+        )
+        table = VersionedTable.create(
+            spark,
+            location,
+            schema=CURATE_MANIFEST_DDL,
+            partition_by=None,
+            properties={"write.wap.enabled": "true"},
+            if_not_exists=True,
+        )
+        state_report = store.commit_day(
+            batch,
+            surv,
+            day=day,
+            attached={
+                "pack_manifest": (table, manifest, _manifest_wap_audit)
+            },
+        )
+        return {
+            "manifest": {"published": True},
+            "state": state_report,
+            "atomic": True,
+        }
 
     state_done = day in store.days()
     if state_done and not resume:
@@ -570,6 +661,20 @@ def curate_backfill(
         docs.unpersist()
 
 
+# The PRESCRIBED production retention horizon for the nightly window
+# (r16 verdict #4), the way the reference hardcodes retain_last=3
+# (LifecycleTest.scala:161-162).  Seven pointer entries ≈ one week of
+# daily rollback/debug window: wide enough that any bad ingest day is
+# still time-travelable when a human looks at Monday's alerts, narrow
+# enough that the store's steady state stays O(index + 7 days)
+# (measured: SHUFFLE_BYTES.md retention soak — the unbounded form adds
+# ~3× the live-index growth per night in pure history).  The default
+# of curate_maintain/maintain stays None (keep everything — every
+# committed day reproducible forever) as the safe-by-default contract;
+# a production deployment passes this constant explicitly.
+RECOMMENDED_RETAIN_DAYS = 7
+
+
 def curate_maintain(
     store,
     retain_days: int | None = None,
@@ -593,6 +698,11 @@ def curate_maintain(
        entries (``CurateStateStore.maintain``'s retention horizon), so
        the pre-compaction partials the step-1 rewrite superseded are
        actually reclaimed and the store's steady state is bounded.
+       Production deployments should pass
+       ``retain_days=RECOMMENDED_RETAIN_DAYS`` (7 — a week of
+       rollback window; rationale at the constant): the ``None``
+       default keeps every day reproducible forever, which is the
+       right CONTRACT default but an unbounded steady state.
 
     Pass ``manifest_table`` (the pack-manifest governance table the
     daily cycle publishes into) to GC it in the same window: each
@@ -617,8 +727,23 @@ def curate_maintain(
     swap / idempotent GC), so the composite needs no transaction: a
     crash between steps leaves a consistent store and the next
     nightly run completes the remainder. O(index) by design — the
-    periodic job, never the daily commit path."""
-    report = {"compact": store.compact()}
+    periodic job, never the daily commit path.
+
+    The report leads with ``mirror_stale_days`` — how many pointer
+    entries the probe mirror had aged when tonight's window ran
+    (``CurateStateStore.mirror_staleness``; None before any refresh) —
+    so the nightly output alone tells an operator the refresh stopped
+    keeping up, without a separate ``read_state`` probe."""
+    # observed BEFORE compact bumps the pointer: how many days the
+    # mirror had aged when tonight's window ran — the report row an
+    # operator alerts on if the nightly refresh stops keeping up
+    # (r16 verdict #7; the counter itself is read_state's
+    # meta["mirror"]["stale_days"], this surfaces it in the window's
+    # own output)
+    report = {
+        "mirror_stale_days": store.mirror_staleness()["stale_days"]
+    }
+    report["compact"] = store.compact()
     report["mirror"] = store.refresh_probe_mirror()
     report["gc"] = store.maintain(retain_days=retain_days)
     if manifest_table is not None:

@@ -1581,3 +1581,253 @@ def test_curate_maintain_bounds_manifest_table_history(
     assert {
         r["run"] for r in table.read(branch="main").collect()
     } == {"day1", "day2", "day3"}
+
+
+def test_curate_maintain_documented_retention_composes_with_resume(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """r16 verdict #4 + #7: the nightly window's report leads with
+    ``mirror_stale_days`` (the probe mirror's age in pointer entries
+    when the window ran; None before any refresh, an int after), and
+    the DOCUMENTED production horizon (``RECOMMENDED_RETAIN_DAYS=7``)
+    composes with ``curate_cycle_day(resume=True)``: a crashed day
+    whose manifest breadcrumb is still inside the manifest's retained
+    tail resumes via the O(1) summary-masses metadata, and once a
+    later publish pushes the breadcrumb snapshot OUT of the tail the
+    resume falls back to the recomputed-gates path — identical final
+    state either way (twin-store comparison)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        curate_pack_day,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import (
+        RECOMMENDED_RETAIN_DAYS,
+        _published_day_masses,
+        curate_cycle_day,
+        curate_maintain,
+        curate_publish,
+    )
+
+    assert RECOMMENDED_RETAIN_DAYS == 7  # the documented horizon
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store1 = CurateStateStore(spark, str(tmp_path / "s1"))
+    store2 = CurateStateStore(spark, str(tmp_path / "s2"))
+    store1.commit_backfill(st0, day="day0")
+    store2.commit_backfill(st0, day="day0")
+    loc1 = str(tmp_path / "packs1")
+
+    # crash day1 between the two commits: manifest published with the
+    # breadcrumb, state unadvanced
+    real_commit_day = CurateStateStore.commit_day
+
+    def failing_commit_day(self, *a, **kw):
+        raise RuntimeError("injected crash between the two commits")
+
+    monkeypatch.setattr(
+        CurateStateStore, "commit_day", failing_commit_day
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curate_cycle_day(spark, store1, d1, loc1, day="day1")
+    monkeypatch.setattr(CurateStateStore, "commit_day", real_commit_day)
+    table = VersionedTable.load(spark, loc1)
+    assert _published_day_masses(table, "day1") is not None
+
+    # nightly window at the DOCUMENTED horizon: first run has no
+    # mirror stamp yet (stale None); the breadcrumb stays inside the
+    # default manifest_retain_last=3 tail, so the cheap resume path
+    # is untouched by maintenance
+    rep1 = curate_maintain(
+        store1,
+        retain_days=RECOMMENDED_RETAIN_DAYS,
+        manifest_table=table,
+    )
+    assert rep1["mirror_stale_days"] is None
+    assert _published_day_masses(table, "day1") is not None
+
+    # age the breadcrumb out of the tail: publish day2's manifest on
+    # top, then truncate the manifest history to the newest snapshot
+    s_cur = store1.read_state()[0]
+    surv2 = pipeline_curate_ingest_day(
+        spark, s_cur, d2, return_survivors=True
+    )
+    curate_publish(
+        spark, sf_dir="", location=loc1, run_label="day2",
+        manifest=curate_pack_day(surv2, s_cur),
+    )
+    rep2 = curate_maintain(
+        store1,
+        retain_days=RECOMMENDED_RETAIN_DAYS,
+        manifest_table=table,
+        manifest_retain_last=1,
+    )
+    # rep1's refresh stamped the mirror and nothing store-side has
+    # committed since — the report key is an int once stamped
+    assert rep2["mirror_stale_days"] == 0
+    assert _published_day_masses(table, "day1") is None
+
+    # resume now falls back to recomputing the deterministic gates...
+    out = curate_cycle_day(
+        spark, store1, d1, loc1, day="day1", resume=True
+    )
+    assert out["resumed_via"] == "recomputed_gates"
+    # ...and the final state is identical to an uninterrupted day1
+    curate_cycle_day(
+        spark, store2, d1, str(tmp_path / "packs2"), day="day1"
+    )
+    assert _state_rows(store1.read_state()[0]) == _state_rows(
+        store2.read_state()[0]
+    )
+    # the resume's pointer commit is one entry past rep2's stamp —
+    # exactly the counter the NEXT window's report would lead with
+    assert store1.mirror_staleness()["stale_days"] == 1
+
+
+def test_atomic_cycle_single_commit_and_crash_windows(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """``curate_cycle_day(atomic=True)`` (r16 verdict #5): the pack
+    manifest's publish rides the store's pointer append as an
+    attached relation — ONE commit makes state and manifest visible
+    together, so the two-commit crash window disappears structurally.
+    Pins: mode equivalence with the two-commit cycle (identical state
+    and identical manifest rows on a twin), consistent cross-table
+    time travel (``read_attached`` at a day == the manifest MAIN rows
+    then), crash BEFORE the pointer append → nothing visible anywhere
+    and the day re-runs cleanly, crash AFTER the append → the day IS
+    committed (pinned reads serve it immediately) and resume/heal
+    only finishes branch housekeeping readers never wait on."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+    )
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+    store1 = CurateStateStore(spark, str(tmp_path / "s1"))
+    store2 = CurateStateStore(spark, str(tmp_path / "s2"))
+    store1.commit_backfill(st0, day="day0")
+    store2.commit_backfill(st0, day="day0")
+    loc1 = str(tmp_path / "packs1")
+    loc2 = str(tmp_path / "packs2")
+
+    # one atomic day: manifest + state in ONE pointer commit
+    out = curate_cycle_day(
+        spark, store1, d1, loc1, day="day1", atomic=True
+    )
+    assert out["atomic"] and out["state"]["day"] == "day1"
+    table1 = VersionedTable.load(spark, loc1)
+    main_rows = sorted(map(tuple, table1.read(branch="main").collect()))
+    assert {r[0] for r in main_rows} == {"day1"}
+    pinned = sorted(
+        map(
+            tuple,
+            store1.read_attached("pack_manifest", as_of="day1").collect(),
+        )
+    )
+    assert pinned == main_rows
+    # a day committed before the attach has no pin — loud, not empty
+    with pytest.raises(ValueError, match="attached after"):
+        store1.read_attached("pack_manifest", as_of="day0")
+
+    # mode equivalence with the two-commit twin
+    curate_cycle_day(spark, store2, d1, loc2, day="day1")
+    assert _state_rows(store1.read_state()[0]) == _state_rows(
+        store2.read_state()[0]
+    )
+    assert main_rows == sorted(
+        map(
+            tuple,
+            VersionedTable.load(spark, loc2)
+            .read(branch="main")
+            .collect(),
+        )
+    )
+
+    # resume degenerates to noop-or-full-path; plain re-run fails fast
+    out3 = curate_cycle_day(
+        spark, store1, d1, loc1, day="day1", atomic=True, resume=True
+    )
+    assert out3["resumed_via"] == "noop"
+    with pytest.raises(ValueError, match="already committed"):
+        curate_cycle_day(
+            spark, store1, d1, loc1, day="day1", atomic=True
+        )
+
+    # crash BEFORE the pointer append: NOTHING visible anywhere
+    real_publish = CurateStateStore._publish
+
+    def failing_publish(self, *a, **kw):
+        raise RuntimeError("injected crash before the pointer append")
+
+    monkeypatch.setattr(CurateStateStore, "_publish", failing_publish)
+    with pytest.raises(RuntimeError, match="before the pointer"):
+        curate_cycle_day(
+            spark, store1, d2, loc1, day="day2", atomic=True
+        )
+    monkeypatch.setattr(CurateStateStore, "_publish", real_publish)
+    assert store1.days()[-1] == "day1"
+    assert {
+        r["run"] for r in table1.read(branch="main").collect()
+    } == {"day1"}
+    # resume on the untouched day runs the normal full path (the
+    # strays are nonce'd branches maintain() discards; the new
+    # attempt's dup-key audit is clean because main never moved)
+    out4 = curate_cycle_day(
+        spark, store1, d2, loc1, day="day2", atomic=True, resume=True
+    )
+    assert out4["atomic"] and out4["state"]["day"] == "day2"
+    rep = store1.maintain()
+    assert any(
+        x.startswith("pack_manifest:") for x in rep["healed"]["discarded"]
+    )
+
+    # crash AFTER the pointer append, before branch housekeeping: the
+    # day IS committed — pinned reads serve it before any heal
+    real_ff = VersionedTable.fast_forward
+
+    def failing_ff(self, *a, **kw):
+        raise RuntimeError("injected crash after the pointer append")
+
+    monkeypatch.setattr(VersionedTable, "fast_forward", failing_ff)
+    with pytest.raises(RuntimeError, match="after the pointer"):
+        curate_cycle_day(
+            spark, store1, d3, loc1, day="day3", atomic=True
+        )
+    monkeypatch.setattr(VersionedTable, "fast_forward", real_ff)
+    assert "day3" in store1.days()
+    assert (
+        store1.read_attached("pack_manifest", as_of="day3")
+        .filter(F.col("run") == "day3")
+        .count()
+        > 0
+    )
+    # main lags only until heal (via the resume noop path)
+    assert {
+        r["run"] for r in table1.read(branch="main").collect()
+    } == {"day1", "day2"}
+    out5 = curate_cycle_day(
+        spark, store1, d3, loc1, day="day3", atomic=True, resume=True
+    )
+    assert out5["resumed_via"] == "noop"
+    assert {
+        r["run"] for r in table1.read(branch="main").collect()
+    } == {"day1", "day2", "day3"}
+    # and the healed state reads identically through both paths
+    assert _state_rows(store1.read_state()[0]) == _state_rows(
+        store1.read_state(as_of="day3")[0]
+    )
