@@ -183,6 +183,20 @@ class CurateStateStore:
             json.dump(reg, f)
         os.replace(tmp, os.path.join(self.root, "_attached.json"))
 
+    def _table_for(self, name: str) -> "VersionedTable | None":
+        """Resolve a relation (under the root) or an attached
+        governance table (via the registry) to its ``VersionedTable``;
+        None when it does not exist on disk yet."""
+        if name in _RELATIONS or name == "state_log":
+            loc = self._loc(name)
+        else:
+            loc = self._attached().get(name)
+        if loc is None or not os.path.exists(
+            os.path.join(loc, "_meta", "table.json")
+        ):
+            return None
+        return VersionedTable.load(self.spark, loc)
+
     def read_attached(
         self, name: str, as_of: str | None = None
     ) -> DataFrame:
@@ -796,14 +810,20 @@ class CurateStateStore:
         report = {"healed": self.heal(), "tables": {}}
         if retain_days is not None:
             report["retention"] = self._retain(retain_days)
-        names = list(_RELATIONS) + ["state_log"]
+        # attached governance tables are first-class here: their
+        # published appends are main ancestors (fast_forwarded by the
+        # same publish tail), so the retain_last=0 expiry is exactly
+        # as safe for them, and their audit-failed dangling attempts
+        # are exactly as much GC fodder
+        names = (
+            list(_RELATIONS)
+            + sorted(self._attached())
+            + ["state_log"]
+        )
         for name in names:
-            loc = self._loc(name)
-            if not os.path.exists(
-                os.path.join(loc, "_meta", "table.json")
-            ):
+            t = self._table_for(name)
+            if t is None:
                 continue
-            t = VersionedTable.load(self.spark, loc)
             expired = t.expire_snapshots(retain_last=0)
             orphans = t.remove_orphan_files()
             manifests = t.rewrite_manifests()
@@ -841,7 +861,13 @@ class CurateStateStore:
         self.log.delete(F.col("seq") < cutoff, branch=MAIN)
         self.log.expire_history_before(self.log.current_snapshot_id())
         expired_snaps: dict[str, int] = {}
-        for name in _RELATIONS:
+        # attached tables truncate by the SAME oldest-retained-pin
+        # rule: in atomic mode the pack manifest's history term is
+        # otherwise unbounded (one published append per day forever),
+        # and ancestry truncation honoring the pins — not a raw
+        # newest-N count — is what keeps every retained day's
+        # read_attached() intact while the ledger rows stay complete
+        for name in list(_RELATIONS) + sorted(self._attached()):
             pins = [
                 r
                 for r in retained
@@ -850,7 +876,9 @@ class CurateStateStore:
             if not pins:
                 continue
             oldest = min(pins, key=lambda r: int(r["seq"]))
-            t = self._table(name)
+            t = self._table_for(name)
+            if t is None:
+                continue
             expired_snaps[name] = len(
                 t.expire_history_before(oldest["snapshot_id"])
             )

@@ -869,3 +869,113 @@ def versioned_state_store_counts(
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def _store_retention_counts_oracle() -> str:
+    """DuckDB twin for ``versioned_store_retention_counts``: the
+    fingerprint index recomputed from the raw documents table at the
+    two RETAINED days of a three-commit store whose oldest pointer
+    entry was expired by ``maintain(retain_days=2)``. Appends carry
+    files forward, so day1's pinned snapshot still contains every
+    backfill row — the retained counts are cumulative-distinct over
+    the corpus prefix, which is exactly what SQL can state. The day
+    splits reuse the established percentile twins (FLOOR of
+    QUANTILE_CONT against Spark's truncating CAST)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        CURATE_DEMO_SPLIT_PCT,
+    )
+
+    mid = (1 + CURATE_DEMO_SPLIT_PCT) / 2
+    return f"""
+    WITH cut AS (
+      SELECT CAST(FLOOR(QUANTILE_CONT(doc_id, {mid})) AS BIGINT) AS m
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT 'day1' AS day, 'fp_index' AS relation,
+           CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS cnt
+    FROM fp f, cut WHERE f.doc_id < cut.m
+    UNION ALL
+    SELECT 'day2', 'fp_index', CAST(COUNT(DISTINCT fp) AS BIGINT)
+    FROM fp
+    UNION ALL
+    SELECT 'day0', 'expired', CAST(1 AS BIGINT)
+    """
+
+
+def versioned_store_retention_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The store's RETENTION path graded end to end: backfill + two
+    real pointer commits, then ``maintain(retain_days=2)`` expires the
+    oldest entry — the graded claims are that every RETAINED day's
+    pinned ``as_of`` read stays bit-consistent with a from-raw DuckDB
+    recomputation AFTER the expiry (history truncation must not
+    perturb retained data) and that the expired day raises the clean
+    not-committed error (emitted as the ``day0/expired`` row — if
+    day0 were still readable, or a retained read broke, the row set
+    would hash-mismatch). Queued for the next registry slot (the
+    ``versioned_state_store_counts`` protocol); registration-ready —
+    ``_store_retention_counts_oracle()`` is the DuckDB twin, pytest
+    pins row-identical output
+    (``test_store_retention_counts_matches_duckdb_twin``)."""
+    import os
+    import tempfile
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        CURATE_DEMO_SPLIT_PCT,
+        ensure_curate_state,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table as _lt
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    state, t = ensure_curate_state(spark, sf_dir)
+    docs = _lt(spark, sf_dir, "documents")
+    mid = (1 + CURATE_DEMO_SPLIT_PCT) / 2
+    m = int(
+        docs.agg(
+            F.expr(
+                f"CAST(percentile(doc_id, {mid}) AS BIGINT)"
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
+    d1 = docs.filter((F.col("doc_id") >= t) & (F.col("doc_id") < m))
+    d2 = docs.filter(F.col("doc_id") >= m)
+
+    def masses(df: DataFrame) -> DataFrame:
+        # survivor masses only feed source_stats (not emitted here);
+        # any deterministic per-source mass satisfies commit_day
+        return df.select(
+            "source", F.length("text").alias("n_tokens")
+        )
+
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="store_retention_counts_"), "store"
+    )
+    store = CurateStateStore(spark, root)
+    try:
+        store.commit_backfill(state, day="day0")
+        store.commit_day(d1, masses(d1), day="day1")
+        store.commit_day(d2, masses(d2), day="day2")
+        store.maintain(retain_days=2)
+        s1, _ = store.read_state(as_of="day1")
+        s2, _ = store.read_state(as_of="day2")
+        try:
+            store.read_state(as_of="day0")
+            expired = 0
+        except ValueError:
+            expired = 1
+        rows = [
+            ("day1", "fp_index", s1.fp_index.count()),
+            ("day2", "fp_index", s2.fp_index.count()),
+            ("day0", "expired", expired),
+        ]
+        return spark.createDataFrame(
+            rows, "day string, relation string, cnt long"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

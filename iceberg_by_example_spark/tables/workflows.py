@@ -734,6 +734,25 @@ def curate_maintain(
     (``CurateStateStore.mirror_staleness``; None before any refresh) —
     so the nightly output alone tells an operator the refresh stopped
     keeping up, without a separate ``read_state`` probe."""
+    # argument validation BEFORE any side effect: compact() below
+    # commits a pointer entry, so a call that will be refused must be
+    # refused with the store untouched
+    if manifest_table is not None:
+        if manifest_retain_last < 1:
+            raise ValueError("manifest_retain_last must be >= 1")
+        attached_locs = set(
+            getattr(store, "_attached", dict)().values()
+        )
+        if os.path.abspath(manifest_table.location) in attached_locs:
+            raise ValueError(
+                "manifest table is ATTACHED to this store (atomic "
+                "cycle mode): its history is pointer-pinned and "
+                "bounded by maintain(retain_days=) via the "
+                "oldest-retained-pin rule — a raw newest-N ancestry "
+                "truncation here would sever pinned days' "
+                "read_attached() history; drop manifest_table from "
+                "this call"
+            )
     # observed BEFORE compact bumps the pointer: how many days the
     # mirror had aged when tonight's window ran — the report row an
     # operator alerts on if the nightly refresh stops keeping up
@@ -747,8 +766,6 @@ def curate_maintain(
     report["mirror"] = store.refresh_probe_mirror()
     report["gc"] = store.maintain(retain_days=retain_days)
     if manifest_table is not None:
-        if manifest_retain_last < 1:
-            raise ValueError("manifest_retain_last must be >= 1")
         by_id = {
             s.snapshot_id: s for s in manifest_table._snapshots()
         }

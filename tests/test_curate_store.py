@@ -1831,3 +1831,122 @@ def test_atomic_cycle_single_commit_and_crash_windows(
     assert _state_rows(store1.read_state()[0]) == _state_rows(
         store1.read_state(as_of="day3")[0]
     )
+
+
+def test_atomic_store_retention_covers_attached_manifest(
+    spark, corpus, tmp_path
+):
+    """r17: in atomic mode the pack manifest's history is governed by
+    the store's OWN retention — ``maintain(retain_days=N)`` truncates
+    the attached table's ancestry to its oldest retained pin (same
+    rule as the relations), the GC trio covers it, every retained
+    day's ``read_attached`` stays intact, the ledger rows stay
+    complete on main, and ``curate_maintain(manifest_table=...)``
+    refuses a raw newest-N truncation of an attached table (it would
+    sever pointer-pinned history)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+        curate_maintain,
+    )
+
+    old, (d1, d2, d3) = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    loc = str(tmp_path / "packs")
+    for day, batch in (("day1", d1), ("day2", d2), ("day3", d3)):
+        curate_cycle_day(spark, store, batch, loc, day=day, atomic=True)
+    table = VersionedTable.load(spark, loc)
+    snaps_before = len(table._snapshots())
+    day3_rows = sorted(
+        map(
+            tuple,
+            store.read_attached("pack_manifest", as_of="day3").collect(),
+        )
+    )
+
+    # the raw-truncation path refuses an attached manifest
+    with pytest.raises(ValueError, match="ATTACHED"):
+        curate_maintain(
+            store, manifest_table=table, manifest_retain_last=1
+        )
+
+    report = store.maintain(retain_days=2)
+    assert report["retention"]["expired_days"] == ["day0", "day1"]
+    assert report["retention"]["expired_snapshots"].get(
+        "pack_manifest", 0
+    ) >= 1
+    assert "pack_manifest" in report["tables"]
+    assert len(table._snapshots()) < snaps_before
+    # retained days read bit-identically through the pins
+    assert (
+        sorted(
+            map(
+                tuple,
+                store.read_attached(
+                    "pack_manifest", as_of="day3"
+                ).collect(),
+            )
+        )
+        == day3_rows
+    )
+    assert (
+        store.read_attached("pack_manifest", as_of="day2")
+        .filter(F.col("run") == "day2")
+        .count()
+        > 0
+    )
+    # expired days raise the clean not-committed error
+    with pytest.raises(ValueError, match="not committed"):
+        store.read_attached("pack_manifest", as_of="day1")
+    # the ledger itself stays complete on main
+    assert {
+        r["run"] for r in table.read(branch="main").collect()
+    } == {"day1", "day2", "day3"}
+
+
+def test_store_retention_counts_matches_duckdb_twin(spark):
+    """``versioned_store_retention_counts`` (queued for the next
+    registry slot — the ``versioned_state_store_counts`` protocol):
+    after ``maintain(retain_days=2)`` expires the backfill day of a
+    three-commit store, every RETAINED day's pinned ``as_of`` read
+    must equal DuckDB's recomputation from the raw documents table,
+    and the expired day must raise the clean not-committed error —
+    row-identical at the grading sf."""
+    import duckdb
+
+    from iceberg_by_example_spark.tables.demo import (
+        _store_retention_counts_oracle,
+        versioned_store_retention_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        map(
+            tuple, versioned_store_retention_counts(spark, sf).collect()
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(_store_retention_counts_oracle()).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 3
+    by = {(d, r): c for d, r, c in got}
+    assert by[("day0", "expired")] == 1
+    assert by[("day2", "fp_index")] > by[("day1", "fp_index")]
