@@ -1,0 +1,52 @@
+"""Compare a bench run's per-query floors (`queries_min`) against the
+committed floor-record base (default BENCH_LOCAL_r15.json, the 85.11
+floor-sum record) — the round-end discipline check: no query >1.2× its
+floor without a source-change explanation in NOTES.
+
+Usage: python tools/floor_compare.py RUN.json [BASE.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    run = json.load(open(sys.argv[1]))
+    base_path = (
+        sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL_r15.json"
+    )
+    base = json.load(open(base_path))
+    run_min = run["queries_min"]
+    base_min = base["queries_min"]
+    common = sorted(set(run_min) & set(base_min))
+    ratios = {q: run_min[q] / base_min[q] for q in common}
+    med = sorted(ratios.values())[len(ratios) // 2]
+    fs_run = sum(run_min[q] for q in common)
+    fs_base = sum(base_min[q] for q in common)
+    print(
+        f"common={len(common)} floor-sum {fs_run:.2f} vs "
+        f"{fs_base:.2f} = {fs_run / fs_base:.3f}  "
+        f"median per-query floor ratio {med:.3f}"
+    )
+    print(
+        f"canary {run.get('canary_ratio')} mc "
+        f"{run.get('canary_mc_ratio')} median-sum {run.get('value')}"
+    )
+    flagged = {q: r for q, r in ratios.items() if r > 1.2}
+    for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
+        print(
+            f"  OVER  {q}: {run_min[q]:.3f} vs {base_min[q]:.3f} "
+            f"= {r:.2f}x"
+        )
+    best = sorted(ratios.items(), key=lambda kv: kv[1])[:5]
+    for q, r in best:
+        print(
+            f"  best  {q}: {run_min[q]:.3f} vs {base_min[q]:.3f} "
+            f"= {r:.2f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
