@@ -163,7 +163,11 @@ class CurateStateStore:
         location; ONE location per name forever — the registry is what
         ``heal`` trusts after a crash, so a silent re-point would
         orphan the old table's unfinished branches."""
-        if name in _RELATIONS or name == _META_RELATION:
+        if (
+            name in _RELATIONS
+            or name == _META_RELATION
+            or name == "state_log"
+        ):
             raise ValueError(
                 f"attached name {name!r} collides with a state relation"
             )

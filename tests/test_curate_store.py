@@ -1950,3 +1950,23 @@ def test_store_retention_counts_matches_duckdb_twin(spark):
     by = {(d, r): c for d, r, c in got}
     assert by[("day0", "expired")] == 1
     assert by[("day2", "fp_index")] > by[("day1", "fp_index")]
+
+
+def test_attach_name_and_location_guards(spark, tmp_path):
+    """``attach`` refuses names that collide with the store's own
+    tables (relations, meta, the pointer log itself) and refuses to
+    re-point a registered name — the registry is what ``heal`` trusts
+    after a crash, so a silent re-point would orphan the old table's
+    unfinished branches."""
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    store = CurateStateStore(spark, str(tmp_path / "s"))
+    for bad in ("state_log", "fp_index", "winnow_census", "_meta"):
+        with pytest.raises(ValueError, match="collides"):
+            store.attach(bad, str(tmp_path / "x"))
+    store.attach("pack_manifest", str(tmp_path / "x"))
+    store.attach("pack_manifest", str(tmp_path / "x"))  # idempotent
+    with pytest.raises(ValueError, match="refusing to re-point"):
+        store.attach("pack_manifest", str(tmp_path / "y"))
