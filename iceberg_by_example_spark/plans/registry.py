@@ -24,6 +24,34 @@ Determinism rules for oracle-checked queries
    ``CONCAT_WS(',', ...)`` / ``ARRAY_TO_STRING(a, ',')`` — or explode
    to long-form ``(id, k, value)`` rows. Keep an array-returning
    helper unregistered if callers want the native shape.
+
+Registry-saturation policy (r17 verdict "Missing #2")
+-----------------------------------------------------
+The driver grades a 50-slot window per round, so 200 registered
+queries = a full 4-round grading cycle.  At 201+ every net-new
+registration permanently adds one query that goes 5 rounds between
+grades.  Policy, effective r18:
+
+* **Prefer slack-neutral swaps over net growth.**  A new capability's
+  row should displace a registered row whose oracle is recomputed
+  verbatim by a surviving sibling, with the displaced row's own
+  DuckDB-twin check moved to pytest so its code path keeps a
+  cross-engine check (the ``merge_upsert`` r16 precedent, repeated for
+  ``delete_where`` in r18).
+* **Net growth is reserved** for a genuinely new capability with no
+  twin-covered sibling — a new operator family or a governance path
+  never graded before — and each such addition must be called out in
+  the round's NOTES with the straggler cost acknowledged.
+* **Swap-candidate pool** (mode-pairs / facade-pairs whose oracle
+  string is shared verbatim by a surviving registered sibling; the
+  CoW/SQL siblings are the natural donors since the MoR variants
+  assert strictly more invariants):
+  ``update_set_where`` (twin: ``update_set_where_mor``),
+  ``merge_refresh_delete_unmatched`` vs its MoR sibling,
+  ``set_intersect``/``set_except`` remainders (partially drained r14),
+  and one of ``agg_global_count``/``point_lookup``-class scans whose
+  plan shape is pinned by ``test_plans.py`` codegen asserts.
+  Drained so far: ``merge_upsert`` (r16), ``delete_where`` (r18).
 """
 
 from __future__ import annotations

@@ -455,12 +455,18 @@ DELETE_WHERE_ORACLE = """
     """
 
 
-@register("delete_where", oracle=DELETE_WHERE_ORACLE, category="versioned")
 def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE WHERE through the real engine (reference G2 declares
     copy-on-write deletes but never executes one): load orders, delete
     cheap finished orders, return survivors — oracle = the inverted
-    predicate."""
+    predicate.
+
+    DEREGISTERED in r18 (slack-neutral swap, r17 verdict #1 — the slot
+    went to ``versioned_store_retention_counts``): the delete oracle
+    stays driver-graded through ``delete_where_mor`` (identical SQL,
+    plus MoR invariant asserts) and this CoW variant's DuckDB-twin
+    check moved to pytest (``test_delete_where_matches_duckdb_twin``),
+    the ``merge_upsert`` precedent."""
     orders = load_table(spark, sf_dir, "orders")
     loc = tempfile.mkdtemp(prefix="delete_where_")
     shutil.rmtree(loc)
@@ -905,6 +911,11 @@ def _store_retention_counts_oracle() -> str:
     """
 
 
+@register(
+    "versioned_store_retention_counts",
+    oracle=_store_retention_counts_oracle(),
+    category="versioned",
+)
 def versioned_store_retention_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -916,11 +927,11 @@ def versioned_store_retention_counts(
     perturb retained data) and that the expired day raises the clean
     not-committed error (emitted as the ``day0/expired`` row — if
     day0 were still readable, or a retained read broke, the row set
-    would hash-mismatch). Queued for the next registry slot (the
-    ``versioned_state_store_counts`` protocol); registration-ready —
-    ``_store_retention_counts_oracle()`` is the DuckDB twin, pytest
-    pins row-identical output
-    (``test_store_retention_counts_matches_duckdb_twin``)."""
+    would hash-mismatch). Registered in r18 as a slack-neutral swap
+    (the ``merge_upsert`` precedent): ``delete_where`` was
+    deregistered — its oracle stays graded through
+    ``delete_where_mor`` and its own DuckDB twin moved to pytest
+    (``test_delete_where_matches_duckdb_twin``)."""
     import os
     import tempfile
 

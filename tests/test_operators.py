@@ -294,3 +294,35 @@ def test_merge_upsert_matches_duckdb_twin(spark):
         for r in con.execute(MERGE_UPSERT_ORACLE).fetchall()
     )
     assert got == want and got
+
+
+def test_delete_where_matches_duckdb_twin(spark):
+    """``delete_where`` was deregistered in r18 (slack-neutral swap —
+    its slot went to ``versioned_store_retention_counts``), so the
+    DuckDB twin check the driver used to run moves here, the
+    ``merge_upsert`` precedent: full-row multiset equality on the real
+    sf0.01 orders (the delete oracle stays driver-graded through
+    ``delete_where_mor``, identical SQL)."""
+    from collections import Counter
+
+    import duckdb
+
+    from iceberg_by_example_spark.tables.demo import (
+        DELETE_WHERE_ORACLE,
+        delete_where,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    )
+    got = Counter(
+        tuple(str(v) for v in r)
+        for r in delete_where(spark, SF).collect()
+    )
+    want = Counter(
+        tuple(str(v) for v in r)
+        for r in con.execute(DELETE_WHERE_ORACLE).fetchall()
+    )
+    assert got == want and got
