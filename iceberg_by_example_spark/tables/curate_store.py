@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,7 +163,19 @@ class CurateStateStore:
         ``commit_day(attached=...)`` uses). Idempotent for the same
         location; ONE location per name forever — the registry is what
         ``heal`` trusts after a crash, so a silent re-point would
-        orphan the old table's unfinished branches."""
+        orphan the old table's unfinished branches.
+
+        ONE store per table, forever (r17 verdict "Missing #3"): the
+        registry sidecar is per-store, so without a cross-store guard
+        a second store could attach the SAME location and its
+        ``maintain(retain_days=)`` would truncate the shared table's
+        ancestry by its own pins alone — silently severing the first
+        store's pinned ``read_attached`` history. The owning store
+        root is stamped into the table's properties at first attach
+        (``curate.store.owner``) and any other store's attach fails
+        loudly. Locations are ``realpath``-normalized on both sides
+        (registry values and the stamp), so a symlinked spelling of
+        the same path cannot bypass either guard."""
         if (
             name in _RELATIONS
             or name == _META_RELATION
@@ -171,21 +184,51 @@ class CurateStateStore:
             raise ValueError(
                 f"attached name {name!r} collides with a state relation"
             )
-        loc = os.path.abspath(location)
+        loc = os.path.realpath(location)
         reg = self._attached()
         if reg.get(name) == loc:
+            # re-check ownership even on the idempotent path: the
+            # table may not have existed on disk when first attached
+            # (attach-before-create), so the stamp lands at the first
+            # attach that can see _meta/table.json — which _commit
+            # re-issues on every attached commit
+            self._claim_ownership(loc)
             return
         if name in reg:
             raise ValueError(
                 f"attached table {name!r} is registered at "
                 f"{reg[name]!r}; refusing to re-point to {loc!r}"
             )
+        self._claim_ownership(loc)
         reg[name] = loc
         tmp = os.path.join(self.root, "_attached.json.tmp")
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(reg, f)
         os.replace(tmp, os.path.join(self.root, "_attached.json"))
+
+    def _claim_ownership(self, loc: str) -> None:
+        """Stamp this store as the attached table's owner, or refuse
+        a table another store already owns (see ``attach``). A
+        location with no table on disk yet is left unstamped — the
+        claim lands at the first attach after creation (every
+        attached ``_commit`` re-issues ``attach``)."""
+        if not os.path.exists(os.path.join(loc, "_meta", "table.json")):
+            return
+        t = VersionedTable.load(self.spark, loc)
+        me = os.path.realpath(self.root)
+        owner = (t.table_meta.get("properties") or {}).get(
+            "curate.store.owner"
+        )
+        if owner is None:
+            t.set_property("curate.store.owner", me)
+        elif os.path.realpath(owner) != me:
+            raise ValueError(
+                f"table at {loc!r} is owned by store {owner!r}; "
+                "refusing cross-store attach — a second store's "
+                "maintain(retain_days=) would truncate the shared "
+                "table's ancestry by its own pins alone"
+            )
 
     def _table_for(self, name: str) -> "VersionedTable | None":
         """Resolve a relation (under the root) or an attached
@@ -644,6 +687,25 @@ class CurateStateStore:
             curate_day_deltas,
         )
 
+        # mixed-mode staleness stays LOUD in both directions (ADVICE
+        # r17): the dup-key audit already catches an atomic re-publish
+        # of a two-commit day's packs; this warns the other way — a
+        # commit WITHOUT attached= carries every registered table's
+        # pin forward, so read_attached(as_of=this day) serves the
+        # last atomically-committed manifest, not anything published
+        # outside the store this day
+        stale_pins = sorted(
+            n for n in self._attached() if n not in (attached or {})
+        )
+        if stale_pins:
+            warnings.warn(
+                f"commit_day({day!r}) omits attached= for registered "
+                f"table(s) {stale_pins}: their pins carry forward, so "
+                f"read_attached(as_of={day!r}) serves the last "
+                "atomically-committed pin (pass attached= to pin this "
+                "day's append, or detach expectations accordingly)",
+                stacklevel=2,
+            )
         log_head, log_rows = self._log_state()
         if day in self.days(log_rows):
             # checked here as well as in _commit: a re-ingest of a

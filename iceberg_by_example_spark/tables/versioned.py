@@ -927,6 +927,17 @@ class VersionedTable:
             )
             self._write_json("table.json", meta)
 
+    def set_property(self, key: str, value: str) -> None:
+        """ALTER TABLE SET TBLPROPERTIES for one key: persisted in
+        table.json, readable via ``table_meta``. Metadata-only — no
+        snapshot is created (matching Iceberg, where property changes
+        produce a new metadata file but no data snapshot)."""
+        meta = self.table_meta
+        props = meta.get("properties") or {}
+        props[key] = value
+        meta["properties"] = props
+        self._write_json("table.json", meta)
+
     def alter_partition_by(self, partition_by: str | None) -> None:
         """Partition-spec evolution (Iceberg: ALTER TABLE … ADD/DROP
         PARTITION FIELD): change how FUTURE commits lay out their

@@ -328,11 +328,13 @@ def _published_day_masses(table: VersionedTable, day: str) -> dict | None:
     return None
 
 
-def _manifest_wap_audit(audited: DataFrame) -> None:
+def _manifest_wap_audit(audited: DataFrame) -> dict:
     """``curate_publish``'s four manifest gates as a RAISING audit for
     the atomic cycle: in single-commit mode a failed gate must abort
     the WHOLE day (state included) before anything becomes visible,
-    not report ``published=False`` after half the day landed."""
+    not report ``published=False`` after half the day landed. Returns
+    the gate counts on success so the atomic path can report the same
+    surface as the two-commit ``curate_publish`` (r17 verdict #6)."""
     n_packs = audited.count()
     null_rows = rows_with_any_null(audited).count()
     dup_keys = (
@@ -355,6 +357,12 @@ def _manifest_wap_audit(audited: DataFrame) -> None:
             f"null_rows={null_rows} dup_keys={dup_keys} "
             f"bad_packs={bad_packs}"
         )
+    return {
+        "packs": n_packs,
+        "null_rows": null_rows,
+        "dup_keys": dup_keys,
+        "bad_packs": bad_packs,
+    }
 
 
 def curate_cycle_day(
@@ -420,9 +428,13 @@ def curate_cycle_day(
     The trade: the manifest table binds to this store (one location
     per store, enforced by the attach registry) and its published
     appends become pointer-pinned — retention of the two moves
-    together. Mixed-mode leftovers stay loud: a manifest published by
-    a crashed two-commit run fails the atomic append's duplicate-key
-    audit rather than double-counting."""
+    together. Mixed-mode leftovers stay loud in BOTH directions: a
+    manifest published by a crashed two-commit run fails the atomic
+    append's duplicate-key audit rather than double-counting, and a
+    two-commit day run AFTER a table was attached warns at
+    ``commit_day`` that the attached pin carries forward (so
+    ``read_attached(as_of=)`` for that day serves the last
+    atomically-committed manifest, not the two-commit publish)."""
     from iceberg_by_example_spark.operators.pipeline import (
         curate_pack_day,
         pipeline_curate_ingest_day,
@@ -459,16 +471,29 @@ def curate_cycle_day(
             properties={"write.wap.enabled": "true"},
             if_not_exists=True,
         )
+        # report parity with the two-commit path (r17 verdict #6):
+        # the RAISING audit already computes curate_publish's gate
+        # counts on the branch read — capture them so operators can
+        # alert on identical keys in both modes
+        gate_counts: dict = {}
+
+        def _audit_and_capture(audited: DataFrame) -> None:
+            gate_counts.update(_manifest_wap_audit(audited))
+
         state_report = store.commit_day(
             batch,
             surv,
             day=day,
             attached={
-                "pack_manifest": (table, manifest, _manifest_wap_audit)
+                "pack_manifest": (table, manifest, _audit_and_capture)
             },
         )
         return {
-            "manifest": {"published": True},
+            "manifest": {
+                "published": True,
+                **gate_counts,
+                "main_rows": table.read(branch=MAIN).count(),
+            },
             "state": state_report,
             "atomic": True,
         }
@@ -740,10 +765,14 @@ def curate_maintain(
     if manifest_table is not None:
         if manifest_retain_last < 1:
             raise ValueError("manifest_retain_last must be >= 1")
-        attached_locs = set(
-            getattr(store, "_attached", dict)().values()
-        )
-        if os.path.abspath(manifest_table.location) in attached_locs:
+        # realpath on BOTH sides (ADVICE r17): attach() stores
+        # realpath-normalized locations, and a symlinked spelling of
+        # the manifest location must not bypass this refusal
+        attached_locs = {
+            os.path.realpath(loc)
+            for loc in getattr(store, "_attached", dict)().values()
+        }
+        if os.path.realpath(manifest_table.location) in attached_locs:
             raise ValueError(
                 "manifest table is ATTACHED to this store (atomic "
                 "cycle mode): its history is pointer-pinned and "

