@@ -933,7 +933,8 @@ class CurateStateStore:
         # and ancestry truncation honoring the pins — not a raw
         # newest-N count — is what keeps every retained day's
         # read_attached() intact while the ledger rows stay complete
-        for name in list(_RELATIONS) + sorted(self._attached()):
+        attached_names = sorted(self._attached())
+        for name in list(_RELATIONS) + attached_names:
             pins = [
                 r
                 for r in retained
@@ -945,6 +946,15 @@ class CurateStateStore:
             t = self._table_for(name)
             if t is None:
                 continue
+            if name in attached_names:
+                # defense in depth behind attach()'s refusal: ancestry
+                # truncation is the irreversible operation the
+                # ownership stamp exists for, so verify it HERE too —
+                # a hand-copied _attached.json sidecar must not let
+                # this store sever another store's pinned history
+                self._claim_ownership(
+                    os.path.realpath(self._attached()[name])
+                )
             expired_snaps[name] = len(
                 t.expire_history_before(oldest["snapshot_id"])
             )

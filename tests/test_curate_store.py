@@ -2021,6 +2021,60 @@ def test_cross_store_attach_ownership_guard(spark, tmp_path):
         s2.attach("late_table", loc2)
 
 
+def test_cloned_store_cannot_truncate_attached_history(
+    spark, corpus, tmp_path
+):
+    """Defense in depth behind ``attach()``'s ownership refusal: a
+    byte-for-byte CLONE of a store's root (pointer log + _attached
+    sidecar copied to a new path) carries real pins for the attached
+    table, so its ``maintain(retain_days=)`` would walk the attached
+    truncation loop — the ownership re-check inside ``_retain`` must
+    refuse before ``expire_history_before`` severs the original
+    store's pinned ``read_attached`` history."""
+    import shutil as _sh
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.workflows import (
+        curate_cycle_day,
+    )
+
+    old, (d1, d2, _d3) = corpus["old"], corpus["days"]
+    st0 = build_curate_state(
+        spark, old, corpus["w2"], corpus["keep_micro"]
+    )
+    store = CurateStateStore(spark, str(tmp_path / "orig"))
+    store.commit_backfill(st0, day="day0")
+    loc = str(tmp_path / "packs")
+    curate_cycle_day(spark, store, d1, loc, day="day1", atomic=True)
+    curate_cycle_day(spark, store, d2, loc, day="day2", atomic=True)
+    day1_rows = sorted(
+        map(
+            tuple,
+            store.read_attached("pack_manifest", as_of="day1").collect(),
+        )
+    )
+
+    _sh.copytree(str(tmp_path / "orig"), str(tmp_path / "clone"))
+    clone = CurateStateStore(spark, str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="owned by store"):
+        clone.maintain(retain_days=1)
+    # the original's pinned history is untouched by the refused run
+    assert sorted(
+        map(
+            tuple,
+            store.read_attached("pack_manifest", as_of="day1").collect(),
+        )
+    ) == day1_rows
+    # and the original's own retention still works afterwards
+    rep = store.maintain(retain_days=1)
+    assert "day1" in rep["retention"]["expired_days"]
+
+
 def test_atomic_report_parity_and_mixed_mode_warning(
     spark, corpus, tmp_path
 ):
