@@ -326,3 +326,35 @@ def test_delete_where_matches_duckdb_twin(spark):
         for r in con.execute(DELETE_WHERE_ORACLE).fetchall()
     )
     assert got == want and got
+
+
+def test_update_set_where_matches_duckdb_twin(spark):
+    """Pre-pinned twin for the registry saturation policy's NEXT swap
+    candidate (plans/registry.py module doc): ``update_set_where`` is
+    still registered, but if its slot is ever donated (its MoR sibling
+    grades the identical oracle), this check keeps the CoW update path
+    cross-engine-verified — the ``merge_upsert``/``delete_where``
+    precedent, staged in advance."""
+    from collections import Counter
+
+    import duckdb
+
+    from iceberg_by_example_spark.tables.demo import (
+        UPDATE_SET_ORACLE,
+        update_set_where,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    )
+    got = Counter(
+        tuple(str(v) for v in r)
+        for r in update_set_where(spark, SF).collect()
+    )
+    want = Counter(
+        tuple(str(v) for v in r)
+        for r in con.execute(UPDATE_SET_ORACLE).fetchall()
+    )
+    assert got == want and got
