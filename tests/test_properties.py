@@ -704,3 +704,153 @@ def test_store_random_chain_equals_python_fold(
     last_want = dict(model_days[-1][1])
     last_want["fp"] = set(last_want["fp"]) | {"zz"}
     check("dz", last_want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_store_random_chain_attached_protocol(
+    spark, tmp_path_factory, data
+):
+    """The ATTACHED-table protocol (r17/r18) against a Python model,
+    over arbitrary interleavings: the table attaches at a random day,
+    later days randomly carry an attached delta or omit it (the pin
+    must carry the LAST attached commit forward), compaction lands at
+    random points (its pointer rows must keep carrying the attached
+    pin — ``new_snaps = dict(snaps)``), and a final random retention
+    must keep every retained day's ``read_attached`` equal to the
+    model while expired days and pre-attach days fail with their two
+    DISTINCT loud errors. The hand-written atomic-cycle tests pin one
+    realistic sequence; this pins the pin-carry algebra itself."""
+    from pyspark.sql import functions as F
+
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    base = tmp_path_factory.mktemp("attprop")
+    store = CurateStateStore(spark, str(base / "s"))
+    mt = VersionedTable.create(
+        spark, str(base / "m"), schema="run string, v bigint"
+    )
+
+    n_days = data.draw(st.integers(min_value=2, max_value=4), "n_days")
+    attach_from = data.draw(
+        st.integers(min_value=0, max_value=n_days - 1), "attach_from"
+    )
+    next_doc = 0
+    cum_fp: set = set()
+    cum_attached: list = []  # rows on the attached MAIN so far
+    model: list = []  # (day, fp_set, attached_rows_at_pin | None)
+
+    for i in range(n_days):
+        day = f"d{i}"
+        first = i == 0
+        fps = data.draw(_FPS, f"fps{i}")
+        if first and not fps:
+            fps = {"z"}
+        deltas = {
+            "fp_index": (
+                spark.createDataFrame(
+                    [(f,) for f in sorted(fps)], "fp string"
+                )
+                if fps or first
+                else None
+            ),
+            "shingle_index": (
+                spark.createDataFrame(
+                    [(next_doc, 1, 0)],
+                    "doc_id bigint, n_sh bigint, shingle bigint",
+                )
+                if first
+                else None
+            ),
+            "bench_vocab": (
+                spark.createDataFrame([(99,)], "shingle bigint")
+                if first
+                else None
+            ),
+            "source_stats": (
+                spark.createDataFrame(
+                    [("s1", 10)], "source string, source_tokens bigint"
+                )
+                if first
+                else None
+            ),
+        }
+        deltas["shingle_census"] = (
+            deltas["shingle_index"]
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            if deltas["shingle_index"] is not None
+            else None
+        )
+        next_doc += 1
+        attached = None
+        if i >= attach_from and (
+            i == attach_from or data.draw(st.booleans(), f"att{i}")
+        ):
+            k = data.draw(st.integers(min_value=1, max_value=3), f"k{i}")
+            delta = spark.createDataFrame(
+                [(day, j) for j in range(k)], "run string, v bigint"
+            )
+            attached = {"pack_manifest": (mt, delta, None)}
+        store._commit(
+            day,
+            deltas,
+            meta={"w2": [0, 0], "keep_micro": 0, "max_doc_id": next_doc},
+            attached=attached,
+        )
+        cum_fp |= fps
+        if attached is not None:
+            cum_attached = cum_attached + [
+                (day, j)
+                for j in range(
+                    attached["pack_manifest"][1].count()
+                )
+            ]
+        model.append(
+            (
+                day,
+                set(cum_fp),
+                list(cum_attached) if i >= attach_from else None,
+            )
+        )
+        if data.draw(st.booleans(), f"compact{i}"):
+            store.compact()
+
+    def check(day, fp_want, att_want):
+        st_state, _m = store.read_state(as_of=day, prefer_mirror=False)
+        assert {
+            r["fp"] for r in st_state.fp_index.collect()
+        } == fp_want, f"fp@{day}"
+        if att_want is None:
+            with pytest.raises(ValueError, match="attached after"):
+                store.read_attached("pack_manifest", as_of=day)
+        else:
+            got = sorted(
+                (r["run"], r["v"])
+                for r in store.read_attached(
+                    "pack_manifest", as_of=day
+                ).collect()
+            )
+            assert got == sorted(att_want), f"attached@{day}"
+
+    for day, fp_want, att_want in model:
+        check(day, fp_want, att_want)
+
+    entries = store.days()
+    k = data.draw(
+        st.integers(min_value=1, max_value=len(entries)), "retain"
+    )
+    store.maintain(retain_days=k)
+    retained = set(entries[-k:])
+    for day, fp_want, att_want in model:
+        if day in retained:
+            check(day, fp_want, att_want)
+        else:
+            with pytest.raises(ValueError, match="not committed"):
+                store.read_attached("pack_manifest", as_of=day)
