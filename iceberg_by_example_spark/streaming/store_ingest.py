@@ -1,0 +1,99 @@
+"""Continuous curation: Structured Streaming into the CurateStateStore.
+
+``foreachBatch`` bridges a document stream and the versioned curation
+state store (``tables.curate_store.CurateStateStore``): each
+micro-batch runs the SAME incremental gate pipeline the daily cycle
+runs (``pipeline_curate_ingest_day`` against the state as of the
+previous commit) and folds into the store as one atomic pointer
+append — the daily loop at micro-batch grain, with identical
+decisions by construction (one shared gate definition, the
+``curate_cycle_day`` stance).
+
+Exactly-once WITHOUT a side ledger: ``foreachBatch`` is
+at-least-once — a restarted query replays the last unacknowledged
+batch id — and the store's OWN pointer log is the idempotence
+record. Each micro-batch commits under the day label
+``{stream_id}-b{batch_id:06d}``; a replayed id is acknowledged
+without writing because its label is already in ``days()`` (a
+metadata-sized driver read of the log, the same scan every commit
+already performs). This is the streaming-sink dedup contract
+``streaming/ingest.py`` implements with snapshot-summary markers,
+collapsed here to zero extra state: the atomic ledger IS the pointer
+append the commit makes anyway.
+
+Contract inheritance: monotone ``doc_id`` across batches is the
+store's standing requirement (``commit_day`` raises on violation) —
+a misordered source fails the query loudly BEFORE anything becomes
+visible (the torn-commit path drops the audit branches), never
+corrupts the standing index, and a fixed source resumes cleanly off
+the checkpoint. At scale this is the lakehouse streaming shape: one
+O(batch + probed index rows) job and one pointer CAS per trigger,
+corpus text never rescanned, readers pinned to complete days only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def make_store_committer(store, stream_id: str = "stream", gates: bool = True):
+    """The ``foreachBatch`` handler, exposed for direct testing.
+
+    ``gates=True`` (the curation shape) runs the incremental pipeline
+    for the batch's survivors — their per-source token masses become
+    the day's ``source_stats`` delta, exactly as ``curate_cycle_day``
+    commits them. ``gates=False`` ingests the raw batch (index-only
+    governance: every doc indexed, masses = raw batch masses) for
+    streams that gate elsewhere."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        pipeline_curate_ingest_day,
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        day = f"{stream_id}-b{int(batch_id):06d}"
+        if day in store.days():
+            return  # replay after restart — the pointer log has it
+        if batch_df.isEmpty():
+            return
+        if gates:
+            state, _meta = store.read_state()
+            surv = pipeline_curate_ingest_day(
+                batch_df.sparkSession,
+                state,
+                batch_df,
+                return_survivors=True,
+            )
+        else:
+            surv = batch_df.select(
+                "source",
+                F.size(F.split(F.trim("text"), r"\s+")).alias(
+                    "n_tokens"
+                ),
+            )
+        store.commit_day(batch_df, surv, day=day)
+
+    return commit_batch
+
+
+def stream_curate_ingest(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str | None = None,
+    stream_id: str | None = None,
+    gates: bool = True,
+) -> StreamingQuery:
+    """Start a streaming query folding each micro-batch into ``store``.
+
+    Pass the same ``stream_id`` with the same checkpoint dir across
+    restarts (defaults to the checkpoint dir itself when one is
+    given) so replayed batch ids resolve to already-committed day
+    labels."""
+    sid = stream_id or checkpoint_dir or "stream"
+    writer = stream_df.writeStream.foreachBatch(
+        make_store_committer(store, sid, gates)
+    ).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -879,3 +879,118 @@ def test_stream_quality_score_matches_batch(spark, tmp_path, sf_dir):
         for r in pipeline_quality_score(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_curate_ingest_into_store(spark, tmp_path, sf_dir):
+    """foreachBatch → CurateStateStore (r18): micro-batches fold into
+    the governed store through the SAME incremental gates as the
+    daily cycle, one atomic pointer append per trigger; the final
+    state equals a twin store fed the identical slices via
+    ``commit_day`` directly; a replayed batch id is acknowledged
+    without writing (the pointer log is the idempotence ledger — no
+    side state); and an out-of-order batch fails LOUDLY with nothing
+    visible (the monotone-id contract surfaces as the stream error,
+    never index corruption)."""
+    import os
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+        pipeline_curate_ingest_day,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        make_store_committer,
+        stream_curate_ingest,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c0, c1 = ids[int(len(ids) * 0.7)], ids[int(len(ids) * 0.85)]
+    old = docs.filter(F.col("doc_id") < c0)
+    b1 = docs.filter((F.col("doc_id") >= c0) & (F.col("doc_id") < c1))
+    b2 = docs.filter(F.col("doc_id") >= c1)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+
+    store = CurateStateStore(spark, str(tmp_path / "stream_store"))
+    store.commit_backfill(st0, day="day0")
+    twin = CurateStateStore(spark, str(tmp_path / "twin_store"))
+    twin.commit_backfill(st0, day="day0")
+
+    # one parquet file per batch, mtimes strictly ascending so the
+    # file source's (timestamp, path) order delivers them in doc_id
+    # order — the monotone contract a production stream keys on
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    files = sorted(
+        str(p)
+        for d in ("f1", "f2")
+        for p in (src / d).glob("*.parquet")
+    )
+    assert len(files) == 2
+    flat = src / "flat"
+    flat.mkdir()
+    for i, f in enumerate(files):
+        dst = flat / f"b{i}.parquet"
+        os.link(f, dst)
+        os.utime(dst, times=(1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = stream_curate_ingest(
+        stream,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stream_id="s1",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+
+    # twin: the same slices through the daily-cycle commit path
+    for day, batch in (("d1", b1), ("d2", b2)):
+        surv = pipeline_curate_ingest_day(
+            spark, twin.read_state()[0], batch, return_survivors=True
+        )
+        twin.commit_day(batch, surv, day=day)
+
+    def rows(store_):
+        st_state, _ = store_.read_state()
+        return {
+            name: sorted(
+                map(tuple, getattr(st_state, name).drop("day").collect())
+            )
+            if getattr(st_state, name) is not None
+            else None
+            for name in (
+                "fp_index",
+                "shingle_index",
+                "shingle_census",
+                "bench_vocab",
+                "source_stats",
+            )
+        }
+
+    assert rows(store) == rows(twin)
+
+    # replay after restart: same batch id → acknowledged, no new day
+    committer = make_store_committer(store, stream_id="s1")
+    committer(b2, 1)
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+
+    # out-of-order source: loud failure, nothing visible
+    with pytest.raises(ValueError, match="monotone"):
+        committer(b1, 2)
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
