@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def make_store_committer(store, stream_id: str = "stream", gates: bool = True):
+def make_store_committer(
+    store,
+    stream_id: str = "stream",
+    gates: bool = True,
+    manifest_location: str | None = None,
+):
     """The ``foreachBatch`` handler, exposed for direct testing.
 
     ``gates=True`` (the curation shape) runs the incremental pipeline
@@ -46,10 +51,26 @@ def make_store_committer(store, stream_id: str = "stream", gates: bool = True):
     the day's ``source_stats`` delta, exactly as ``curate_cycle_day``
     commits them. ``gates=False`` ingests the raw batch (index-only
     governance: every doc indexed, masses = raw batch masses) for
-    streams that gate elsewhere."""
+    streams that gate elsewhere.
+
+    ``manifest_location`` turns each trigger into the CONTINUOUS
+    ``curate_cycle_day(atomic=True)``: the batch's pack manifest
+    (``curate_pack_day`` — the same tail the daily cycle publishes)
+    rides the pointer append as an attached table, the raising WAP
+    audit gates it on the commit's branch, and
+    ``store.read_attached('pack_manifest', as_of=<batch day>)`` gives
+    the consistent cross-table view per trigger. Requires ``gates``
+    (the manifest is defined over gated survivors)."""
     from iceberg_by_example_spark.operators.pipeline import (
+        curate_pack_day,
         pipeline_curate_ingest_day,
     )
+
+    if manifest_location is not None and not gates:
+        raise ValueError(
+            "manifest_location requires gates=True: the pack "
+            "manifest is defined over gated survivors"
+        )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         day = f"{stream_id}-b{int(batch_id):06d}"
@@ -72,7 +93,30 @@ def make_store_committer(store, stream_id: str = "stream", gates: bool = True):
                     "n_tokens"
                 ),
             )
-        store.commit_day(batch_df, surv, day=day)
+        attached = None
+        if manifest_location is not None:
+            from iceberg_by_example_spark.tables.versioned import (
+                VersionedTable,
+            )
+            from iceberg_by_example_spark.tables.workflows import (
+                CURATE_MANIFEST_DDL,
+                _manifest_wap_audit,
+            )
+
+            manifest = curate_pack_day(surv, state).select(
+                F.lit(day).alias("run"), "*"
+            )
+            table = VersionedTable.create(
+                batch_df.sparkSession,
+                manifest_location,
+                schema=CURATE_MANIFEST_DDL,
+                properties={"write.wap.enabled": "true"},
+                if_not_exists=True,
+            )
+            attached = {
+                "pack_manifest": (table, manifest, _manifest_wap_audit)
+            }
+        store.commit_day(batch_df, surv, day=day, attached=attached)
 
     return commit_batch
 
@@ -83,16 +127,19 @@ def stream_curate_ingest(
     checkpoint_dir: str | None = None,
     stream_id: str | None = None,
     gates: bool = True,
+    manifest_location: str | None = None,
 ) -> StreamingQuery:
     """Start a streaming query folding each micro-batch into ``store``.
 
     Pass the same ``stream_id`` with the same checkpoint dir across
     restarts (defaults to the checkpoint dir itself when one is
     given) so replayed batch ids resolve to already-committed day
-    labels."""
+    labels. ``manifest_location`` additionally publishes each batch's
+    pack manifest in the SAME pointer append (the continuous atomic
+    cycle — see ``make_store_committer``)."""
     sid = stream_id or checkpoint_dir or "stream"
     writer = stream_df.writeStream.foreachBatch(
-        make_store_committer(store, sid, gates)
+        make_store_committer(store, sid, gates, manifest_location)
     ).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

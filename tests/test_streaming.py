@@ -994,3 +994,117 @@ def test_streaming_curate_ingest_into_store(spark, tmp_path, sf_dir):
     with pytest.raises(ValueError, match="monotone"):
         committer(b1, 2)
     assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+
+
+def test_streaming_atomic_cycle_publishes_manifest_per_trigger(
+    spark, tmp_path, sf_dir
+):
+    """The CONTINUOUS ``curate_cycle_day(atomic=True)``: with
+    ``manifest_location`` set, every micro-batch's pack manifest
+    rides the store's pointer append as the attached table — one
+    commit per trigger makes state and packs visible together, the
+    manifest MAIN rows equal the daily atomic cycle's on identical
+    slices, and ``read_attached(as_of=<batch day>)`` time-travels the
+    manifest consistently per trigger."""
+    import os
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        make_store_committer,
+        stream_curate_ingest,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+    from iceberg_by_example_spark.tables.versioned import VersionedTable
+    from iceberg_by_example_spark.tables.workflows import curate_cycle_day
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c0, c1 = ids[int(len(ids) * 0.7)], ids[int(len(ids) * 0.85)]
+    old = docs.filter(F.col("doc_id") < c0)
+    b1 = docs.filter((F.col("doc_id") >= c0) & (F.col("doc_id") < c1))
+    b2 = docs.filter(F.col("doc_id") >= c1)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    st0 = build_curate_state(spark, old, w2, keep_micro)
+
+    store = CurateStateStore(spark, str(tmp_path / "s_stream"))
+    store.commit_backfill(st0, day="day0")
+    twin = CurateStateStore(spark, str(tmp_path / "s_twin"))
+    twin.commit_backfill(st0, day="day0")
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    flat = src / "flat"
+    flat.mkdir()
+    for i, d in enumerate(("f1", "f2")):
+        (part,) = (src / d).glob("*.parquet")
+        dst = flat / f"b{i}.parquet"
+        os.link(part, dst)
+        os.utime(dst, times=(1_700_000_000 + i * 10,) * 2)
+
+    mloc = str(tmp_path / "stream_packs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = stream_curate_ingest(
+        stream,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stream_id="s1",
+        manifest_location=mloc,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+
+    # the daily atomic cycle on identical slices
+    tloc = str(tmp_path / "twin_packs")
+    for day, batch in (("s1-b000000", b1), ("s1-b000001", b2)):
+        out = curate_cycle_day(
+            spark, twin, batch, tloc, day=day, atomic=True
+        )
+        assert out["manifest"]["published"]
+
+    def main_rows(loc):
+        return sorted(
+            map(
+                tuple,
+                VersionedTable.load(spark, loc)
+                .read(branch="main")
+                .collect(),
+            )
+        )
+
+    assert main_rows(mloc) == main_rows(tloc)
+    # per-trigger cross-table time travel: the batch-0 pin holds only
+    # batch 0's packs even after batch 1 published
+    pinned0 = store.read_attached("pack_manifest", as_of="s1-b000000")
+    assert {r["run"] for r in pinned0.collect()} == {"s1-b000000"}
+    pinned1 = store.read_attached("pack_manifest", as_of="s1-b000001")
+    assert {r["run"] for r in pinned1.collect()} == {
+        "s1-b000000",
+        "s1-b000001",
+    }
+    # replay with the manifest attached: still a no-op (no dup packs)
+    committer = make_store_committer(
+        store, stream_id="s1", manifest_location=mloc
+    )
+    committer(b2, 1)
+    assert main_rows(mloc) == main_rows(tloc)
+    # gates=False + manifest is refused at construction
+    with pytest.raises(ValueError, match="requires gates=True"):
+        make_store_committer(
+            store, stream_id="s1", gates=False, manifest_location=mloc
+        )
