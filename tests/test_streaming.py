@@ -1108,3 +1108,101 @@ def test_streaming_atomic_cycle_publishes_manifest_per_trigger(
         make_store_committer(
             store, stream_id="s1", gates=False, manifest_location=mloc
         )
+
+
+def test_streaming_store_ingest_restart_and_crash_replay(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """The streaming store path across QUERY instances and crashes:
+    (a) a stopped query restarted on the same checkpoint resumes at
+    the next file without re-committing batch 0 (checkpoint resume +
+    the pointer-log ledger compose); (b) a crash INSIDE the pointer
+    publish fails the trigger with nothing visible, and the replayed
+    batch after the 'fix' commits cleanly (the store's torn-commit
+    drop + heal semantics at streaming grain)."""
+    import os
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        stream_curate_ingest,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c0, c1 = ids[int(len(ids) * 0.7)], ids[int(len(ids) * 0.85)]
+    old = docs.filter(F.col("doc_id") < c0)
+    b1 = docs.filter((F.col("doc_id") >= c0) & (F.col("doc_id") < c1))
+    b2 = docs.filter(F.col("doc_id") >= c1)
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    store = CurateStateStore(spark, str(tmp_path / "s"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+
+    def land(batch, i):
+        d = tmp_path / f"f{i}"
+        batch.coalesce(1).write.parquet(str(d))
+        (part,) = d.glob("*.parquet")
+        dst = flat / f"b{i}.parquet"
+        os.link(part, dst)
+        os.utime(dst, times=(1_700_000_000 + i * 10,) * 2)
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        return stream_curate_ingest(
+            stream,
+            store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stream_id="s1",
+        )
+
+    # (a) batch 0 only, stop, land batch 1, restart on the checkpoint
+    land(b1, 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.days() == ["day0", "s1-b000000"]
+
+    land(b2, 1)
+    # (b) the restarted query's first trigger crashes inside the
+    # pointer publish: nothing visible, the stream errors loudly
+    real_publish = CurateStateStore._publish
+
+    def failing_publish(self, *a, **kw):
+        raise RuntimeError("injected crash inside the pointer publish")
+
+    monkeypatch.setattr(CurateStateStore, "_publish", failing_publish)
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+    monkeypatch.setattr(CurateStateStore, "_publish", real_publish)
+    assert store.days() == ["day0", "s1-b000000"]
+
+    # the replay after the fix commits batch 1 cleanly off the same
+    # checkpoint; the crash's stray branches are maintain() fodder
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+    rep = store.maintain()
+    assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
