@@ -240,6 +240,13 @@ PARALLEL_QUERIES = [
     "sim_ivf_pq_topk",
     "sim_batch_topk",
     "tpch_q9_profit_by_nation",
+    # pipeline_curate_corpus measured 1.1x here (r18 spot-check:
+    # multi 10.85 vs single-file floor 9.64): the composed job is
+    # shuffle/overhead-bound at sf0.1, not scan-bound, so a multifile
+    # row would track host noise, not a single-task stage — excluded
+    # on the evidence; ingest_day excluded because rebuilding its
+    # dir-fingerprinted standing state would land a one-time backfill
+    # inside the timed pass
 ]
 MULTIFILE_FILES_PER_TABLE = 8
 
