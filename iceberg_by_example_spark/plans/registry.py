@@ -46,12 +46,26 @@ grades.  Policy, effective r18:
   string is shared verbatim by a surviving registered sibling; the
   CoW/SQL siblings are the natural donors since the MoR variants
   assert strictly more invariants):
-  ``update_set_where`` (twin: ``update_set_where_mor``),
-  ``merge_refresh_delete_unmatched`` vs its MoR sibling,
   ``set_intersect``/``set_except`` remainders (partially drained r14),
   and one of ``agg_global_count``/``point_lookup``-class scans whose
   plan shape is pinned by ``test_plans.py`` codegen asserts.
-  Drained so far: ``merge_upsert`` (r16), ``delete_where`` (r18).
+  Drained so far: ``merge_upsert`` (r16), ``delete_where`` (r18),
+  ``update_set_where`` (r19 — slot went to
+  ``versioned_store_stream_ingest_counts``).
+
+Accepted end-state (r18 verdict "Missing #2", decided r19): the
+registry holds steady at **201 = 200 slots + 1**, and that is the
+documented equilibrium, not an oversight. Draining to exactly 200
+would cost a graded row with no twin-protected donor left — the
+remaining pool entries either assert distinct semantics
+(``set_intersect`` vs ``set_except``) or are §2 Tier-A rows whose
+driver grade the coverage table cites directly — while the
+one-straggler cost is bounded and shrinking: the build ends at r20,
+whose 50-slot window grades the then-stalest 50, leaving every
+registered query graded within the final two rounds' horizon. One
+query per cycle waits 5 rounds instead of 4; which one is recorded in
+each round's NOTES. A future capability row still enters by swap, not
+growth, per the policy above.
 """
 
 from __future__ import annotations

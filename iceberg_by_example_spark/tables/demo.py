@@ -489,11 +489,18 @@ UPDATE_SET_ORACLE = """
     """
 
 
-@register("update_set_where", oracle=UPDATE_SET_ORACLE, category="versioned")
 def update_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE SET ... WHERE through the real engine (reference G3
     declares update mode but never executes one): finalize pending
-    orders with a late fee."""
+    orders with a late fee.
+
+    DEREGISTERED in r19 (slack-neutral swap, r18 verdict #1 — the slot
+    went to ``versioned_store_stream_ingest_counts``): the update
+    oracle stays driver-graded through ``update_set_where_mor``
+    (identical SQL, plus MoR invariant asserts) and this CoW variant's
+    DuckDB-twin check lives in pytest
+    (``test_update_set_where_matches_duckdb_twin``, pre-pinned in
+    r18), the ``merge_upsert``/``delete_where`` precedent."""
     orders = load_table(spark, sf_dir, "orders")
     loc = tempfile.mkdtemp(prefix="update_where_")
     shutil.rmtree(loc)
@@ -985,6 +992,134 @@ def versioned_store_retention_counts(
             ("day2", "fp_index", s2.fp_index.count()),
             ("day0", "expired", expired),
         ]
+        return spark.createDataFrame(
+            rows, "day string, relation string, cnt long"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def _store_stream_ingest_counts_oracle() -> str:
+    """DuckDB twin for ``versioned_store_stream_ingest_counts``: the
+    fingerprint index recomputed from the raw documents table at each
+    micro-batch trigger of a 3-trigger continuous-ingest run. The
+    fp_index indexes EVERY ingested doc (gate-independent, the
+    ``versioned_state_store_counts`` rationale), so the per-trigger
+    pinned count is cumulative-distinct over the corpus prefix up to
+    that trigger's doc_id cut — pure functions of the corpus SQL can
+    state. The replayed batch must leave the pointer ledger at exactly
+    backfill + 3 committed day labels (the ``replay/days`` literal):
+    if the replay wrote a fourth streaming day, or skipped dedup and
+    aborted, the row set hash-mismatches. Cuts reuse the established
+    percentile twins (FLOOR of QUANTILE_CONT vs Spark's truncating
+    CAST)."""
+    from iceberg_by_example_spark.operators.pipeline import (
+        CURATE_DEMO_SPLIT_PCT,
+    )
+
+    q1 = CURATE_DEMO_SPLIT_PCT + (1 - CURATE_DEMO_SPLIT_PCT) / 3
+    q2 = CURATE_DEMO_SPLIT_PCT + 2 * (1 - CURATE_DEMO_SPLIT_PCT) / 3
+    return f"""
+    WITH cut AS (
+      SELECT CAST(FLOOR(QUANTILE_CONT(doc_id, {q1!r})) AS BIGINT) AS a,
+             CAST(FLOOR(QUANTILE_CONT(doc_id, {q2!r})) AS BIGINT) AS b
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT 's-b000000' AS day, 'fp_index' AS relation,
+           CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS cnt
+    FROM fp f, cut WHERE f.doc_id < cut.a
+    UNION ALL
+    SELECT 's-b000001', 'fp_index', CAST(COUNT(DISTINCT f.fp) AS BIGINT)
+    FROM fp f, cut WHERE f.doc_id < cut.b
+    UNION ALL
+    SELECT 's-b000002', 'fp_index', CAST(COUNT(DISTINCT fp) AS BIGINT)
+    FROM fp
+    UNION ALL
+    SELECT 'replay', 'days', CAST(4 AS BIGINT)
+    """
+
+
+@register(
+    "versioned_store_stream_ingest_counts",
+    oracle=_store_stream_ingest_counts_oracle(),
+    category="versioned",
+)
+def versioned_store_stream_ingest_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS curation graded end to end (r18 verdict #1): the
+    batch form of ``streaming/store_ingest.py`` — the exact
+    ``foreachBatch`` handler ``make_store_committer`` returns, driven
+    over three deterministic micro-batch slices of the incremental
+    corpus region INCLUDING one replayed batch id. Graded claims:
+    (a) each trigger lands as one atomic pointer append whose pinned
+    ``as_of`` read stays bit-consistent with a from-raw DuckDB
+    recomputation at that trigger's corpus prefix (per-trigger pins,
+    cross-engine); (b) the replayed id is acknowledged WITHOUT
+    writing — the pointer log itself is the exactly-once ledger, so
+    the committed day list stays at backfill + 3 (the ``replay/days``
+    row — a replay that wrote again, or failed instead of
+    deduplicating, hash-mismatches). ``gates=True``: every trigger
+    runs the REAL incremental gate pipeline against the
+    previous-commit state, the continuous-curation shape itself, not
+    a simplified ingest. Only the gate-independent fp_index is
+    emitted (indexes every ingested doc — the
+    ``versioned_state_store_counts`` rationale); survivor-dependent
+    relations and the per-trigger pack manifest stay pytest-pinned
+    (``test_streaming_atomic_cycle_publishes_manifest_per_trigger``).
+    Registered in r19 as a slack-neutral swap: donor
+    ``update_set_where`` deregistered, its oracle graded verbatim via
+    ``update_set_where_mor`` and its own DuckDB twin pytest-pinned
+    since r18 (``test_update_set_where_matches_duckdb_twin``)."""
+    import os
+    import tempfile
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        CURATE_DEMO_SPLIT_PCT,
+        ensure_curate_state,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table as _lt
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        make_store_committer,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    state, t = ensure_curate_state(spark, sf_dir)
+    docs = _lt(spark, sf_dir, "documents")
+    q1 = CURATE_DEMO_SPLIT_PCT + (1 - CURATE_DEMO_SPLIT_PCT) / 3
+    q2 = CURATE_DEMO_SPLIT_PCT + 2 * (1 - CURATE_DEMO_SPLIT_PCT) / 3
+    cuts = docs.agg(
+        F.expr(f"CAST(percentile(doc_id, {q1!r}) AS BIGINT)").alias("a"),
+        F.expr(f"CAST(percentile(doc_id, {q2!r}) AS BIGINT)").alias("b"),
+    ).collect()[0]
+    a, b = int(cuts["a"]), int(cuts["b"])
+    slices = [
+        docs.filter((F.col("doc_id") >= t) & (F.col("doc_id") < a)),
+        docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b)),
+        docs.filter(F.col("doc_id") >= b),
+    ]
+
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="store_stream_ingest_"), "store"
+    )
+    store = CurateStateStore(spark, root)
+    try:
+        store.commit_backfill(state, day="day0")
+        committer = make_store_committer(store, stream_id="s")
+        committer(slices[0], 0)
+        committer(slices[1], 1)
+        committer(slices[0], 0)  # restart replay: must dedup, not write
+        committer(slices[2], 2)
+        rows = []
+        for k in range(3):
+            sk, _ = store.read_state(as_of=f"s-b{k:06d}")
+            rows.append((f"s-b{k:06d}", "fp_index", sk.fp_index.count()))
+        rows.append(("replay", "days", len(store.days())))
         return spark.createDataFrame(
             rows, "day string, relation string, cnt long"
         )
