@@ -237,6 +237,12 @@ PARALLEL_QUERIES = [
     "dedup_minhash_lsh",
     "agg_pricing_summary",
     "join_sortmerge_facts",
+    # r19 (r18 verdict #4): the two driver-window >2×-vs-r1 watch
+    # queries. join_sortmerge_facts was already here; agg_groupby_count
+    # joins so both queries' multi/single ratios land in the artifact —
+    # per-query evidence that the single-file floor is row-group-bound
+    # (one task) rather than a plan regression.
+    "agg_groupby_count",
     "sim_ivf_pq_topk",
     "sim_batch_topk",
     "tpch_q9_profit_by_nation",
@@ -262,6 +268,19 @@ CANARY_QUERY = "scan_projection_filter"
 CANARY_R1_FLOOR = 0.18  # committed BENCH_r01 floor for the canary, sec
 CANARY_HOT_RATIO = 1.5
 
+# Median-based contention stamp (r18 verdict "What's wrong" #1): the
+# min-based `contended` flag guards a MEDIAN-based headline, so a
+# window whose minima are quiet but whose medians are hot — the r18
+# driver run: canary min-ratio 1.14, mc 1.29, untouched trivial
+# medians +27-68% — self-reported contended:false and needed judge
+# forensics. A second verdict computed from the PASS MEDIANS (scan
+# canary and mc canary both) plus a hot-pass count lets such a window
+# self-identify in the committed artifact. 1.25 sits between the
+# quiet records (canary ≤1.05, mc ≤1.05) and every adjudicated-hot
+# window (mc 1.29+), below the min-flag's 1.5 because a median at
+# 1.25 means sustained elevation, not one bad pass.
+MEDIAN_HOT_RATIO = 1.25
+
 # Multi-core contention canary (r11): the scan canary is a SINGLE-task
 # query, so a neighbor VM stealing cores is invisible to it — the r11
 # bench sessions read canary 0.94 while every 32-core stage ran a
@@ -272,6 +291,42 @@ CANARY_HOT_RATIO = 1.5
 # stages actually experienced. Floor established 2026-08-15 on a
 # measured-quiet window (6 passes, 0.233-0.28s spread).
 MC_CANARY_FLOOR = 0.23
+
+
+def contention_verdict(
+    canary_passes: list, mc_passes: list | None = None
+) -> dict:
+    """Both contention stamps from the raw per-pass canary timings:
+    the min-based ``contended`` (one quiet pass anywhere in the window
+    clears it — the retry-policy flag) and the median-based
+    ``contended_median`` (a window hot for MOST passes trips it even
+    when one pass was quiet — the flag matching the median headline).
+    Pure function of the pass lists so the logic is pytest-pinnable."""
+    import statistics
+
+    min_ratio = min(canary_passes) / CANARY_R1_FLOOR
+    med_ratio = statistics.median(canary_passes) / CANARY_R1_FLOOR
+    hot_passes = sum(
+        1
+        for t in canary_passes
+        if t / CANARY_R1_FLOOR > CANARY_HOT_RATIO
+    )
+    mc_min = mc_med = None
+    if mc_passes:
+        mc_min = min(mc_passes) / MC_CANARY_FLOOR
+        mc_med = statistics.median(mc_passes) / MC_CANARY_FLOOR
+    return {
+        "contended": min_ratio > CANARY_HOT_RATIO,
+        "contended_median": med_ratio > MEDIAN_HOT_RATIO
+        or (mc_med is not None and mc_med > MEDIAN_HOT_RATIO),
+        "canary_ratio": round(min_ratio, 2),
+        "canary_median_ratio": round(med_ratio, 2),
+        "canary_hot_passes": hot_passes,
+        "canary_mc_ratio": round(mc_min, 2) if mc_min is not None else None,
+        "canary_mc_median_ratio": round(mc_med, 2)
+        if mc_med is not None
+        else None,
+    }
 
 
 def run_mc_canary(spark) -> float:
@@ -681,7 +736,6 @@ def main() -> None:
         # one extra pass gives every query a shot at a quiet floor
         timed_pass()
         hot = min(canary) > CANARY_HOT_RATIO * CANARY_R1_FLOOR
-    canary_ratio = round(min(canary) / CANARY_R1_FLOOR, 2)
 
     import statistics
 
@@ -704,14 +758,10 @@ def main() -> None:
             probes[key] = {"error": f"{type(exc).__name__}: {exc}"}
 
     contention = {
-        "contended": hot,
-        "canary_ratio": canary_ratio,
+        **contention_verdict(canary, canary_mc),
         "canary_query": CANARY_QUERY,
         "canary_passes": [round(t, 3) for t in canary],
-        # multi-core stamp: what the 32-task stages experienced
-        "canary_mc_ratio": round(min(canary_mc) / MC_CANARY_FLOOR, 2)
-        if canary_mc
-        else None,
+        # multi-core passes: what the 32-task stages experienced
         "canary_mc_passes": [round(t, 3) for t in canary_mc],
     }
     detail_file = _write_detail(timings, minima, total, sf, probes, contention)
@@ -733,8 +783,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "min_total": round(sum(minima.values()), 3),
-        "contended": hot,
-        "canary_ratio": canary_ratio,
+        "contended": contention["contended"],
+        "contended_median": contention["contended_median"],
+        "canary_ratio": contention["canary_ratio"],
+        "canary_median_ratio": contention["canary_median_ratio"],
         "canary_mc_ratio": contention["canary_mc_ratio"],
         "scaling_probe": _ratios(probes["scaling_probe"]),
         "scaling_probe_30x": _ratios(probes["scaling_probe_30x"]),

@@ -456,6 +456,52 @@ def test_bench_probe_sets_are_bench_queries(registry):
     assert bench.CANARY_QUERY in BENCH_EXCHANGE_SNAPSHOT
 
 
+def test_contention_verdict_median_stamp():
+    """The bench artifact's contention flags (r18 verdict "What's
+    wrong" #1): the min-based ``contended`` needs only ONE quiet pass
+    to clear, so it must stay blind to sustained elevation — that is
+    the median stamp's job. A window shaped like the r18 driver run
+    (quiet minima, hot medians) must self-identify via
+    ``contended_median`` on either canary."""
+    import bench
+
+    f, mf = bench.CANARY_R1_FLOOR, bench.MC_CANARY_FLOOR
+
+    # quiet window (the committed r18 record's shape): both flags off
+    v = bench.contention_verdict(
+        [0.95 * f, 1.0 * f, 1.05 * f], [0.5 * mf, 0.9 * mf, 1.0 * mf]
+    )
+    assert not v["contended"] and not v["contended_median"]
+    assert v["canary_hot_passes"] == 0
+
+    # r18-driver shape: min-ratio 1.1 (quiet) but sustained elevation
+    # — the mc canary's MEDIAN trips the new stamp, min flag stays off
+    v = bench.contention_verdict(
+        [1.1 * f, 1.4 * f, 1.45 * f], [1.29 * mf, 1.4 * mf, 1.5 * mf]
+    )
+    assert not v["contended"] and v["contended_median"]
+    assert v["canary_mc_median_ratio"] == 1.4
+
+    # single-canary sustained elevation trips it without mc passes
+    v = bench.contention_verdict([1.2 * f, 1.3 * f, 1.35 * f], [])
+    assert not v["contended"] and v["contended_median"]
+    assert v["canary_mc_ratio"] is None
+
+    # one hot pass in an otherwise-quiet window: neither flag (the
+    # median headline is robust to a single outlier pass), but the
+    # hot-pass count records it
+    v = bench.contention_verdict([0.95 * f, 5.0 * f, 1.0 * f], [])
+    assert not v["contended"] and not v["contended_median"]
+    assert v["canary_hot_passes"] == 1
+
+    # uniformly hot window: both flags, every pass counted
+    v = bench.contention_verdict(
+        [1.6 * f, 1.7 * f, 1.8 * f], [1.6 * mf, 1.7 * mf, 1.8 * mf]
+    )
+    assert v["contended"] and v["contended_median"]
+    assert v["canary_hot_passes"] == 3
+
+
 def test_bloom_prefilter_broadcasts_bitset(spark, registry):
     """The Bloom set-bit relation must reach the batch probe as a
     BROADCAST (it saturates at m rows at any corpus size); the batch

@@ -36,6 +36,16 @@ def main() -> None:
     )
     if skipped:
         print(f"skipped (base floor 0): {skipped}")
+    # ADVICE r18: an empty intersection (wrong base file, renamed
+    # queries) would StatisticsError on median([]) and ZeroDivision on
+    # the floor-sum ratio — fail with a message instead
+    if not common:
+        print(
+            f"no comparable queries: run={sys.argv[1]} and "
+            f"base={base_path} share no names with a nonzero base "
+            "floor — wrong base file?"
+        )
+        raise SystemExit(2)
     ratios = {q: run_min[q] / base_min[q] for q in common}
     med = statistics.median(ratios.values())
     fs_run = sum(run_min[q] for q in common)
