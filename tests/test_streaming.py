@@ -1206,3 +1206,65 @@ def test_streaming_store_ingest_restart_and_crash_replay(
     assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
     rep = store.maintain()
     assert store.days() == ["day0", "s1-b000000", "s1-b000001"]
+
+
+def test_stream_day_labels_survive_checkpoint_relocation(
+    spark, tmp_path, sf_dir
+):
+    """r19 (r18 verdict "What's wrong" #3): day labels derive from the
+    checkpoint dir's sanitized BASENAME, never the full path — so a
+    checkpoint directory remounted under a different parent after a
+    restart still resolves replayed batch ids to their committed day
+    labels (acknowledged, not re-ingested as new days)."""
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        _stream_token,
+        make_store_committer,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old_ckpt = str(tmp_path / "run1" / "ckpt")
+    new_ckpt = str(tmp_path / "relocated-mount" / "ckpt")
+    assert _stream_token(old_ckpt) == _stream_token(new_ckpt) == "ckpt"
+    assert _stream_token(old_ckpt + "/") == "ckpt"  # trailing slash
+    # labels are branch-name material: path separators and shell
+    # metacharacters sanitize away, and the degenerate root falls back
+    assert _stream_token("/var/ck pt@2/") == "ck-pt-2"
+    assert _stream_token("/") == "stream"
+
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.streaming.quality import (
+        batch_trained_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c0, c1 = ids[int(len(ids) * 0.8)], ids[int(len(ids) * 0.9)]
+    old = docs.filter(F.col("doc_id") < c0)
+    b0 = docs.filter((F.col("doc_id") >= c0) & (F.col("doc_id") < c1))
+    b1 = docs.filter(F.col("doc_id") >= c1)
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    w2, keep_micro = batch_trained_filter(spark, sf_dir)
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    commit = make_store_committer(
+        store, _stream_token(old_ckpt), gates=False
+    )
+    commit(b0, 0)
+    assert store.days() == ["day0", "ckpt-b000000"]
+
+    # restart with the checkpoint relocated: same token, so the
+    # replayed batch id hits the pointer ledger and no-ops
+    commit2 = make_store_committer(
+        store, _stream_token(new_ckpt), gates=False
+    )
+    commit2(b0, 0)
+    assert store.days() == ["day0", "ckpt-b000000"]
+    # and genuinely new batches continue the same label series
+    commit2(b1, 1)
+    assert store.days() == ["day0", "ckpt-b000000", "ckpt-b000001"]
