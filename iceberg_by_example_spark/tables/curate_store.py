@@ -69,6 +69,10 @@ _RELATIONS = (
 )
 _META_RELATION = "_meta"
 _COMPACT_LABEL = re.compile(r"compact\d+")
+# target output file size for compact()'s identity-packed index
+# rewrite — the standard binpack target; at 100 TB this is what turns
+# O(triggers) head files into O(index bytes / 128 MB)
+_COMPACT_TARGET_FILE_BYTES = 128 << 20
 
 # the standing relations the daily gates JOIN against (not just
 # aggregate): relation -> (bucket column, distinct-at-write). These
@@ -865,13 +869,22 @@ class CurateStateStore:
         (relation ids carried forward for the untouched postings/key
         indexes, meta unchanged, day label ``compact<seq>``).
 
+        The append-only postings/key indexes (``shingle_index``,
+        ``winnow_index``) join the pass with IDENTITY aggregation
+        (r19): their rows never duplicate, but per-trigger continuous
+        ingest appends one small file per commit, so the physical
+        rewrite — history relabeled under this compaction's day label,
+        written back through size-bounded input splits — is what
+        bounds the head's file count at O(index bytes / split size)
+        instead of O(triggers).
+
         Correctness is definitional: ``read_state`` aggregates partials
-        lazily, so replacing them with their aggregate changes no
-        relation's row set — pinned by pytest (state equal before and
-        after, history still time-travels to pre-compaction days).
-        Cost is O(index) READ once, by choice, exactly like
-        ``rewrite_data_files`` — a periodic maintenance job, never on
-        the daily commit path."""
+        lazily and drops ``day``, so replacing relations with their
+        aggregate (or identity) changes no relation's row set — pinned
+        by pytest (state equal before and after, history still
+        time-travels to pre-compaction days). Cost is O(index) READ
+        once, by choice, exactly like ``rewrite_data_files`` — a
+        periodic maintenance job, never on the daily commit path."""
         log_head, log_rows = self._log_state()
         self.heal(log_rows, discard_unpublished=False)
         snaps, meta = self._resolve(None, None, rows=log_rows)
@@ -889,7 +902,25 @@ class CurateStateStore:
             ),
             "fp_index": lambda df: df.distinct(),
             "bench_vocab": lambda df: df.distinct(),
+            # append-only postings/key indexes (r19): rows are already
+            # unique — a (key, doc) posting lands exactly once, on its
+            # ingest day — so their compacted form is the IDENTITY and
+            # the rewrite's value is purely PHYSICAL. Under per-trigger
+            # continuous ingest (streaming/store_ingest.py) every
+            # commit appends one small file per index under its own
+            # day-partition label, so the head accumulates O(triggers)
+            # files — the classic streaming-lakehouse small-files
+            # failure. Relabeling history to this compaction's single
+            # day label lets the replace publish a few bin-packed
+            # files instead. Safe because the day column is only ever
+            # consumed for the IN-FLIGHT day's commit audits
+            # (``day_slice``); every standing read drops it, and
+            # pinned pre-compaction days still time-travel to their
+            # original partitions until retention truncates them.
+            "shingle_index": lambda df: df,
+            "winnow_index": lambda df: df,
         }
+        identity_pack = {"shingle_index", "winnow_index"}
         new_snaps = dict(snaps)
         compacted: list[str] = []
         touched: list[VersionedTable] = []
@@ -899,10 +930,31 @@ class CurateStateStore:
                     continue
                 t = self._table(name)
                 cur = t.read(snapshot_id=snaps[name]).drop("day")
+                out = agg(cur)
+                if name in identity_pack:
+                    # the aggregate relations bin-pack through their
+                    # groupBy shuffle; the identity ones must pack
+                    # explicitly or the replace reproduces the input's
+                    # one-file-per-trigger layout. coalesce (narrow,
+                    # no shuffle — the compaction read itself runs at
+                    # the packed width, the binpack stance) sized from
+                    # the pinned snapshot's actual bytes.
+                    pinned = {
+                        s.snapshot_id: s for s in t._snapshots()
+                    }[snaps[name]]
+                    total = sum(
+                        os.path.getsize(os.path.join(t.location, f))
+                        for f in pinned.files
+                        if os.path.exists(os.path.join(t.location, f))
+                    )
+                    n_out = max(
+                        1, -(-total // _COMPACT_TARGET_FILE_BYTES)
+                    )
+                    out = out.coalesce(n_out)
                 t.create_branch(branch, from_branch=MAIN)
                 touched.append(t)
                 snap = t.replace(
-                    agg(cur).select("*", F.lit(day).alias("day")),
+                    out.select("*", F.lit(day).alias("day")),
                     branch=branch,
                 )
                 new_snaps[name] = snap.snapshot_id

@@ -2277,3 +2277,53 @@ def test_relocated_store_pair_adopts_ownership(spark, tmp_path):
     s3 = CurateStateStore(spark, str(tmp_path / "other"))
     with pytest.raises(ValueError, match="not attached"):
         s3.adopt_attached("pack_manifest", new_loc)
+
+
+def test_compact_bounds_append_index_file_counts(
+    spark, corpus, tmp_path
+):
+    """r19: under per-trigger continuous ingest the append-only
+    postings/key indexes accumulate one small file per commit —
+    ``compact()`` now rewrites them too (identity rows, relabeled
+    history, size-bounded splits), so the HEAD's file count drops to
+    O(bytes/split) instead of O(triggers) while the resolved state
+    stays bit-identical and pre-compaction days still time-travel."""
+    from iceberg_by_example_spark.streaming.store_ingest import (
+        make_store_committer,
+    )
+    from iceberg_by_example_spark.operators.pipeline import (
+        build_curate_state,
+    )
+    from iceberg_by_example_spark.tables.curate_store import (
+        CurateStateStore,
+    )
+
+    old, days = corpus["old"], corpus["days"]
+    w2, keep_micro = corpus["w2"], corpus["keep_micro"]
+
+    store = CurateStateStore(spark, str(tmp_path / "store"))
+    store.commit_backfill(
+        build_curate_state(spark, old, w2, keep_micro), day="day0"
+    )
+    commit = make_store_committer(store, "s", gates=False)
+    for i, batch in enumerate(days):
+        commit(batch, i)
+    assert len(store.days()) == 4
+
+    def head_files(name):
+        return len(store._table(name)._current().files)
+
+    pre = {n: head_files(n) for n in ("shingle_index", "winnow_index")}
+    # one appended file per trigger on top of the backfill
+    assert all(c >= 4 for c in pre.values()), pre
+
+    before = _state_rows(store.read_state()[0])
+    t1_before = _state_rows(store.read_state(as_of="s-b000000")[0])
+    rep = store.compact()
+    assert {"shingle_index", "winnow_index"} <= set(rep["compacted"])
+
+    post = {n: head_files(n) for n in ("shingle_index", "winnow_index")}
+    assert all(post[n] < pre[n] for n in post), (pre, post)
+    # resolved state identical; per-trigger pinned reads intact
+    assert _state_rows(store.read_state()[0]) == before
+    assert _state_rows(store.read_state(as_of="s-b000000")[0]) == t1_before
