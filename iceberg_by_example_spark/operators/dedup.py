@@ -1395,9 +1395,18 @@ def span_pairs(docs: DataFrame) -> DataFrame:
     """The sampled span-index pairing over an arbitrary ``documents``
     relation (doc_id, text) — the DataFrame core of
     ``dedup_span_ngram``, reusable as tier 1 of the two-tier substring
-    strategy (``dedup_two_tier_substring``)."""
-    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= SPAN_TOKENS
+    strategy (``dedup_two_tier_substring``).
+
+    Repartition-before-tokenize (the ``_shingle_sets`` policy — see
+    ``exact_substring_stats`` for the rationale): the per-position
+    span hashing is the CPU stage, so it must run at cluster
+    parallelism, not the scan's file count."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= SPAN_TOKENS)
     )
     win = tok.select(
         "doc_id",
@@ -1448,9 +1457,19 @@ def winnow_keys(docs: DataFrame) -> DataFrame:
     (transform + slice + array_min — a narrow map, no shuffle, no
     per-position explode): only the selected ~tokens/WINNOW_W keys
     ever leave the doc row. Docs with fewer than WINNOW_W span hashes
-    winnow their single clamped window (at least one key per doc)."""
-    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= SPAN_TOKENS
+    winnow their single clamped window (at least one key per doc).
+
+    Repartition-before-tokenize (the ``_shingle_sets`` policy — see
+    ``exact_substring_stats``): the per-position md5 + per-window
+    array_min is the whole cost of this operator and is embarrassingly
+    parallel per doc; one narrow (doc_id, text) exchange buys it the
+    cluster's full width."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= SPAN_TOKENS)
     )
     hs = tok.select(
         "doc_id",
@@ -2387,9 +2406,23 @@ def exact_substring_stats(docs: DataFrame) -> DataFrame:
     ``documents`` relation (doc_id, text) — the DataFrame core of
     ``dedup_exact_substring``, reusable as tier 2 of the two-tier
     strategy (``dedup_two_tier_substring``): same plan whether its
-    input is the whole corpus or the flagged subset."""
-    tok = docs.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= SUB_TOKENS
+    input is the whole corpus or the flagged subset.
+
+    The repartition before tokenizing is the ``_shingle_sets``
+    policy applied to the heaviest map stage in the repo (an md5 per
+    token POSITION, SPAN_STRIDE× the shingle family's hash count): a
+    document corpus often arrives as few large files, and projected
+    before the exchange the window hashing would run at the scan's
+    parallelism; after it, on every core. The exchange carries the
+    raw (doc_id, text) rows exactly once, and the explicit count pins
+    it against AQE's size-based coalescing (the shuffled batch is
+    few-MB but the stage is CPU-bound, not size-bound)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= SUB_TOKENS)
     )
     win = tok.select(
         "doc_id",

@@ -693,32 +693,47 @@ def pipeline_quality_lr_step(
     strictly below step-1's on the training corpus)."""
     from iceberg_by_example_spark.util import detach
 
-    x = _lr_feature_frame(spark, sf_dir).persist()
-    try:
-        n = x.agg(F.count(F.lit(1)).alias("n"))
-        return detach(
-            _lr_weights(x, n).select(
-                F.col("b").alias("bucket"), "w1_micro", "w2_micro"
-            )
+    # detach over persist for the feature pin (r19, measured): the
+    # features column is array<int>, and the columnar cache's encode/
+    # decode of array cells cost more than the passes it served
+    # (persist-build 0.44s + 1.87s/pass vs localCheckpoint 0.31s +
+    # 1.12s/pass at sf0.1) — the checkpoint pins the UnsafeRows
+    # as-is. Blocks are reclaimed by the session's ContextCleaner /
+    # the bench's drop_pinned_blocks, the established detach contract.
+    x = detach(_lr_feature_frame(spark, sf_dir))
+    n = x.agg(F.count(F.lit(1)).alias("n"))
+    return detach(
+        _lr_weights(x, n).select(
+            F.col("b").alias("bucket"), "w1_micro", "w2_micro"
         )
-    finally:
-        x.unpersist()
+    )
 
 
 def _lr_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, y, features) — the labeled hashed-feature projection
     both the trainer and the scorer pass over; callers persist it for
-    the duration of their GD/scoring passes."""
+    the duration of their GD/scoring passes.
+
+    r19 shape: the label rides the featurizer as a carry column (one
+    projection, no label↔features join — the join paid an exchange
+    per side for columns born on the same row), and the raw
+    (doc_id, y, text) rows repartition BEFORE the md5-per-token
+    featurization (the ``_shingle_sets`` policy: the featurize stage
+    is CPU-bound and must run at cluster width, not the scan's file
+    count; the explicit count pins the exchange against AQE's
+    size-based coalescing)."""
     from iceberg_by_example_spark.operators.text import (
-        hashing_vectorizer_arrays,
+        hashing_feature_frame,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    feats = hashing_vectorizer_arrays(spark, sf_dir)
-    return d.select(
+    n = spark.sparkContext.defaultParallelism
+    pre = d.select(
         "doc_id",
         (F.col("lang") == LR_LABEL_LANG).cast("long").alias("y"),
-    ).join(feats, "doc_id")
+        "text",
+    ).repartition(n, "doc_id")
+    return hashing_feature_frame(pre, carry=("y",))
 
 
 def _lr_dot_micro() -> F.Column:
@@ -742,9 +757,14 @@ def _lr_sigmoid_micro(z: F.Column) -> F.Column:
 
 
 def _lr_weights(x: DataFrame, n: DataFrame) -> DataFrame:
-    """Two full-batch GD steps over the persisted feature frame
+    """Two full-batch GD steps over the pinned feature frame
     ``x(doc_id, y, features)``; returns the DIM-row weight table
-    (b, w1_micro, w2_micro). ``n`` is the 1-row corpus count."""
+    (b, w1_micro, w2_micro). ``n`` is the 1-row corpus count.
+
+    (r19 note: a DIM-column single-aggregate form — sum(r *
+    features[b]) per bucket, no posexplode — was prototyped and
+    measured interleaved against this form at sf0.1: equal within
+    noise and bit-identical, so the explode form stays.)"""
     # step 1 from w = 0: sigma(0) = 1/2 exactly, residual is pure
     # integer — no transcendental anywhere in this pass
     g0 = (
@@ -841,7 +861,10 @@ def pipeline_quality_score(
     and sf0.1 (PROBES_r13)."""
     from iceberg_by_example_spark.util import detach
 
-    x = _lr_feature_frame(spark, sf_dir).persist()
+    # detach over persist for the array-typed feature pin — see
+    # pipeline_quality_lr_step's comment (measured: the columnar
+    # cache's array encode/decode dominated the passes it served)
+    x = detach(_lr_feature_frame(spark, sf_dir))
     scored = None
     try:
         if weights is None:
@@ -909,7 +932,6 @@ def pipeline_quality_score(
     finally:
         if scored is not None:
             scored.unpersist()
-        x.unpersist()
 
 
 # ---------------------------------------------------------------------------

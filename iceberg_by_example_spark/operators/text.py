@@ -537,17 +537,25 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASHING_DIM = 64
 
 
-def hashing_feature_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, features: array<int>) over ANY documents-shaped frame
-    — batch or streaming — so the trainer, the batch scorer, and the
-    online stream scorer all featurize through the SAME expressions
-    and can never drift."""
+def hashing_feature_frame(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [carry...,] features: array<int>) over ANY
+    documents-shaped frame — batch or streaming — so the trainer, the
+    batch scorer, and the online stream scorer all featurize through
+    the SAME expressions and can never drift. ``carry`` names extra
+    columns to ride along (e.g. the trainer's label) — free here,
+    where a downstream join back to the corpus would cost an exchange
+    per side (the ``_shingle_sets`` carry idiom). Placement (e.g. a
+    repartition before the md5-per-token stage) is the CALLER's
+    choice: the batch trainer spreads its corpus, the stream scorer
+    must not reshuffle its micro-batches."""
     from iceberg_by_example_spark.operators.dedup import _md5_hash60
 
     buckets = F.transform(
         tokens("text"), lambda t: _md5_hash60(t) % HASHING_DIM
     )
-    tok = docs.select("doc_id", buckets.alias("b"))
+    tok = docs.select("doc_id", *carry, buckets.alias("b"))
 
     def _eq(k: int):
         # single-arg lambda: a 2-arg function would make F.filter pass
@@ -557,7 +565,7 @@ def hashing_feature_frame(docs: DataFrame) -> DataFrame:
     features = F.array(
         *[F.size(F.filter("b", _eq(k))) for k in range(HASHING_DIM)]
     )
-    return tok.select("doc_id", features.alias("features"))
+    return tok.select("doc_id", *carry, features.alias("features"))
 
 
 def hashing_vectorizer_arrays(
@@ -677,20 +685,33 @@ def text_lm_rare_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards like any dimension and the join broadcasts when the
     vocabulary fits — nothing is ever pairwise."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        tokens("text").alias("t"),
-        (
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                2,
-            )
-            < _TRAIN_BUCKET
-        ).alias("is_train"),
-    ).filter(F.size("t") >= TRI_N)
+    # repartition-before-tokenize (the _shingle_sets policy): the
+    # trigram construction (an array_join per token position) is the
+    # CPU stage and both the model and scoring passes re-derive it
+    # from this subtree — projected before the exchange it would run
+    # at the scan's (possibly single-file) parallelism
+    n = spark.sparkContext.defaultParallelism
+    tok = (
+        d.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select(
+            "doc_id",
+            tokens("text").alias("t"),
+            (
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lm:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    2,
+                )
+                < _TRAIN_BUCKET
+            ).alias("is_train"),
+        )
+        .filter(F.size("t") >= TRI_N)
+    )
     tri = tok.select(
         "doc_id",
         "is_train",
@@ -817,20 +838,33 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``set_intersect_all``); ``_LM_PERPLEXITY_ORACLE`` is the DuckDB
     oracle, twin-EQUAL at sf0.001 (pytest) and sf0.1 (PROBES_r11+)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        tokens("text").alias("t"),
-        (
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                2,
-            )
-            < _TRAIN_BUCKET
-        ).alias("is_train"),
-    ).filter(F.size("t") >= TRI_N)
+    # repartition-before-tokenize (the _shingle_sets policy): the
+    # trigram construction (an array_join per token position) is the
+    # CPU stage and both the model and scoring passes re-derive it
+    # from this subtree — projected before the exchange it would run
+    # at the scan's (possibly single-file) parallelism
+    n = spark.sparkContext.defaultParallelism
+    tok = (
+        d.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select(
+            "doc_id",
+            tokens("text").alias("t"),
+            (
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lm:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    2,
+                )
+                < _TRAIN_BUCKET
+            ).alias("is_train"),
+        )
+        .filter(F.size("t") >= TRI_N)
+    )
     tri = tok.select(
         "doc_id",
         "is_train",

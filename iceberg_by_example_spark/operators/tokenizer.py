@@ -193,17 +193,39 @@ def bpe_tokenize_stats(
     ``dedup_two_tier_substring`` policy).
     """
     spark = docs.sparkSession
-    merges, head = bpe_learn_from_corpus(docs, n_merges, vocab_cap)
+    # ONE corpus tokenize pass (r19): the per-doc word counts are the
+    # superset the vocabulary pass needs — aggregate the head FROM the
+    # persisted (doc_id, w, c) relation instead of re-running the
+    # regexp+explode scan a second time (bpe_learn_from_corpus keeps
+    # the two-pass shape for callers that never build per-doc stats).
+    # The head is bit-identical: SUM(per-doc counts) = corpus counts,
+    # same injective (freq DESC, w ASC) cap. The raw rows repartition
+    # BEFORE the regexp/explode (the _shingle_sets policy: tokenize is
+    # the CPU stage and must run at cluster width, not the scan's
+    # file count).
+    n = spark.sparkContext.defaultParallelism
+    wc = (
+        docs.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", F.explode(_words_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    head = [
+        (r["w"], r["freq"])
+        for r in wc.groupBy("w")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(vocab_cap)
+        .collect()
+    ]
+    merges = bpe_train(head, n_merges)
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     enc_rows = [(w, len(bpe_encode(w, ranks))) for w, _ in head]
     enc = spark.createDataFrame(enc_rows, "w string, n_pieces bigint")
 
-    wc = (
-        docs.select("doc_id", F.explode(_words_col()).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
     # pin-and-release (r12 ADVICE #3): `joined` is the corpus pass
     # (explode + groupBy + head join) and fans into THREE consumers
     # (inv, distinct-OOV, oov join-back) — persist it for the fan-out
@@ -256,6 +278,7 @@ def bpe_tokenize_stats(
         )
     finally:
         joined.unpersist()
+        wc.unpersist()
 
 
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,16 +503,31 @@ def unigram_tokenize_stats(
     OOV words decode ONCE per distinct word in an Arrow-batched
     pandas UDF running the same integer Viterbi."""
     spark = docs.sparkSession
-    scores, _lls, head = unigram_learn_from_corpus(docs, vocab_cap, **kw)
+    # ONE corpus tokenize pass + repartition-before-tokenize — the
+    # bpe_tokenize_stats r19 shape (see its comment): head aggregated
+    # from the persisted per-doc counts, bit-identical vocabulary.
+    n = spark.sparkContext.defaultParallelism
+    wc = (
+        docs.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", F.explode(_words_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    head = [
+        (r["w"], r["freq"])
+        for r in wc.groupBy("w")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(vocab_cap)
+        .collect()
+    ]
+    scores, _lls = unigram_train(head, **kw)
 
     enc_rows = [(w, len(unigram_encode(w, scores))) for w, _ in head]
     enc = spark.createDataFrame(enc_rows, "w string, n_pieces bigint")
 
-    wc = (
-        docs.select("doc_id", F.explode(_words_col()).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
     # pin-and-release (r12 ADVICE #3): same three-consumer fan-out as
     # bpe_tokenize_stats — persist the corpus pass, release after the
     # detached result materializes.
@@ -538,6 +576,7 @@ def unigram_tokenize_stats(
         )
     finally:
         joined.unpersist()
+        wc.unpersist()
 
 
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

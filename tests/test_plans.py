@@ -272,8 +272,14 @@ BENCH_EXCHANGE_SNAPSHOT = {
     "dedup_incremental_winnow": 0,
     "dedup_incremental_minhash": 1,  # source rides the sig projection (carry)
     "dedup_minhash_lsh": 1,
-    "dedup_span_ngram": 5,
-    "dedup_span_winnow": 5,  # same census/pairing shape; selection is
+    # r19: +1 repartition-before-tokenize (the _shingle_sets policy —
+    # the per-position span hashing now runs at cluster width instead
+    # of the scan's file count), NET -1: with both pairing sides
+    # derived from the identical repartitioned subtree, Catalyst now
+    # reuses the spans exchange across the a/b sides (ReusedExchange)
+    # where the un-repartitioned lineage planned two.
+    "dedup_span_ngram": 4,
+    "dedup_span_winnow": 4,  # same census/pairing shape; selection is
     # map-side (inside the token array), the index it shuffles is the
     # winnowed ~1/WINNOW_W subset
     "dedup_two_tier_substring": 2,  # post-pin, like exact_substring:
