@@ -343,8 +343,14 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator demonstrates; the codec is the stub above
     (``multimodal_decode_real`` exercises the genuine BMP path)."""
     d = load_table(spark, sf_dir, "documents")
-    binary_df = d.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    # repartition before the Python stage (the _shingle_sets policy,
+    # §"partition parallelism" is literally this operator's demo): a
+    # mapInPandas over a single-file scan runs ONE Python worker; the
+    # explicit spread fans the decode across every core's worker
+    n = spark.sparkContext.defaultParallelism
+    binary_df = (
+        d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .repartition(n, "doc_id")
     )
     decoded = binary_df.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
     return (

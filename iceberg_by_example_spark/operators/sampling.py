@@ -446,20 +446,43 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan at production sizes."""
     d = load_table(spark, sf_dir, "documents")
     from iceberg_by_example_spark.operators.dedup import _md5_hash60
+    from iceberg_by_example_spark.util import detach
 
-    feat = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split("text", " ")).alias("term"),
-    ).filter(F.col("term") != "").select(
-        "doc_id",
-        "lang",
-        (_md5_hash60(F.col("term")) % DSIR_BUCKETS).alias("b"),
+    # ONE md5-per-token pass (r19): feat previously fed counts AND
+    # docb unpinned, so the explode + hash ran twice — and at the
+    # scan's (possibly single-file) parallelism. The raw rows now
+    # repartition before the explode (the _shingle_sets policy) and
+    # the per-(doc, bucket) counts are pinned once; the bucket model
+    # aggregates FROM them (SUM of per-doc counts = corpus counts —
+    # bit-identical, order-free int64), and lang rides the groupBy
+    # (doc_id determines lang) so the final corpus join disappears.
+    n = spark.sparkContext.defaultParallelism
+    feat = (
+        d.select("doc_id", "lang", "text")
+        .repartition(n, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (_md5_hash60(F.col("term")) % DSIR_BUCKETS).alias("b"),
+        )
     )
-    counts = feat.groupBy("b").agg(
-        F.count("*").alias("rc"),
-        F.count(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, True)
+    docb = detach(
+        feat.groupBy("doc_id", "lang", "b").agg(
+            F.count("*").alias("c")
+        )
+    )
+    counts = docb.groupBy("b").agg(
+        F.sum("c").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
         ).alias("tc"),
     )
     tots = counts.agg(
@@ -488,17 +511,14 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lw"),
     )
-    docb = feat.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    w = (
+    return (
         docb.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("c") * F.col("lw")).alias("dsir_weight"),
             F.sum("c").alias("n_tokens"),
         )
-    )
-    return d.select("doc_id", "lang").join(w, "doc_id").select(
-        "doc_id", "lang", "dsir_weight", "n_tokens"
+        .select("doc_id", "lang", "dsir_weight", "n_tokens")
     )
 
 

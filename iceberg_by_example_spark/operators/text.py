@@ -1114,11 +1114,23 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     before top-k — shared by ``text_bm25_topk`` and the RRF hybrid
     fusion in operators/similarity.py."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE token explode (r19): tf and dl previously each re-ran the
+    # corpus explode (unpinned, and at the scan's single-file
+    # parallelism). The raw rows now repartition before the explode
+    # (the _shingle_sets policy), the postings (tf) pin once, and dl
+    # derives from them — dl = SUM(tf) per doc, bit-identical to
+    # counting the token instances directly.
+    n = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = detach(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("d_tokens")
     )
@@ -1233,12 +1245,21 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = token_count("text")
     n_distinct = F.size(F.array_distinct(tokens("text")))
     stop = stopword_hits("text", "en")
-    m = d.select(
-        "doc_id",
-        "lang",
-        n_tok.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
-        stop.alias("stop_hits"),
+    # repartition-before-tokenize (the _shingle_sets policy): the
+    # metric projection splits each doc three times (tokens, distinct,
+    # stop hits) — CPU-bound, so it runs at cluster width, not the
+    # scan's file count
+    par = spark.sparkContext.defaultParallelism
+    m = (
+        d.select("doc_id", "lang", "text")
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            stop.alias("stop_hits"),
+        )
     )
     ttr = F.col("n_distinct") / F.col("n_tokens").cast("double")
     swr = F.col("stop_hits") / F.col("n_tokens").cast("double")

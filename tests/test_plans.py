@@ -288,19 +288,30 @@ BENCH_EXCHANGE_SNAPSHOT = {
     # per-doc window + agg branches only
 
     "events_user_sessions": 1,
-    "pipeline_dsir_weights": 4,  # bucket counts, doc-bucket counts,
-    # per-doc weight agg, final doc join; the 256-row model broadcasts
-    "pipeline_dsir_resample": 4,  # exactly the weights plan — the
+    # r19: ONE md5-per-token pass — the (doc, lang, bucket) counts pin
+    # behind a detach and both the bucket model and the per-doc weights
+    # aggregate FROM them (SUM of per-doc counts = corpus counts), lang
+    # rides the groupBy so the final corpus join is gone. 4 -> 3:
+    # repartition-before-explode (+1), docb groupBy (+1, pre-pin so
+    # post-pin only its consumers), feat's second explode (-1) and the
+    # final doc join (-1).
+    "pipeline_dsir_weights": 3,
+    "pipeline_dsir_resample": 3,  # exactly the weights plan — the
     # Gumbel key is a narrow map and the top-k is
     # TakeOrderedAndProject, no additional exchange (plan-asserted in
     # test_llm_ops.test_dsir_resample_plan_is_take_ordered)
-    "sim_hybrid_rrf_topk": 6,  # two candidate generators (BM25
-    # postings tf/dl/df aggs + dense doc join) + two 50-row rank pools
-    "text_bm25_topk": 6,  # postings build (tf, dl) + query-sliced df
-    # + per-doc score agg; top-k is TakeOrderedAndProject, no sort
+    "sim_hybrid_rrf_topk": 4,  # two candidate generators + two 50-row
+    # rank pools; r19 6 -> 4: the BM25 postings (tf) pin behind a
+    # detach and dl derives from them (dl = SUM(tf) per doc), so the
+    # duplicate token-explode subtree and its aggs left the plan
+    "text_bm25_topk": 4,  # postings build + query-sliced df
+    # + per-doc score agg; top-k is TakeOrderedAndProject, no sort.
+    # r19 6 -> 4: same tf-pin/dl-derivation as the RRF entry above
     "join_broadcast_dims": 1,
     "join_sortmerge_facts": 1,
-    "multimodal_decode_stats": 1,
+    "multimodal_decode_stats": 2,  # r19 +1: repartition before the
+    # mapInPandas so the decode fans across every core's Python worker
+    # instead of the single-file scan's one
     "pipeline_decontaminate": 3,
     "pipeline_epoch_plan": 2,
     "pipeline_filter_funnel": 2,
