@@ -343,14 +343,16 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator demonstrates; the codec is the stub above
     (``multimodal_decode_real`` exercises the genuine BMP path)."""
     d = load_table(spark, sf_dir, "documents")
-    # repartition before the Python stage (the _shingle_sets policy,
-    # §"partition parallelism" is literally this operator's demo): a
-    # mapInPandas over a single-file scan runs ONE Python worker; the
-    # explicit spread fans the decode across every core's worker
-    n = spark.sparkContext.defaultParallelism
-    binary_df = (
-        d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-        .repartition(n, "doc_id")
+    # r19 note: a repartition before the Python stage (fan the decode
+    # across every core's worker) was prototyped and measured SLOWER
+    # at this scale (noop floor 0.27s -> 0.54s): the stub decode is
+    # cheap enough that shuffling the payloads and paying 32 Arrow
+    # batch round-trips costs more than the single warm worker. A
+    # deployment decoding real media (CPU-heavy per byte) re-makes
+    # that call with its own measurement — the plan point is that
+    # parallelism here is ONE repartition away, not a rewrite.
+    binary_df = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     decoded = binary_df.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
     return (

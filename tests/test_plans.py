@@ -309,9 +309,7 @@ BENCH_EXCHANGE_SNAPSHOT = {
     # r19 6 -> 4: same tf-pin/dl-derivation as the RRF entry above
     "join_broadcast_dims": 1,
     "join_sortmerge_facts": 1,
-    "multimodal_decode_stats": 2,  # r19 +1: repartition before the
-    # mapInPandas so the decode fans across every core's Python worker
-    # instead of the single-file scan's one
+    "multimodal_decode_stats": 1,
     "pipeline_decontaminate": 3,
     "pipeline_epoch_plan": 2,
     "pipeline_filter_funnel": 2,
