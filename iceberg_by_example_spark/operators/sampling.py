@@ -449,17 +449,19 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_by_example_spark.util import detach
 
     # ONE md5-per-token pass (r19): feat previously fed counts AND
-    # docb unpinned, so the explode + hash ran twice — and at the
-    # scan's (possibly single-file) parallelism. The raw rows now
-    # repartition before the explode (the _shingle_sets policy) and
-    # the per-(doc, bucket) counts are pinned once; the bucket model
-    # aggregates FROM them (SUM of per-doc counts = corpus counts —
-    # bit-identical, order-free int64), and lang rides the groupBy
-    # (doc_id determines lang) so the final corpus join disappears.
-    n = spark.sparkContext.defaultParallelism
+    # docb unpinned, so the explode + hash ran twice. The per-(doc,
+    # bucket) counts are pinned once; the bucket model aggregates FROM
+    # them (SUM of per-doc counts = corpus counts — bit-identical,
+    # order-free int64), and lang rides the groupBy (doc_id determines
+    # lang) so the final corpus join disappears. A repartition before
+    # the explode was committed with this change, then REVERTED on a
+    # full-query interleaved A/B (fresh-JVM floors 2.03/2.10s with vs
+    # consistently lower without at matched canaries): the split+md5
+    # stage is too cheap here to amortize shuffling the text payload —
+    # the explode's own groupBy exchange already spreads everything
+    # downstream of the map stage.
     feat = (
         d.select("doc_id", "lang", "text")
-        .repartition(n, "doc_id")
         .select(
             "doc_id",
             "lang",

@@ -1115,15 +1115,17 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion in operators/similarity.py."""
     d = load_table(spark, sf_dir, "documents")
     # ONE token explode (r19): tf and dl previously each re-ran the
-    # corpus explode (unpinned, and at the scan's single-file
-    # parallelism). The raw rows now repartition before the explode
-    # (the _shingle_sets policy), the postings (tf) pin once, and dl
+    # corpus explode (unpinned). The postings (tf) pin once, and dl
     # derives from them — dl = SUM(tf) per doc, bit-identical to
-    # counting the token instances directly.
-    n = spark.sparkContext.defaultParallelism
+    # counting the token instances directly. A repartition before the
+    # explode was committed with this change, then REVERTED on a
+    # full-query interleaved A/B (neutral at best; the dsir/qcdf
+    # variants of the same shuffle measured real losses): the
+    # split+explode map stage is too cheap to amortize shuffling the
+    # text payload, and tf's own groupBy exchange spreads everything
+    # downstream.
     toks = (
         d.select("doc_id", "text")
-        .repartition(n, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -1245,14 +1247,17 @@ def text_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = token_count("text")
     n_distinct = F.size(F.array_distinct(tokens("text")))
     stop = stopword_hits("text", "en")
-    # repartition-before-tokenize (the _shingle_sets policy): the
-    # metric projection splits each doc three times (tokens, distinct,
-    # stop hits) — CPU-bound, so it runs at cluster width, not the
-    # scan's file count
-    par = spark.sparkContext.defaultParallelism
+    # r19 note: a repartition-before-metrics (the _shingle_sets
+    # policy) was committed, then REVERTED on a full-query interleaved
+    # A/B: fresh-JVM floors 1.92/2.15s with it vs 0.99/1.17s without
+    # at matched pass canaries — the triple-split projection is too
+    # cheap to amortize shuffling the full text payload (the same
+    # economics as the multimodal decode revert; contrast the winnow
+    # md5-per-position stages, where the identical repartition
+    # measured 0.5-0.7x). A subplan-only A/B had read "neutral"; the
+    # full query is the unit that decides.
     m = (
         d.select("doc_id", "lang", "text")
-        .repartition(par, "doc_id")
         .select(
             "doc_id",
             "lang",
