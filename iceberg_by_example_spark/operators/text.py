@@ -1114,24 +1114,32 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     before top-k — shared by ``text_bm25_topk`` and the RRF hybrid
     fusion in operators/similarity.py."""
     d = load_table(spark, sf_dir, "documents")
-    # ONE token explode (r19): tf and dl previously each re-ran the
-    # corpus explode (unpinned). The postings (tf) pin once, and dl
-    # derives from them — dl = SUM(tf) per doc, bit-identical to
-    # counting the token instances directly. A repartition before the
-    # explode was committed with this change, then REVERTED on a
-    # full-query interleaved A/B (neutral at best; the dsir/qcdf
-    # variants of the same shuffle measured real losses): the
-    # split+explode map stage is too cheap to amortize shuffling the
-    # text payload, and tf's own groupBy exchange spreads everything
-    # downstream.
+    # ONE tf definition (r19): dl derives from the postings — dl =
+    # SUM(tf) per doc, bit-identical to counting token instances
+    # directly. r20 drops the r19 localCheckpoint pin on tf: the
+    # eager checkpoint WRITE of ~1M posting rows (strings) landed on
+    # every timed pass and measured 0.2-0.5s slower than leaving tf
+    # unpinned (fresh-JVM interleaved floors 1.49-1.52 unpinned vs
+    # 1.66-2.77 pinned; in-session alternation min 1.60 vs 2.15; a
+    # .persist() pin measured worst of the three at 2.24-2.88).
+    # Unpinned, the consumers' identical (doc_id,term) exchange
+    # subtrees dedup in pairs at runtime (AQE stage reuse — the
+    # scored/dl pair and the docfreq/stats pair differ only by a
+    # join-inferred isnotnull(doc_id)), so the corpus tokenizes twice,
+    # as the pre-r19 form did, but nothing is checkpointed. At 100 TB
+    # the postings are a standing MATERIALIZED index (the docstring's
+    # deployment shape) and a query touches |Q| posting lists either
+    # way; the pin only ever amortized the bench's per-run index
+    # build, and the measurement says it does not pay for itself.
+    # A repartition before the explode was separately REVERTED in r19
+    # on a full-query A/B: the split+explode map stage is too cheap
+    # to amortize shuffling the text payload.
     toks = (
         d.select("doc_id", "text")
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = detach(
-        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("d_tokens")
