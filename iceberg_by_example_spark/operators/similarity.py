@@ -1461,7 +1461,15 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the encoded table: the query branch and the candidate branch
     # both read it, and without the pin each would run its own encode
     # pass (the production analogue is that codes are MATERIALIZED in
-    # the index, not recomputed per query).
+    # the index, not recomputed per query). r20 re-measured the
+    # alternative (encode the vec_id=0 query row from its own pushed-
+    # filter 1-row scan, corpus encode single-consumer and unpinned,
+    # re-rank joining the base table for shortlist vectors): REJECTED
+    # — fresh-JVM interleaved floors 1.84-2.17s vs 1.72-1.75s for this
+    # form at matched canaries. At 2000 rows the checkpoint write is
+    # trivial and the second Python stage launch dominates — the
+    # opposite economics of the BM25 postings pin (1M string rows),
+    # which r20 removed on the same measurement protocol.
     assigned = detach(
         e.select("vec_id", "embedding").mapInPandas(
             pq_encode_batches, PQ_ENCODE_SCHEMA

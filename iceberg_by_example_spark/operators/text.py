@@ -568,6 +568,32 @@ def hashing_feature_frame(
     return tok.select("doc_id", *carry, features.alias("features"))
 
 
+def hashing_logit_micro(docs: DataFrame, w: list) -> DataFrame:
+    """(doc_id, z) where z = w · x for the hashing-trick features of
+    ``hashing_feature_frame`` — computed WITHOUT materializing the
+    DIM-width count vector: since x[k] counts the tokens hashing to
+    bucket k, w · x = Σ_tokens w[bucket(token)] by distributivity,
+    one exact int64 fold over the token array (the same ``tokens`` /
+    ``_md5_hash60 % HASHING_DIM`` mapping the featurizer uses, so the
+    two forms cannot drift — pinned equal by pytest). The count-vector
+    form builds DIM per-row filter scans (DIM × tokens comparisons
+    per doc and a ~DIM-expression tree the driver pays to construct
+    per query); the fold is one hash + one array lookup per token.
+    r20: the scorer paths (``score_doc_stream`` → daily-ingest
+    lr_keep gate, stream scoring) switched to this; the TRAINER keeps
+    the count vector, which its per-bucket gradients genuinely need."""
+    from iceberg_by_example_spark.operators.dedup import _md5_hash60
+
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    z = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.get(w_arr, (_md5_hash60(t) % HASHING_DIM).cast("int")),
+    )
+    return docs.select("doc_id", z.alias("z"))
+
+
 def hashing_vectorizer_arrays(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

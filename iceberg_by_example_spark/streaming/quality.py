@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iceberg_by_example_spark.operators.pipeline import (
-    _lr_dot_micro,
     _lr_sigmoid_micro,
 )
 
@@ -55,20 +54,22 @@ def score_doc_stream(
 ) -> DataFrame:
     """(doc_id, p_micro, keep) over a STREAMING documents frame: the
     trained weights land as an array literal (feature-width — no
-    stream-static join, no broadcast needed), features come from the
-    SAME ``hashing_feature_frame`` the trainer uses (imported, never
-    copied), and the score is the batch operator's exact fixed-point
-    sigmoid. Stateless: works under any trigger with no state
-    store."""
+    stream-static join, no broadcast needed), the logit comes from
+    ``hashing_logit_micro`` (the direct w·x fold over the SAME token→
+    bucket mapping the trainer's ``hashing_feature_frame`` uses —
+    identical int64 by distributivity, pinned equal by pytest; r20
+    measured the count-vector form spending ~1s of per-call driver
+    expression construction plus DIM×tokens per-row comparisons just
+    to dot the vector away), and the score is the batch operator's
+    exact fixed-point sigmoid. Stateless: works under any trigger
+    with no state store."""
     from iceberg_by_example_spark.operators.text import (
-        hashing_feature_frame,
+        hashing_logit_micro,
     )
 
-    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w2])
-    p = _lr_sigmoid_micro(_lr_dot_micro())
+    p = _lr_sigmoid_micro(F.col("z"))
     return (
-        hashing_feature_frame(docs)
-        .withColumn("w", w_arr)
+        hashing_logit_micro(docs, w2)
         .select(
             "doc_id",
             p.alias("p_micro"),

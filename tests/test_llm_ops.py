@@ -4840,3 +4840,38 @@ def test_ingest_decon_vocab_bucketed_equality_sf01(spark):
     bucketed = surv_ids(decon_vocab_buckets=1 << 20)
     assert bucketed <= exact  # never a missed flag, only extra ones
     assert len(exact - bucketed) <= max(2, len(exact) // 1000)
+
+
+def test_hashing_logit_micro_equals_feature_dot(spark, sf_dir):
+    """The scorer's direct w·x fold (hashing_logit_micro) must equal
+    the trainer's count-vector dot bit-for-bit — the no-drift pin for
+    the r20 scorer restructure (z = Σ_tokens w[bucket(t)] by
+    distributivity over the SAME token→bucket mapping)."""
+    from iceberg_by_example_spark.operators.text import (
+        HASHING_DIM,
+        hashing_feature_frame,
+        hashing_logit_micro,
+    )
+    from iceberg_by_example_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic non-trivial weights, including negatives
+    w = [((7 * k + 3) % 41) - 20 for k in range(HASHING_DIM)]
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    dot = F.aggregate(
+        F.zip_with("features", "w", lambda f, wv: f * wv),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    want = {
+        r["doc_id"]: r["z"]
+        for r in hashing_feature_frame(docs)
+        .withColumn("w", w_arr)
+        .select("doc_id", dot.alias("z"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["z"]
+        for r in hashing_logit_micro(docs, w).collect()
+    }
+    assert got == want
