@@ -1835,14 +1835,15 @@ def pipeline_curate_ingest_day(
             # the full recompute's cross-slice) — detached so the
             # finally's unpersist can't force a recompute downstream
             return detach(surv)
-        # the manifest is ALSO materialized here (r15 review #3):
-        # returned lazy, the caller's materialization ran AFTER the
-        # finally had unpersisted surv/b, re-executing the gate chain
-        # over an uncached batch — several full batch scans +
-        # tokenizations per day repaid for nothing. Detached, the
-        # whole chain executes exactly once while every cache below
-        # is warm, and the finally can release them all.
-        return detach(curate_pack_day(surv, state))
+        # the manifest is materialized BEFORE the finally runs (r15
+        # review #3): returned lazy, the caller's materialization ran
+        # AFTER the finally had unpersisted surv/b, re-executing the
+        # gate chain over an uncached batch. The eager pin is the
+        # detach at the tail of ``_curate_select_pack`` itself —
+        # curate_pack_day's return is already checkpointed, so
+        # wrapping it in a second detach here (the pre-r20 form) just
+        # re-copied the manifest blocks as one more job per day.
+        return curate_pack_day(surv, state)
     finally:
         if surv is not None:
             surv.unpersist()

@@ -231,6 +231,10 @@ def bpe_tokenize_stats(
     # (inv, distinct-OOV, oov join-back) — persist it for the fan-out
     # and release once the detached result is materialized, the same
     # discipline as text_quality_cdf and the KMV sketches.
+    # r20 re-measured dropping this pin (the bm25 postings lesson did
+    # not transfer): unpinned, the three consumers re-run the join +
+    # filters and the floors read 2.18-2.64s vs 1.49-1.61s pinned at
+    # matched canaries — the pin stays.
     joined = wc.join(F.broadcast(enc), "w", "left").persist()
     inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
         "oov", F.lit(False)
@@ -531,6 +535,10 @@ def unigram_tokenize_stats(
     # pin-and-release (r12 ADVICE #3): same three-consumer fan-out as
     # bpe_tokenize_stats — persist the corpus pass, release after the
     # detached result materializes.
+    # r20 re-measured dropping this pin (the bm25 postings lesson did
+    # not transfer): unpinned, the three consumers re-run the join +
+    # filters and the floors read 2.18-2.64s vs 1.49-1.61s pinned at
+    # matched canaries — the pin stays.
     joined = wc.join(F.broadcast(enc), "w", "left").persist()
     inv = joined.filter(F.col("n_pieces").isNotNull()).withColumn(
         "oov", F.lit(False)
