@@ -300,13 +300,14 @@ BENCH_EXCHANGE_SNAPSHOT = {
     # Gumbel key is a narrow map and the top-k is
     # TakeOrderedAndProject, no additional exchange (plan-asserted in
     # test_llm_ops.test_dsir_resample_plan_is_take_ordered)
-    "sim_hybrid_rrf_topk": 4,  # two candidate generators + two 50-row
-    # rank pools; r19 6 -> 4: the BM25 postings (tf) pin behind a
-    # detach and dl derives from them (dl = SUM(tf) per doc), so the
-    # duplicate token-explode subtree and its aggs left the plan
-    "text_bm25_topk": 4,  # postings build + query-sliced df
-    # + per-doc score agg; top-k is TakeOrderedAndProject, no sort.
-    # r19 6 -> 4: same tf-pin/dl-derivation as the RRF entry above
+    "sim_hybrid_rrf_topk": 8,  # r20 4 -> 8: the r19 postings pin is
+    # GONE (its eager checkpoint write measured slower than leaving
+    # tf unpinned — operator comment has the A/B), so the four tf
+    # consumers' identical exchange subtrees are all visible in the
+    # static plan and dedup in PAIRS at runtime (AQE stage reuse);
+    # the runtime shuffle count stays 4-ish, the STATIC count is 8
+    "text_bm25_topk": 8,  # r20 4 -> 8: same pin removal as the RRF
+    # entry above; top-k is still TakeOrderedAndProject, no sort
     "join_broadcast_dims": 1,
     "join_sortmerge_facts": 1,
     "multimodal_decode_stats": 1,
